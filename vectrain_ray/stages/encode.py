@@ -1,0 +1,81 @@
+"""Stage 2 — the stateful embedding encoder (actor pool).
+
+Recast of the reference's embedder stage (E1/E2): there, N goroutines each
+POST one text at a time to an external Ollama server
+(internal/app/embedders/ollama/embed_message.go:14-65, worker pool
+internal/app/pipeline/pipeline.go:242-273). Here the model state lives
+*inside* the actor — built once in ``__init__`` per worker — and ``__call__``
+embeds a whole Arrow batch vectorized:
+
+    ds.map_batches(HashingEncoder(dim), concurrency=N, batch_size=B,
+                   batch_format="pyarrow")
+
+Error semantics made explicit (the reference parses a
+``skip_embedder_errors`` knob but never reads it — internal/config/config.go:24):
+rows that cannot be encoded get a dead-letter ``encode_err`` column instead of
+an embedding; ``Vector`` xor ``Err`` exactly as pipeline.go:259-264, but
+filterable before any sink.
+
+The encoder itself is a deterministic feature-hashing projection (no model
+downloads in this sandbox): token → crc32 → (dim index, sign), L2-normalized.
+A real model swaps in by replacing ``_encode_texts`` only.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class HashingEncoder:
+    """Callable-class actor for ``map_batches``. State built once per actor."""
+
+    def __init__(self, dim: int = 64, text_col: str = "surface_form",
+                 out_col: str = "embedding"):
+        self.dim = dim
+        self.text_col = text_col
+        self.out_col = out_col
+        self.token_re = re.compile(r"[A-Za-z0-9]+")  # compiled once per actor
+
+    def _encode_texts(self, texts: list) -> tuple[np.ndarray, list]:
+        """texts → (n×dim float32 L2-normalized matrix, err list).
+
+        Deterministic across processes: zlib.crc32 (not Python ``hash``,
+        which is salted per process)."""
+        n = len(texts)
+        out = np.zeros((n, self.dim), dtype=np.float32)
+        errs: list = [None] * n
+        for i, t in enumerate(texts):
+            if t is None or not t.strip():
+                errs[i] = "empty_text"
+                continue
+            for tok in self.token_re.findall(t.lower()):
+                h = zlib.crc32(tok.encode())
+                idx = h % self.dim
+                sign = 1.0 if (h >> 16) & 1 else -1.0
+                out[i, idx] += sign
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms, out=out, where=norms > 0)
+        # zero-norm non-empty rows are valid (all-cancelling) — keep zeros
+        return out, errs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        mat, errs = self._encode_texts(texts)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), type=pa.float32()), self.dim
+        )
+        batch = batch.append_column(self.out_col, emb)
+        batch = batch.append_column("encode_err", pa.array(errs, pa.string()))
+        return batch
+
+
+def encode_texts(texts: list, dim: int = 64) -> np.ndarray:
+    """Driver-side helper (e.g. embedding a small alias table before
+    broadcast): same deterministic encoding as the actor."""
+    enc = HashingEncoder(dim=dim)
+    mat, _ = enc._encode_texts(texts)
+    return mat
