@@ -1,0 +1,85 @@
+"""Canonicalization: normalization parity, alias clustering, hot-key safety,
+union-find merge."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from vectrain_ray import rules
+from vectrain_ray.stages.canonicalize import (
+    add_surface_norm,
+    build_mapping,
+    partial_surface_counts,
+)
+from vectrain_ray.state.unionfind import UnionFind
+
+
+def test_vectorized_norm_matches_rules():
+    surfs = ["Acme, Corp!", "  ALICE   Johnson ", "x", "Ümlaut Straße"]
+    t = pa.table({"surface_form": pa.array(surfs)})
+    got = add_surface_norm(t)["surface_norm"].to_pylist()
+    assert got == [rules.normalize_surface(s) for s in surfs]
+
+
+def _mentions(surfs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["c"] * len(surfs)),
+                "turn_idx": pa.array(list(range(len(surfs))), pa.int32()),
+                "mention_id": pa.array([f"m{i}" for i in range(len(surfs))]),
+                "surface_form": pa.array(surfs),
+                "span_start": pa.array([0] * len(surfs), pa.int32()),
+                "span_end": pa.array([1] * len(surfs), pa.int32()),
+            }
+        )
+    )
+
+
+def test_partial_counts_collapse_hot_keys():
+    batch = pa.table(
+        {"surface_form": pa.array(["Acme Corp"] * 1000 + ["Rare Co"])}
+    )
+    out = partial_surface_counts(batch)
+    assert out.num_rows == 2  # 1001 rows → 2 partial rows before any shuffle
+    d = {r["surface_form"]: r["cnt"] for r in out.to_pylist()}
+    assert d["Acme Corp"] == 1000
+
+
+def test_alias_clustering_merges_suffix_variants():
+    ds = _mentions(["Acme Corp", "Acme Inc", "acme corp", "Globex Ltd"])
+    mapping = build_mapping(ds).to_pandas()
+    by_norm = dict(zip(mapping["surface_norm"], mapping["entity_id"]))
+    assert by_norm["acme corp"] == by_norm["acme inc"]
+    assert by_norm["acme corp"] != by_norm["globex ltd"]
+    # canonical name is the most frequent original casing of the cluster
+    names = dict(zip(mapping["surface_norm"], mapping["canonical_name"]))
+    assert names["acme corp"] in ("Acme Corp", "acme corp")
+
+
+def test_extra_pairs_union_find_merge():
+    ds = _mentions(["Acme Corp", "Globex Ltd", "Initech"])
+    merged = build_mapping(ds, extra_pairs=[("acme corp", "globex ltd")]).to_pandas()
+    by_norm = dict(zip(merged["surface_norm"], merged["entity_id"]))
+    assert by_norm["acme corp"] == by_norm["globex ltd"]
+    assert by_norm["initech"] != by_norm["acme corp"]
+
+
+def test_union_find_groups():
+    uf = UnionFind()
+    uf.union("a", "b")
+    uf.union("b", "c")
+    uf.union("x", "y")
+    gs = {tuple(sorted(v)) for v in uf.groups().values()}
+    assert gs == {("a", "b", "c"), ("x", "y")}
+
+
+def test_mapping_entity_ids_stable_across_runs(small_transcripts):
+    from vectrain_ray.stages.extract import extract_batch, mentions_table
+
+    ext = extract_batch(small_transcripts)
+    m = mentions_table(ext)
+    a = build_mapping(rd.from_arrow(m)).to_pandas()
+    b = build_mapping(rd.from_arrow(m)).to_pandas()
+    a = a.sort_values("surface_norm").reset_index(drop=True)
+    b = b.sort_values("surface_norm").reset_index(drop=True)
+    assert list(a["entity_id"]) == list(b["entity_id"])

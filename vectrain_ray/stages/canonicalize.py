@@ -40,7 +40,8 @@ def add_surface_norm(batch: pa.Table, col: str = "surface_form",
                      out: str = "surface_norm") -> pa.Table:
     """Vectorized mirror of rules.normalize_surface (RE2 kernels)."""
     x = pc.utf8_lower(pc.fill_null(batch[col], ""))
-    x = pc.replace_substring_regex(x, r"[^\w\s]", "")
+    # \p{L}\p{N}_ mirrors Python's Unicode \w (RE2's \w is ASCII-only)
+    x = pc.replace_substring_regex(x, r"[^\p{L}\p{N}_\s]", "")
     x = pc.replace_substring_regex(x, r"\s+", " ")
     x = pc.utf8_trim_whitespace(x)
     return batch.append_column(out, x)

@@ -54,12 +54,12 @@ class HashingEncoder:
                 continue
             for tok in self.token_re.findall(t.lower()):
                 h = zlib.crc32(tok.encode())
-                idx = h % self.dim
-                sign = 1.0 if (h >> 16) & 1 else -1.0
-                out[i, idx] += sign
+                # unsigned accumulation: a tokenized text can never produce a
+                # zero vector, so Vector xor Err holds structurally
+                out[i, h % self.dim] += 1.0
+                out[i, (h >> 7) % self.dim] += 1.0  # second probe: more spread
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         np.divide(out, norms, out=out, where=norms > 0)
-        # zero-norm non-empty rows are valid (all-cancelling) — keep zeros
         return out, errs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
