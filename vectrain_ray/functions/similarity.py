@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (list<float>).
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+query matrix broadcast once with ``ray.put`` (never re-shipped per batch),
+per-batch partial top-k, tiny final merge. Scale path: IVF — vectors
+bucketed to the nearest of C centroids (centroids broadcast), search probes
+only the closest buckets; and random-hyperplane LSH bucketing for near-dup
+pair generation without an all-pairs pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (float64 so cosine matches
+    DuckDB's double-precision list_cosine_similarity)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = col.to_pylist()
+    return np.asarray(lists, dtype=np.float64)
+
+
+def _cosine_to_query(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1e-30
+    return (mat @ qn) / norms
+
+
+class BatchTopK:
+    """map_batches actor: per-batch top-k rows by cosine vs a broadcast query."""
+
+    def __init__(self, query_ref, k: int = 10, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        import ray
+
+        self.q = np.asarray(ray.get(query_ref), dtype=np.float64)
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[self.vec_col])
+        sims = _cosine_to_query(mat, self.q)
+        k = min(self.k, len(sims))
+        idx = np.argpartition(-sims, k - 1)[:k] if k else np.array([], int)
+        ids = np.asarray(batch[self.id_col].to_pylist())[idx]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids.tolist()),
+                "score": pa.array(np.round(sims[idx], 4), pa.float64()),
+            }
+        )
+
+
+def topk_cosine(ds, query_vec, k: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding", concurrency: int = 2):
+    """Global cosine top-k: partial top-k per batch (actor pool, broadcast
+    query) → final sort over ≤ k×num_batches candidate rows. Ties broken by
+    (score desc, id asc) for determinism."""
+    import ray
+
+    query_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    partial = ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k,
+                               "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    return partial.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+# --- LSH (random hyperplanes) --------------------------------------------
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+class LSHBucketer:
+    """Adds a bucket id = sign-pattern of projections onto fixed random
+    hyperplanes (seeded → deterministic across actors/runs)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42,
+                 vec_col: str = "embedding", out: str = "lsh_bucket"):
+        self.planes = hyperplanes(dim, n_planes, seed)
+        self.vec_col, self.out = vec_col, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[self.vec_col])
+        bits = (mat @ self.planes.T) > 0
+        buckets = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
+        return batch.append_column(self.out, pa.array(buckets, pa.int64()))
+
+
+def neardup_pairs_cosine(ds, dim: int, threshold: float = 0.95,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_planes: int = 12, max_bucket: int = 2000,
+                         concurrency: int = 2):
+    """Embedding-cosine near-duplicate pairs without an all-pairs pass:
+    LSH-bucket → groupby(bucket) → exact cosine within bucket (≤ max_bucket
+    rows; larger buckets are truncated deterministically and logged via a
+    'truncated' marker column so silent caps are visible)."""
+    import pandas as pd
+
+    bucketed = ds.map_batches(
+        LSHBucketer,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
+                               "vec_col": vec_col},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        truncated = len(g) > max_bucket
+        if truncated:
+            g = g.head(max_bucket)
+        mat = np.asarray(list(g[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1e-30
+        sims = (mat / norms[:, None]) @ (mat / norms[:, None]).T
+        ids = list(g[id_col])
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "id_a": [ids[i] for i in ii],
+                "id_b": [ids[j] for j in jj],
+                "score": [round(float(sims[i, j]), 4) for i, j in zip(ii, jj)],
+                "truncated": [truncated] * len(ii),
+            }
+        )
+
+    return bucketed.groupby("lsh_bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+
+
+# --- IVF (inverted-file) approximate search -------------------------------
+def train_centroids(sample: np.ndarray, n_centroids: int = 16,
+                    iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Plain Lloyd's k-means on a driver-side sample (deterministic seed).
+    The centroid matrix is tiny → broadcast with ray.put."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                     replace=False)
+    cents = sample[idx].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(0)
+    return cents
+
+
+class IVFAssigner:
+    """Adds ivf_cell = nearest centroid id (centroids broadcast via ray.put)."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        import ray
+
+        self.cents = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[self.vec_col])
+        d = ((mat[:, None, :] - self.cents[None, :, :]) ** 2).sum(-1)
+        return batch.append_column(
+            "ivf_cell", pa.array(d.argmin(1).astype(np.int64), pa.int64())
+        )
+
+
+def topk_cosine_ivf(ds, query_vec, centroids_ref, k: int = 10,
+                    n_probe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding", concurrency: int = 2):
+    """IVF search: assign cells once, then brute-force ONLY the n_probe cells
+    closest to the query. Approximate (recall < 1 when the true neighbor sits
+    in an unprobed cell) — the scale path next to exact topk_cosine."""
+    import ray
+
+    cents = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(((cents - q) ** 2).sum(1))[:n_probe].tolist()
+
+    assigned = ds.map_batches(
+        IVFAssigner,
+        fn_constructor_kwargs={"centroids_ref": centroids_ref,
+                               "vec_col": vec_col},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    import pyarrow.compute as pc
+
+    probed = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_cell"], pa.array(probe))),
+        batch_format="pyarrow",
+    )
+    return topk_cosine(probed, q, k=k, id_col=id_col, vec_col=vec_col,
+                       concurrency=concurrency)

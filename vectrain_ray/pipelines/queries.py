@@ -1,0 +1,572 @@
+"""The operator-coverage query registry (driver contract, SURVEY.md §2/§7.9).
+
+Every entry returns a Ray Dataset / pyarrow Table computed Ray-Data-first
+(column-pruned reads, vectorized batch kernels, partial pre-aggregation
+before every groupby) and has — where SQL-expressible — an exactly-matching
+DuckDB oracle in ORACLE_SQL (same column NAMES and values; floats rounded
+identically on both sides).
+
+Reference parity notes: q_filter_project/T2 mirrors the empty-text admission
+rule (http/client.go:90-97); q_id_backfill/T3 the ID:=UUID backfill
+(kafka/fetch_messages.go:71-73); q_typed_projection/T4 the typed payload
+casts (qdrant/store.go:53-89); the kg_* queries exercise the full
+extraction→linking→canonicalization→materialization path with a SQL oracle
+built from the templated TPC-H transcripts (pipelines/tpch_kg.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import textops
+from ..functions.dedup import dedup_minhash, simhash_candidate_pairs
+from ..functions.dedup_exact import dedup_exact
+from ..functions.similarity import neardup_pairs_cosine, topk_cosine
+from ..stages.extract import extract_batch, filter_nonempty_text, triples_table
+from ..synth import transcripts_from_documents
+from .kg import run_kg
+from .tpch_kg import tpch_transcripts
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_cols(cols: dict[str, int]):
+    def fn(t: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pc.round(pc.cast(t[c], pa.float64()), ndigits=nd))
+        return t
+
+    return fn
+
+
+# --- per-batch / projection ops (T2–T5) -----------------------------------
+def q_filter_project(sf_dir: str):
+    """Empty-text admission + predicate filter + projection, all pushed to
+    Arrow kernels inside map_batches."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.not_equal(pc.fill_null(t["text"], ""), ""),
+                       pc.greater(t["n_chars"], 100))
+        return t.filter(mask).select(["doc_id", "lang", "n_chars"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_id_backfill(sf_dir: str):
+    """Vectorized if_else ID normalization (reference fetch_messages.go:71-73)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        src = pc.fill_null(t["source"], "")
+        fallback = pc.binary_join_element_wise(
+            pa.array(["doc-"] * t.num_rows),
+            pc.cast(t["doc_id"], pa.string()), "",
+        )
+        idn = pc.if_else(pc.equal(src, ""), fallback, src)
+        return pa.table({"doc_id": t["doc_id"], "id_norm": idn})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_typed_projection(sf_dir: str):
+    """Typed projection + cast with zero-value defaults (qdrant/store.go:53-89)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_floor": pc.cast(pc.floor(t["value"]), pa.int64()),
+                "props_str": pc.fill_null(t["props"], ""),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- aggregation ----------------------------------------------------------
+def q_groupby_agg(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with the partial+final pattern: each
+    batch collapses to ≤ (#groups) rows in Arrow C++ BEFORE the shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        t = t.append_column("disc_price", disc)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_cnt"]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_base", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="sum_disc_price"),
+            Sum("p_cnt", alias_name="count_order"),
+        )
+    )
+    return out.map_batches(
+        _round_cols({"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2}),
+        batch_format="pyarrow",
+    )
+
+
+def q_sort_topk(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_distinct(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return dedup_exact(ds, ["l_returnflag", "l_linestatus"])
+
+
+def q_broadcast_join(sf_dir: str):
+    """customer ⋈ nation ⋈ region with both small sides broadcast via
+    ray.put (dimension-table pattern — zero shuffle for the join itself)."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nk2region = {
+        nk: r_name[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(),
+                          nation["n_regionkey"].to_pylist())
+    }
+    lookup_ref = ray.put(nk2region)
+
+    class AddRegion:
+        def __init__(self):
+            self.lut = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lut.get(nk) for nk in t["c_nationkey"].to_pylist()]
+            t = t.append_column("r_name", pa.array(names, pa.string()))
+            g = t.group_by("r_name").aggregate(
+                [("c_acctbal", "sum"), ("c_custkey", "count")]
+            )
+            return g.rename_columns(["r_name", "p_bal", "p_cnt"])
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    out = (
+        ds.map_batches(AddRegion, batch_format="pyarrow", concurrency=2)
+        .groupby("r_name")
+        .aggregate(Sum("p_cnt", alias_name="n_customers"),
+                   Sum("p_bal", alias_name="sum_acctbal"))
+    )
+    return out.map_batches(_round_cols({"sum_acctbal": 2}), batch_format="pyarrow")
+
+
+def q_hash_join(sf_dir: str):
+    """orders ⋈ customer, both sides large → Ray hash join (hash-partitioned
+    on the key), then partial+final aggregate per market segment."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return g.rename_columns(["c_mktsegment", "p_rev", "p_cnt"])
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("p_rev", alias_name="revenue"),
+                   Sum("p_cnt", alias_name="n_orders"))
+    )
+    return out.map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir: str):
+    """Per-user session counting (30-min gap rule): partition by user_id,
+    order by ts within the group — the streaming-window recast
+    (ray_guide 'Streaming-shaped workloads')."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values(kind="stable")
+        brk = (ts.diff() > pd.Timedelta(minutes=30)) | ts.diff().isna()
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(brk.sum())]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_window_tumbling(sf_dir: str):
+    """Tumbling 1-hour event-time window via floor_temporal + partial+final
+    aggregate (no watermark needed: bounded input)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hb = pc.floor_temporal(t["ts"], unit="hour")
+        t = t.append_column("hour_bucket", hb)
+        g = t.group_by(["user_id", "hour_bucket"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(["user_id", "hour_bucket", "p_sum", "p_cnt"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Sum("p_cnt", alias_name="n_events"),
+                   Sum("p_sum", alias_name="sum_value"))
+    )
+    return out.map_batches(_round_cols({"sum_value": 2}), batch_format="pyarrow")
+
+
+# --- dedup family ---------------------------------------------------------
+def _add_md5(t: pa.Table, col="text", out="text_hash") -> pa.Table:
+    fps = [hashlib.md5((x or "").encode()).hexdigest() for x in t[col].to_pylist()]
+    return t.append_column(out, pa.array(fps, pa.string()))
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact content dedup: md5(text) partition key, keep min doc_id —
+    partial min per batch before the shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _add_md5(t)
+        g = t.group_by("text_hash").aggregate([("doc_id", "min")])
+        return g.rename_columns(["text_hash", "p_min"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("p_min", alias_name="doc_id"))
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "fp": _add_md5(t, out="fp")["fp"]}),
+        batch_format="pyarrow",
+    )
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dedup (rows-only oracle: clustering is not
+    SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_minhash(ds, threshold=0.8)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash-banded near-dup candidate pairs (rows-only oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_candidate_pairs(ds, max_hamming=3)
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs via LSH buckets (rows-only)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["embedding"])[0][0].as_py())
+    return neardup_pairs_cosine(ds, dim=dim, threshold=0.98)
+
+
+# --- text analysis --------------------------------------------------------
+def q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textops.add_token_count(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textops.add_quality_stats(t).select(
+            ["doc_id", "n_chars_txt", "n_tokens", "sum_token_len"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_stopword_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textops.add_stopword_count(t).select(["doc_id", "n_stopwords"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_lang_guess(sf_dir: str):
+    """Stopword-vote language ID (rows-only oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textops.add_lang_guess(t).select(["doc_id", "lang_guess"]),
+        batch_format="pyarrow",
+    )
+
+
+# --- similarity search ----------------------------------------------------
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the embedding of min(vec_id): broadcast
+    query, per-batch partial top-k, tiny final sort."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qmin = ds.min("vec_id")
+    qrow = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], qmin)), batch_format="pyarrow"
+    ).take(1)[0]
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
+    return topk_cosine(ds, q, k=10)
+
+
+# --- transcripts / KG -----------------------------------------------------
+def q_transcript_turns(sf_dir: str):
+    """documents → derived transcript turns; the per-turn text-equality
+    invariant, DuckDB-checkable (literal '. ' split + LATERAL index)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: transcripts_from_documents(t).select(
+            ["conv_id", "turn_idx", "role", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_kg_triples(sf_dir: str):
+    """Templated TPC-H transcripts → extraction only → (conv, turn, s, p, o).
+    Full SQL oracle: the triples are exactly customer/supplier⋈nation."""
+    ts = tpch_transcripts(sf_dir)
+    ext = ts.map_batches(filter_nonempty_text, batch_format="pyarrow").map_batches(
+        extract_batch, batch_format="pyarrow"
+    )
+    return ext.map_batches(
+        lambda t: triples_table(t).select(
+            ["conv_id", "turn_idx", "subj", "pred", "obj"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_KG_CACHE: dict[str, dict] = {}
+
+
+def _run_tpch_kg(sf_dir: str) -> dict:
+    """kg_edges and kg_nodes share one pipeline run per sf_dir (results are
+    small → materialize once instead of re-running the whole DAG)."""
+    if sf_dir not in _KG_CACHE:
+        res = run_kg(tpch_transcripts(sf_dir), out_dir=None, write_outputs=False)
+        _KG_CACHE[sf_dir] = {
+            "edges": res["edges"].materialize(),
+            "nodes": res["nodes"].materialize(),
+        }
+    return _KG_CACHE[sf_dir]
+
+
+def q_kg_edges(sf_dir: str):
+    """Full pipeline → edges with readable names (ids → canonical_name via
+    the broadcast node map). SQL oracle: weight 2 per (entity, nation)."""
+    res = _run_tpch_kg(sf_dir)
+    nodes = res["nodes"].select_columns(["entity_id", "canonical_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(nodes["entity_id"], nodes["canonical_name"])))
+
+    class NameEdges:
+        def __init__(self):
+            self.names = ray.get(name_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src_name": pa.array(
+                        [self.names.get(x) for x in t["src_id"].to_pylist()]),
+                    "pred": t["pred"],
+                    "dst_name": pa.array(
+                        [self.names.get(x) for x in t["dst_id"].to_pylist()]),
+                    "weight": t["weight"],
+                }
+            )
+
+    return res["edges"].map_batches(NameEdges, batch_format="pyarrow", concurrency=2)
+
+
+def q_kg_nodes(sf_dir: str):
+    """Full pipeline → nodes (canonical_name, n_mentions, degree); SQL oracle
+    from the templated construction."""
+    res = _run_tpch_kg(sf_dir)
+    return res["nodes"].select_columns(["canonical_name", "n_mentions", "degree"])
+
+
+QUERIES = {
+    "filter_project": q_filter_project,
+    "id_backfill": q_id_backfill,
+    "typed_projection": q_typed_projection,
+    "groupby_agg": q_groupby_agg,
+    "sort_topk": q_sort_topk,
+    "distinct": q_distinct,
+    "broadcast_join": q_broadcast_join,
+    "hash_join": q_hash_join,
+    "sessionize": q_sessionize,
+    "window_tumbling": q_window_tumbling,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint": q_fingerprint,
+    "dedup_minhash": q_dedup_minhash,
+    "simhash_pairs": q_simhash_pairs,
+    "embed_neardup": q_embed_neardup,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "stopword_count": q_stopword_count,
+    "lang_guess": q_lang_guess,
+    "ann_topk": q_ann_topk,
+    "transcript_turns": q_transcript_turns,
+    "kg_triples": q_kg_triples,
+    "kg_edges": q_kg_edges,
+    "kg_nodes": q_kg_nodes,
+}
+
+_EN_LIST_SQL = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+
+ORACLE_SQL = {
+    "filter_project": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE coalesce(text,'') <> '' AND n_chars > 100"
+    ),
+    "id_backfill": (
+        "SELECT doc_id, CASE WHEN coalesce(source,'') = '' "
+        "THEN 'doc-' || CAST(doc_id AS VARCHAR) ELSE source END AS id_norm "
+        "FROM documents"
+    ),
+    "typed_projection": (
+        "SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS value_floor, "
+        "coalesce(props,'') AS props_str FROM events"
+    ),
+    "groupby_agg": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, "
+        "round(sum(l_extendedprice),2) AS sum_base_price, "
+        "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, "
+        "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "sort_topk": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "broadcast_join": (
+        "SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal),2) AS sum_acctbal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+    "hash_join": (
+        "SELECT c_mktsegment, round(sum(o_totalprice),2) AS revenue, "
+        "count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    "sessionize": (
+        "WITH g AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE OR lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk "
+        "FROM events) SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions "
+        "FROM g GROUP BY user_id"
+    ),
+    "window_tumbling": (
+        "SELECT user_id, date_trunc('hour', ts) AS hour_bucket, "
+        "count(*) AS n_events, round(sum(value),2) AS sum_value "
+        "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+    ),
+    "dedup_exact": (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
+        "FROM documents GROUP BY md5(text)"
+    ),
+    "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "token_count": (
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+        "FROM documents"
+    ),
+    "quality": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt, "
+        "CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS sum_token_len "
+        "FROM documents"
+    ),
+    "stopword_count": (
+        "SELECT doc_id, CASE WHEN trim(text)='' THEN CAST(0 AS BIGINT) ELSE "
+        "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"x -> list_contains([{_EN_LIST_SQL}], x))) END AS n_stopwords "
+        "FROM documents"
+    ),
+    "ann_topk": (
+        "WITH q AS (SELECT embedding AS e FROM embeddings "
+        "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) "
+        "SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT e FROM q)), 4) "
+        "AS score FROM embeddings "
+        "ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id "
+        "LIMIT 10"
+    ),
+    "transcript_turns": (
+        "SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS conv_id, "
+        "CAST(idx - 1 AS INTEGER) AS turn_idx, "
+        "CASE WHEN (idx - 1) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+        "parts[idx] AS text "
+        "FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), "
+        "LATERAL (SELECT unnest(generate_series(1, len(parts))) AS idx)"
+    ),
+    "kg_triples": (
+        "WITH turns(turn_idx) AS (VALUES (CAST(0 AS INTEGER)), (CAST(1 AS INTEGER))) "
+        "SELECT 'c-' || CAST(c_custkey AS VARCHAR) AS conv_id, turn_idx, "
+        "'C' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS subj, "
+        "'located_in' AS pred, n_name AS obj "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey CROSS JOIN turns "
+        "UNION ALL "
+        "SELECT 's-' || CAST(s_suppkey AS VARCHAR) AS conv_id, turn_idx, "
+        "'S' || lpad(CAST(s_suppkey AS VARCHAR), 7, '0') AS subj, "
+        "'located_in' AS pred, n_name AS obj "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey CROSS JOIN turns"
+    ),
+    "kg_edges": (
+        "SELECT 'C' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS src_name, "
+        "'located_in' AS pred, n_name AS dst_name, CAST(2 AS BIGINT) AS weight "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "UNION ALL "
+        "SELECT 'S' || lpad(CAST(s_suppkey AS VARCHAR), 7, '0') AS src_name, "
+        "'located_in' AS pred, n_name AS dst_name, CAST(2 AS BIGINT) AS weight "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+    ),
+    "kg_nodes": (
+        "SELECT 'C' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS canonical_name, "
+        "CAST(2 AS BIGINT) AS n_mentions, CAST(1 AS BIGINT) AS degree FROM customer "
+        "UNION ALL "
+        "SELECT 'S' || lpad(CAST(s_suppkey AS VARCHAR), 7, '0'), "
+        "CAST(2 AS BIGINT), CAST(1 AS BIGINT) FROM supplier "
+        "UNION ALL "
+        "SELECT n_name, CAST(2 * (cnt_c + cnt_s) AS BIGINT), "
+        "CAST(cnt_c + cnt_s AS BIGINT) FROM ("
+        "SELECT n_name, "
+        "(SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS cnt_c, "
+        "(SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS cnt_s "
+        "FROM nation) WHERE cnt_c + cnt_s > 0"
+    ),
+    # rows-only (non-SQL-expressible): dedup_minhash, simhash_pairs,
+    # embed_neardup, lang_guess, kg pipelines beyond the above.
+}

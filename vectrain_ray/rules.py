@@ -24,9 +24,10 @@ import zlib
 SENTENCE_SEP = ". "
 
 # --- mentions -------------------------------------------------------------
-# A mention is a maximal run of Capitalized tokens (letters/digits, first char
-# upper), e.g. "Alice Johnson", "Acme Corp".  Single-word mentions are allowed.
-MENTION_RE = re.compile(r"\b[A-Z][A-Za-z0-9]*(?:[ ][A-Z][A-Za-z0-9]*)*\b")
+# A mention is a maximal run of Capitalized tokens (letters/digits/underscore
+# after the initial capital — identifiers like "NATION_3" count), e.g.
+# "Alice Johnson", "Acme Corp". Single-word mentions are allowed.
+MENTION_RE = re.compile(r"\b[A-Z][A-Za-z0-9_]*(?:[ ][A-Z][A-Za-z0-9_]*)*\b")
 
 # Tokens that start sentences but are never entities on their own.
 MENTION_STOPWORDS = frozenset(
