@@ -1,0 +1,155 @@
+"""Benchmark harness (driver contract).
+
+    python bench.py            # headline pipelines over $GRAFT_SF_DIR
+                               # (default /root/testdata/sf0.1) with
+                               # ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+                               # → prints ONE JSON line
+    python bench.py --scaling  # same job at 8 and 32 CPUs in fresh
+                               # subprocesses → throughput at both +
+                               # scaling efficiency (BASELINE.md criterion)
+
+Headline: the flagship KG-construction pipeline (extract → encode → link →
+canonicalize → materialize) over a seed-fixed synthetic transcript corpus
+(~300k turns, cached under /tmp) — reported as wall sec + turns/sec.
+Secondary: representative operator pipelines over the sf testdata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "20000"))
+BENCH_SEED = 1234
+
+
+def _bench_transcripts_path() -> str:
+    """Seed-fixed synthetic transcripts, written once and reused
+    byte-identically across runs AND parallelism levels (FIXTURES.md §4)."""
+    path = f"/tmp/vectrain_bench/transcripts_c{BENCH_CONVS}_s{BENCH_SEED}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from vectrain_ray.synth import write_transcripts
+
+        write_transcripts(path, num_convs=BENCH_CONVS, turns_per_conv=16,
+                          seed=BENCH_SEED, num_files=64)
+        open(marker, "w").write("ok")
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vectrain_ray.pipelines import queries as Q
+    from vectrain_ray.pipelines.kg import run_kg
+
+    tpath = _bench_transcripts_path()
+    n_turns = sum(
+        pq.read_metadata(os.path.join(tpath, f)).num_rows
+        for f in os.listdir(tpath) if f.endswith(".parquet")
+    )
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    rd.read_parquet(tpath).count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    out_dir = f"/tmp/vectrain_bench/out_{NUM_CPUS}_{int(t0)}"
+    run_kg(
+        tpath,
+        out_dir=out_dir,
+        batch_size=8192,
+        encoder_concurrency=max(2, NUM_CPUS // 4),
+        linker_concurrency=max(2, NUM_CPUS // 4),
+    )
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    secondary = [
+        ("groupby_agg", Q.q_groupby_agg),
+        ("hash_join", Q.q_hash_join),
+        ("window_tumbling", Q.q_window_tumbling),
+        ("sessionize", Q.q_sessionize),
+        ("dedup_exact", Q.q_dedup_exact),
+        ("dedup_minhash", Q.q_dedup_minhash),
+        ("ann_topk", Q.q_ann_topk),
+        ("kg_triples_sf", Q.q_kg_triples),
+    ]
+    for name, fn in secondary:
+        t0 = time.time()
+        res = fn(SF_DIR)
+        # consume without materializing to the driver
+        n = res.count()
+        timings[name] = round(time.time() - t0, 3)
+        del n
+
+    ray.shutdown()
+
+    return {
+        "metric": "kg_pipeline_wall_sec",
+        "value": timings["kg_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_turns": n_turns,
+        "turns_per_sec": round(n_turns / kg_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Two fresh processes on identical input: efficiency =
+    throughput(32) / (4 × throughput(8))."""
+    _bench_transcripts_path()  # generate once, outside both timed runs
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+    eff = tp_hi / (tp_lo * (hi / lo))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": tp_lo,
+        "turns_per_sec_hi": tp_hi,
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

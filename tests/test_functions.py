@@ -1,0 +1,227 @@
+"""Dedup suite, similarity search, text ops, wire-record ops, multimodal
+plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from vectrain_ray.functions import textops
+from vectrain_ray.functions.dedup import (
+    dedup_minhash,
+    hamming64,
+    minhash_candidate_pairs,
+    ngram_jaccard,
+    simhash64,
+    simhash_candidate_pairs,
+)
+from vectrain_ray.functions.dedup_exact import dedup_exact
+from vectrain_ray.functions.multimodal import (
+    AudioFeaturizer,
+    ImageDecoder,
+    VideoFrameSampler,
+    make_fake_media_table,
+)
+from vectrain_ray.functions.similarity import (
+    neardup_pairs_cosine,
+    topk_cosine,
+    topk_cosine_ivf,
+    train_centroids,
+)
+from vectrain_ray.sources import wire
+
+
+def _docs():
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "the quick brown fox jumps over the lazy dog and runs away fast!",
+        "completely different text about machine learning models and data",
+        "another unrelated document discussing cooking recipes and food",
+    ]
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(texts)})
+    )
+
+
+# --- exact dedup ----------------------------------------------------------
+def test_dedup_exact_keeps_min():
+    t = pa.table({"k": pa.array(["a", "a", "b", "a"]),
+                  "v": pa.array([3, 1, 9, 2], pa.int64())})
+    out = dedup_exact(rd.from_arrow(t), ["k"], sort_within=["v"]).take_all()
+    assert sorted((r["k"], r["v"]) for r in out) == [("a", 1), ("b", 9)]
+
+
+# --- minhash --------------------------------------------------------------
+def test_minhash_clusters_near_dups():
+    out = dedup_minhash(_docs()).take_all()
+    got = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in out}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (3, True) and got[4] == (4, True)
+
+
+def test_minhash_candidates_deterministic():
+    a = sorted((r["id_a"], r["id_b"])
+               for r in minhash_candidate_pairs(_docs()).take_all())
+    b = sorted((r["id_a"], r["id_b"])
+               for r in minhash_candidate_pairs(_docs()).take_all())
+    assert a == b and (1, 2) in a
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    assert ngram_jaccard("", "") == 1.0
+    assert 0 < ngram_jaccard("abcdefghij", "abcdefghXX") < 1
+
+
+# --- simhash --------------------------------------------------------------
+def test_simhash_identical_tokens_zero_hamming():
+    a = simhash64("alpha beta gamma delta")
+    b = simhash64("alpha beta gamma delta")
+    assert hamming64(a, b) == 0
+    c = simhash64("alpha beta gamma echo")
+    assert 0 < hamming64(a, c) <= 64
+
+
+def test_simhash_pairs_finds_token_identical_docs():
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta",
+                                    "alpha  beta gamma delta",
+                                    "totally different words here now"])})
+    out = simhash_candidate_pairs(rd.from_arrow(t)).take_all()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+# --- similarity -----------------------------------------------------------
+@pytest.fixture(scope="module")
+def emb_ds():
+    rng = np.random.RandomState(0)
+    mat = rng.rand(300, 16)
+    mat[7] = mat[3] + 1e-5
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array(mat.tolist(), pa.list_(pa.float32()))})
+    ).materialize()
+    return ds, mat
+
+
+def test_topk_cosine_exact(emb_ds):
+    ds, mat = emb_ds
+    top = topk_cosine(ds, mat[3], k=5).take_all()
+    ids = [r["vec_id"] for r in top]
+    assert set(ids[:2]) == {3, 7}
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    # brute-force verify top-5 against numpy
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = mat[3] / np.linalg.norm(mat[3])
+    exp = np.argsort(-(m @ q), kind="stable")[:5]
+    assert set(ids) == set(int(i) for i in exp)
+
+
+def test_neardup_pairs_cosine(emb_ds):
+    ds, _ = emb_ds
+    pairs = neardup_pairs_cosine(ds, dim=16, threshold=0.999999).take_all()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(3, 7)]
+
+
+def test_ivf_recall_on_probed_cells(emb_ds):
+    ds, mat = emb_ds
+    cents_ref = ray.put(train_centroids(mat, n_centroids=8))
+    top = topk_cosine_ivf(ds, mat[3], cents_ref, k=3, n_probe=8).take_all()
+    # probing ALL cells == exact
+    assert set(r["vec_id"] for r in top[:2]) == {3, 7}
+
+
+# --- wire-record ops (reference T1–T5) ------------------------------------
+def test_wire_backfill_and_filter():
+    t = pa.table({"id": pa.array(["", "x", None]),
+                  "uuid": pa.array(["u1", "u2", "u3"]),
+                  "text": pa.array(["hello", "  ", "world"])})
+    out = wire.backfill_id(t)
+    assert out["id"].to_pylist() == ["u1", "x", "u3"]
+    kept = wire.filter_nonempty(out)
+    assert kept["uuid"].to_pylist() == ["u1", "u3"]
+
+
+def test_wire_typed_projection_zero_values():
+    t = pa.table({"title": pa.array(["a", None]),
+                  "year": pa.array(["1999", ""]),
+                  "rating": pa.array(["4.5", "  "]),
+                  "flag": pa.array(["true", ""]),
+                  "junk": pa.array(["drop", "me"])})
+    out = wire.typed_projection(
+        t, {"title": "string", "year": "int", "rating": "float",
+            "flag": "bool", "missing": "int"}
+    )
+    assert out.column_names == ["title", "year", "rating", "flag", "missing"]
+    rows = out.to_pylist()
+    assert rows[0] == {"title": "a", "year": 1999, "rating": 4.5,
+                       "flag": True, "missing": 0}
+    assert rows[1] == {"title": "", "year": 0, "rating": 0.0,
+                       "flag": False, "missing": 0}
+
+
+def test_wire_assemble_points_deterministic():
+    t = pa.table({"id": pa.array(["a", "b"])})
+    p1 = wire.assemble_points(t)["point_id"].to_pylist()
+    p2 = wire.assemble_points(t)["point_id"].to_pylist()
+    assert p1 == p2 and len(set(p1)) == 2
+
+
+def test_wire_rejects_unknown_type():
+    with pytest.raises(ValueError, match="unsupported field type"):
+        wire.typed_projection(pa.table({"x": pa.array(["1"])}), {"x": "decimal"})
+
+
+# --- text ops -------------------------------------------------------------
+def test_token_count_and_quality():
+    t = pa.table({"text": pa.array(["a bb  ccc", "", None, "  x  "])})
+    out = textops.add_quality_stats(t)
+    assert out["n_tokens"].to_pylist() == [3, 0, 0, 1]
+    assert out["sum_token_len"].to_pylist() == [6, 0, 0, 1]
+
+
+def test_rolling_fingerprints_deterministic():
+    a = textops.rolling_fingerprints("hello world this is a longer text for fp")
+    b = textops.rolling_fingerprints("hello world this is a longer text for fp")
+    assert a == b and len(a) > 0
+    assert textops.rolling_fingerprints("short") == []
+
+
+# --- multimodal plumbing --------------------------------------------------
+def test_image_decoder_plumbing():
+    ds = rd.from_arrow(make_fake_media_table(50))
+    out = ds.map_batches(
+        ImageDecoder, fn_constructor_kwargs={"dim": 32},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).take_all()
+    assert len(out) == 50
+    assert all(len(r["features"]) == 32 for r in out)
+    assert "payload" not in out[0]  # wide bytes dropped after decode
+
+
+def test_image_decoder_real_path_raises():
+    dec = ImageDecoder(fake=False)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        dec(make_fake_media_table(1))
+
+
+def test_audio_featurizer_frames():
+    ds = rd.from_arrow(make_fake_media_table(10, kind="audio"))
+    out = ds.map_batches(
+        AudioFeaturizer, fn_constructor_kwargs={"frame_ms": 250, "dim": 8},
+        batch_format="pyarrow", batch_size=4, concurrency=2,
+    ).take_all()
+    assert len(out) == 10 * 4  # 1000ms / 250ms frames
+    assert all(len(r["features"]) == 8 for r in out)
+
+
+def test_video_sampler_deterministic():
+    t = make_fake_media_table(5, kind="video")
+    a = VideoFrameSampler()(t).to_pylist()
+    b = VideoFrameSampler()(t).to_pylist()
+    assert a == b and len(a) == 5 * 2  # 1000ms / 500ms

@@ -103,7 +103,7 @@ def _pairs_from_bucket_factory(id_col: str, max_bucket: int):
 
 
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                            num_perm: int = 64, bands: int = 16,
+                            num_perm: int = 64, bands: int = 8,
                             shingle_k: int = 5, seed: int = 42,
                             max_bucket: int = 200, concurrency: int = 2):
     """documents → candidate near-dup pairs (id_a < id_b), deduplicated."""
@@ -135,21 +135,35 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 class JaccardVerifier:
     """map_batches actor over candidate pairs: exact Jaccard via a broadcast
-    id→text lookup (ray.put once). Scale path at ≥10^9 docs: replace the
-    broadcast with a bucketed self-join on id ranges."""
+    id→text lookup (ray.put once). Shingle sets are memoized per doc in the
+    actor (a doc typically appears in many candidate pairs). Scale path at
+    ≥10^9 docs: replace the broadcast with a bucketed self-join on id ranges."""
 
     def __init__(self, texts_ref, k: int = 5, threshold: float = 0.8):
         import ray
 
         self.texts = ray.get(texts_ref)
         self.k, self.threshold = k, threshold
+        self._shingles: dict = {}
+
+    def _sh(self, doc_id) -> set:
+        s = self._shingles.get(doc_id)
+        if s is None:
+            s = set(char_shingles(self.texts.get(doc_id, ""), self.k).tolist())
+            self._shingles[doc_id] = s
+        return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ia, ib = batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
-        sims = [
-            ngram_jaccard(self.texts.get(x, ""), self.texts.get(y, ""), self.k)
-            for x, y in zip(ia, ib)
-        ]
+        sims = []
+        for x, y in zip(ia, ib):
+            sa, sb = self._sh(x), self._sh(y)
+            if not sa and not sb:
+                sims.append(1.0)
+            elif not sa or not sb:
+                sims.append(0.0)
+            else:
+                sims.append(len(sa & sb) / len(sa | sb))
         batch = batch.append_column(
             "jaccard", pa.array([round(s, 4) for s in sims], pa.float64())
         )
@@ -173,7 +187,7 @@ def cluster_pairs(pairs_rows, id_col_a: str = "id_a", id_col_b: str = "id_b"):
 
 
 def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",
-                  threshold: float = 0.8, num_perm: int = 64, bands: int = 16,
+                  threshold: float = 0.8, num_perm: int = 64, bands: int = 8,
                   shingle_k: int = 5, concurrency: int = 2):
     """Full MinHash near-dedup: → Dataset (id, cluster_id, is_keeper).
 

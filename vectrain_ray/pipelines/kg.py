@@ -50,8 +50,8 @@ def run_kg(
     out_dir: str | None = None,
     dim: int = 64,
     batch_size: int = 4096,
-    encoder_concurrency: int = 2,
-    linker_concurrency: int = 2,
+    encoder_concurrency: int = 4,
+    linker_concurrency: int = 4,
     write_outputs: bool = True,
 ) -> dict:
     """Run the full KG-construction pipeline.
@@ -60,6 +60,13 @@ def run_kg(
     Returns dict with Datasets: mentions, triples (linked), nodes, edges,
     mapping — plus output paths when written.
     """
+    # an actor pool that reserves every CPU starves the task-pool stages
+    # feeding it (ray_guide: "a pool that reserves every CPU … serializes");
+    # cap each pool so ≥2 CPUs stay free for reads/extraction/writes
+    total_cpus = int(ray.cluster_resources().get("CPU", 4))
+    encoder_concurrency = max(1, min(encoder_concurrency, total_cpus - 2))
+    linker_concurrency = max(1, min(linker_concurrency, total_cpus - 2))
+
     if isinstance(transcripts, str):
         ds = rd.read_parquet(transcripts, columns=["conv_id", "turn_idx", "text"])
     else:
@@ -79,8 +86,12 @@ def run_kg(
         extracted = extracted.materialize()  # test scale only
 
     # --- mention branch -> canonicalization ------------------------------
+    # dedup once, pin the (narrow, no-embedding) result: it feeds BOTH the
+    # canonicalization groupby and the encoder. (The partitioned runner
+    # (pipelines/resume.py) writes this to parquet instead — use that path
+    # when the mention table exceeds object-store memory.)
     mentions = extracted.map_batches(mentions_table, batch_format="pyarrow")
-    mentions = dedup_exact(mentions, ["mention_id"])
+    mentions = dedup_exact(mentions, ["mention_id"]).materialize()
 
     # mapping is small (one row per distinct surface form) and consumed by
     # three downstreams (broadcast index, nodes, optional write) → pin it.
@@ -112,6 +123,14 @@ def run_kg(
         batch_size=batch_size,
         concurrency=linker_concurrency,
     )
+    # linked feeds BOTH the triples output and edge aggregation → pin it
+    # (write+read-back when a sink dir exists, else object store).
+    if out_dir and write_outputs:
+        tr_path = os.path.join(out_dir, "triples")
+        linked.write_parquet(tr_path)
+        linked = rd.read_parquet(tr_path)
+    else:
+        linked = linked.materialize()
 
     # edges is consumed twice (edge table + degree computation) → pin the
     # (small, pre-aggregated) result instead of re-running the linker branch
@@ -133,8 +152,8 @@ def run_kg(
     }
 
     if out_dir and write_outputs:
-        paths = {}
-        for name in ("mentions", "triples", "edges", "nodes"):
+        paths = {"triples": os.path.join(out_dir, "triples")}
+        for name in ("mentions", "edges", "nodes"):
             p = os.path.join(out_dir, name)
             result[name].write_parquet(p)
             paths[name] = p

@@ -1,0 +1,227 @@
+"""Resumable, partitioned KG pipeline — the checkpoint/exact-resume path.
+
+Phases (each phase unit is idempotent + manifest-gated):
+
+  0. shard      transcripts → shards/part=K/ by crc_bucket(conv_id, P)
+                (conversation never splits; one-time layout shuffle)
+  1. extract    per shard: filter+extract → extracted/part=K/   [manifest]
+  2. canonical  global over extracted mentions (tiny after partial-agg):
+                mapping/ + link index                           [marker]
+  3. link       per shard: triples → linked triples/part=K/ +
+                edge partial aggregates edge_partials/part=K/   [manifest]
+  4. finalize   global: edge partials → edges/, mapping+degree → nodes/
+                                                                [marker]
+
+Killing the job anywhere and re-running converges to the same rows: shard
+outputs are overwritten whenever their manifest is missing/stale, manifests
+commit last (state/manifest.py), and every id is a stable hash. Per-shard
+manifests carry row counts + wall time = the per-partition lineage/metrics.
+
+At 100 TB: P = O(cluster size × few); phases 1/3 are embarrassingly parallel
+per shard (each shard itself a streaming Ray Data pipeline); phases 2/4 only
+touch pre-aggregated small tables.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .. import rules
+from ..functions.dedup_exact import dedup_exact
+from ..stages import canonicalize, materialize
+from ..stages.encode import HashingEncoder
+from ..stages.extract import (
+    extract_batch,
+    filter_nonempty_text,
+    mentions_table,
+    triples_table,
+)
+from ..stages.link import EntityLinker, build_link_index
+from ..state.manifest import (
+    PartitionManifest,
+    clear_partition_outputs,
+    partition_output_dir,
+)
+
+TABLES_P1 = ["extracted"]
+TABLES_P3 = ["triples", "mentions", "edge_partials"]
+
+
+def _shard(input_path: str, out_dir: str, num_parts: int) -> str:
+    shards = os.path.join(out_dir, "shards")
+    marker = os.path.join(shards, "_DONE")
+    if os.path.exists(marker):
+        return shards
+    ds = rd.read_parquet(input_path, columns=["conv_id", "turn_idx", "text"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        parts = [rules.crc_bucket(c, num_parts) for c in t["conv_id"].to_pylist()]
+        return t.append_column("part", pa.array(parts, pa.int32()))
+
+    ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        shards, partition_cols=["part"]
+    )
+    open(marker, "w").write("ok")
+    return shards
+
+
+def _shard_files(shards: str, part: int) -> list[str]:
+    return sorted(glob.glob(os.path.join(shards, f"part={part}", "*.parquet")))
+
+
+def run_kg_resumable(
+    input_path: str,
+    out_dir: str,
+    num_parts: int = 8,
+    dim: int = 64,
+    batch_size: int = 4096,
+    fail_after_phase1_parts: int | None = None,
+) -> dict:
+    """Run (or resume) the partitioned pipeline. ``fail_after_phase1_parts``
+    injects a crash after N phase-1 shards (kill-point testing only)."""
+    os.makedirs(out_dir, exist_ok=True)
+    man1 = PartitionManifest(os.path.join(out_dir, "p1_extract"))
+    man3 = PartitionManifest(os.path.join(out_dir, "p3_link"))
+    metrics: dict = {"skipped_p1": 0, "skipped_p3": 0}
+
+    shards = _shard(input_path, out_dir, num_parts)
+
+    # ---- phase 1: per-shard extraction ----------------------------------
+    done1 = 0
+    for part in range(num_parts):
+        files = _shard_files(shards, part)
+        if not files:
+            continue
+        if man1.is_done(part, files):
+            metrics["skipped_p1"] += 1
+            continue
+        t0 = time.time()
+        clear_partition_outputs(out_dir, TABLES_P1, part)
+        ext_dir = partition_output_dir(out_dir, "extracted", part)
+        ds = rd.read_parquet(files)
+        ext = ds.map_batches(
+            filter_nonempty_text, batch_format="pyarrow", batch_size=batch_size
+        ).map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
+        ext.write_parquet(ext_dir)
+        n = sum(1 for _ in ())  # row count from written files (cheap metadata)
+        import pyarrow.parquet as pq
+
+        n = sum(pq.read_metadata(f).num_rows
+                for f in glob.glob(os.path.join(ext_dir, "*.parquet")))
+        man1.commit(part, files, {"rows_out": n, "wall_sec": round(time.time() - t0, 3)})
+        done1 += 1
+        if fail_after_phase1_parts is not None and done1 >= fail_after_phase1_parts:
+            raise RuntimeError("injected kill after phase-1 shard "
+                               f"{part} (testing resume)")
+
+    # ---- phase 2: global canonicalization (small) -----------------------
+    mapping_dir = os.path.join(out_dir, "mapping")
+    mapping_marker = os.path.join(mapping_dir, "_DONE")
+    ext_all = sorted(glob.glob(os.path.join(out_dir, "extracted", "part=*", "*.parquet")))
+    if not os.path.exists(mapping_marker):
+        ds = rd.read_parquet(ext_all)
+        mentions = ds.map_batches(mentions_table, batch_format="pyarrow")
+        mentions = dedup_exact(mentions, ["mention_id"])
+        mapping = canonicalize.build_mapping(mentions)
+        if os.path.exists(mapping_dir):
+            import shutil
+
+            shutil.rmtree(mapping_dir)
+        mapping.write_parquet(mapping_dir)
+        open(mapping_marker, "w").write("ok")
+    mapping_df = rd.read_parquet(mapping_dir).to_pandas()
+    index_ref = ray.put(build_link_index(mapping_df, dim=dim))
+
+    # ---- phase 3: per-shard linking + mention encoding + edge partials --
+    for part in range(num_parts):
+        ext_files = sorted(
+            glob.glob(os.path.join(out_dir, "extracted", f"part={part}", "*.parquet"))
+        )
+        if not ext_files:
+            continue
+        if man3.is_done(part, ext_files):
+            metrics["skipped_p3"] += 1
+            continue
+        t0 = time.time()
+        clear_partition_outputs(out_dir, TABLES_P3, part)
+        ext = rd.read_parquet(ext_files)
+
+        mentions = dedup_exact(
+            ext.map_batches(mentions_table, batch_format="pyarrow"), ["mention_id"]
+        ).map_batches(
+            HashingEncoder,
+            fn_constructor_kwargs={"dim": dim},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=2,
+        )
+        mentions.write_parquet(partition_output_dir(out_dir, "mentions", part))
+
+        triples = dedup_exact(
+            ext.map_batches(triples_table, batch_format="pyarrow"), ["row_id"]
+        )
+        linked = triples.map_batches(
+            EntityLinker,
+            fn_constructor_kwargs={"index_ref": index_ref, "dim": dim},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=2,
+        )
+        tr_dir = partition_output_dir(out_dir, "triples", part)
+        linked.write_parquet(tr_dir)
+
+        # per-shard edge partials: combiner + bucketed per-shard merge → tiny rows
+        ep = (
+            rd.read_parquet(sorted(glob.glob(os.path.join(tr_dir, "*.parquet"))))
+            .map_batches(materialize.partial_edges, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(materialize._finalize_edges_bucket, batch_format="pandas")
+        )
+        ep.write_parquet(partition_output_dir(out_dir, "edge_partials", part))
+
+        import pyarrow.parquet as pq
+
+        n_tr = sum(pq.read_metadata(f).num_rows
+                   for f in glob.glob(os.path.join(tr_dir, "*.parquet")))
+        man3.commit(part, ext_files,
+                    {"triples_out": n_tr, "wall_sec": round(time.time() - t0, 3)})
+
+    # ---- phase 4: global finalize (small pre-aggregated inputs) ---------
+    final_marker = os.path.join(out_dir, "_FINAL_DONE")
+    ep_all = sorted(glob.glob(os.path.join(out_dir, "edge_partials", "part=*", "*.parquet")))
+    import shutil
+
+    for tbl in ("edges", "nodes"):
+        p = os.path.join(out_dir, tbl)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    if os.path.exists(final_marker):
+        os.remove(final_marker)
+
+    ep = rd.read_parquet(ep_all).map_batches(
+        materialize.rebucket_edges, batch_format="pyarrow"
+    )
+    edges = ep.groupby("bucket").map_groups(
+        materialize._finalize_edges_bucket, batch_format="pandas"
+    ).materialize()
+    edges.map_batches(materialize.prov_to_struct, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "edges")
+    )
+    degree_partials = edges.map_batches(
+        materialize.partial_degrees, batch_format="pyarrow"
+    )
+    mapping = rd.read_parquet(mapping_dir)
+    materialize.nodes_with_degree(mapping, degree_partials).write_parquet(
+        os.path.join(out_dir, "nodes")
+    )
+    open(final_marker, "w").write("ok")
+
+    metrics["p1_parts"] = man1.completed_parts()
+    metrics["p3_parts"] = man3.completed_parts()
+    return metrics

@@ -8,25 +8,28 @@ of near-duplicate clusters" with explicit skew handling:
      to at most one row per (surface_norm, surface_form) via a vectorized
      pyarrow ``group_by`` BEFORE the all-to-all exchange. A Zipf-hot surface
      form therefore contributes ≤ #batches rows to the shuffle instead of
-     #mentions rows — this is the combiner that defuses hot-key skew (the
-     salted-key two-phase aggregate of SURVEY.md §7 step 6).
-  2. ``groupby("surface_norm")`` over the partials → per-norm stats
-     (canonical surface = most frequent original casing, alias set, count).
-  3. ``groupby("merge_key")`` → equivalence clusters (corp-suffix rule),
-     entity_id = stable hash of the merge key (idempotent across runs —
-     answers reference TODO qdrant/store.go:45).
+     #mentions rows — the combiner that defuses hot-key skew.
+  2. **Bucketed final aggregation**: rows shuffle on
+     ``crc(surface_norm) % num_buckets`` (coarse, uniform — a hot norm is
+     already collapsed to partials) and each bucket aggregates VECTORIZED in
+     pandas (one Python call per bucket, not per key).
+  3. Cluster assignment by ``merge_key`` (corp-suffix equivalence), again
+     bucketed; entity_id = stable hash of the merge key (idempotent across
+     runs — answers reference TODO qdrant/store.go:45).
   4. Optional **union-find** merge of extra near-duplicate candidate pairs
      (e.g. embedding-cosine pairs from functions.dedup) — pairs are provably
-     few, so the union-find runs driver-side over cluster representatives
-     only (state/unionfind.py), then re-maps entity ids via a broadcast dict.
+     few, so union-find runs driver-side over cluster representatives only
+     (state/unionfind.py); the re-map is a broadcast dict, no extra shuffle.
 
-Output: a mapping Dataset (surface_norm → entity_id, canonical_name) small
-enough to broadcast with ``ray.put`` for the linking stage; at ≥10^8 entities
-shard the dict by ``crc_bucket(norm, K)`` and give each linker actor its
-shard (documented partitioning assumption).
+Output: a mapping Dataset (surface_norm → entity_id, canonical_name,
+n_mentions, aliases) small enough to broadcast with ``ray.put`` for the
+linking stage; at ≥10^8 entities shard the dict by crc_bucket(norm, K) with
+one linker pool per shard (documented partitioning assumption).
 """
 
 from __future__ import annotations
+
+import zlib
 
 import pandas as pd
 import pyarrow as pa
@@ -35,12 +38,14 @@ import pyarrow.compute as pc
 from .. import rules
 from ..state.unionfind import UnionFind
 
+NUM_BUCKETS = 64
+
 
 def add_surface_norm(batch: pa.Table, col: str = "surface_form",
                      out: str = "surface_norm") -> pa.Table:
-    """Vectorized mirror of rules.normalize_surface (RE2 kernels)."""
+    """Vectorized mirror of rules.normalize_surface (RE2 kernels).
+    \\p{L}\\p{N}_ mirrors Python's Unicode \\w (RE2's \\w is ASCII-only)."""
     x = pc.utf8_lower(pc.fill_null(batch[col], ""))
-    # \p{L}\p{N}_ mirrors Python's Unicode \w (RE2's \w is ASCII-only)
     x = pc.replace_substring_regex(x, r"[^\p{L}\p{N}_\s]", "")
     x = pc.replace_substring_regex(x, r"\s+", " ")
     x = pc.utf8_trim_whitespace(x)
@@ -49,49 +54,64 @@ def add_surface_norm(batch: pa.Table, col: str = "surface_form",
 
 def partial_surface_counts(batch: pa.Table) -> pa.Table:
     """Combiner: batch of mentions → ≤1 row per (surface_norm, surface_form)
-    with a partial count. Runs fully in Arrow C++."""
+    with a partial count + shuffle bucket. Runs fully in Arrow C++ except
+    the tiny per-distinct-norm bucket hash."""
     batch = add_surface_norm(batch)
     g = batch.select(["surface_norm", "surface_form"]).group_by(
         ["surface_norm", "surface_form"]
     )
     out = g.aggregate([("surface_form", "count")])
-    return out.rename_columns(["surface_norm", "surface_form", "cnt"])
+    out = out.rename_columns(["surface_norm", "surface_form", "cnt"])
+    buckets = [zlib.crc32(s.encode()) % NUM_BUCKETS
+               for s in out["surface_norm"].to_pylist()]
+    return out.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
-def merge_norm_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Final aggregate for one surface_norm: canonical surface = highest
-    total count (ties → lexicographic, deterministic)."""
-    totals = g.groupby("surface_form", sort=True)["cnt"].sum().sort_values(
-        ascending=False, kind="stable"
+def _merge_norm_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One bucket of partial counts → one row per surface_norm, vectorized:
+    canonical surface = highest total count (ties → lexicographic)."""
+    tot = (
+        g.groupby(["surface_norm", "surface_form"], sort=True)["cnt"]
+        .sum()
+        .reset_index()
     )
-    norm = g["surface_norm"].iloc[0]
-    return pd.DataFrame(
+    tot = tot.sort_values(["surface_norm", "cnt", "surface_form"],
+                          ascending=[True, False, True], kind="stable")
+    canon = tot.drop_duplicates("surface_norm", keep="first").set_index("surface_norm")
+    n_mentions = tot.groupby("surface_norm")["cnt"].sum()
+    aliases = tot.sort_values(["surface_norm", "surface_form"]).groupby(
+        "surface_norm")["surface_form"].agg(list)
+    out = pd.DataFrame(
         {
-            "surface_norm": [norm],
-            "canonical_surface": [totals.index[0]],
-            "n_mentions": [int(totals.sum())],
-            "aliases": [sorted(totals.index)],
-            "merge_key": [rules.canonical_merge_key(norm)],
+            "surface_norm": canon.index,
+            "canonical_surface": canon["surface_form"].values,
+            "n_mentions": n_mentions.reindex(canon.index).astype("int64").values,
+            "aliases": aliases.reindex(canon.index).values,
         }
     )
+    out["merge_key"] = out["surface_norm"].map(rules.canonical_merge_key)
+    out["bucket2"] = out["merge_key"].map(
+        lambda k: zlib.crc32(k.encode()) % NUM_BUCKETS
+    )
+    return out
 
 
-def cluster_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One merge_key cluster → mapping rows (one per member norm).
-
-    entity_id is a pure function of merge_key → byte-identical across runs
-    and partitionings."""
-    key = g["merge_key"].iloc[0]
-    eid = rules.stable_id("ent", key)
-    heaviest = g.sort_values(["n_mentions", "surface_norm"],
-                             ascending=[False, True], kind="stable").iloc[0]
+def _cluster_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One bucket of norm rows → mapping rows (one per member norm), cluster
+    winner chosen vectorized: heaviest norm per merge_key (ties → lexicographic).
+    entity_id is a pure function of merge_key → identical across runs and
+    partitionings."""
+    g = g.sort_values(["merge_key", "n_mentions", "surface_norm"],
+                      ascending=[True, False, True], kind="stable")
+    win = g.drop_duplicates("merge_key", keep="first").set_index("merge_key")
+    eids = {k: rules.stable_id("ent", k) for k in win.index}
     return pd.DataFrame(
         {
-            "surface_norm": g["surface_norm"],
-            "entity_id": eid,
-            "canonical_name": heaviest["canonical_surface"],
-            "n_mentions": g["n_mentions"],
-            "aliases": g["aliases"],
+            "surface_norm": g["surface_norm"].values,
+            "entity_id": g["merge_key"].map(eids).values,
+            "canonical_name": g["merge_key"].map(win["canonical_surface"]).values,
+            "n_mentions": g["n_mentions"].values,
+            "aliases": g["aliases"].values,
         }
     )
 
@@ -106,11 +126,11 @@ def build_mapping(mentions_ds, extra_pairs: list[tuple[str, str]] | None = None)
     partials = mentions_ds.map_batches(
         partial_surface_counts, batch_format="pyarrow", batch_size=8192
     )
-    norm_stats = partials.groupby("surface_norm").map_groups(
-        merge_norm_group, batch_format="pandas"
+    norm_stats = partials.groupby("bucket").map_groups(
+        _merge_norm_bucket, batch_format="pandas"
     )
-    mapping = norm_stats.groupby("merge_key").map_groups(
-        cluster_group, batch_format="pandas"
+    mapping = norm_stats.groupby("bucket2").map_groups(
+        _cluster_bucket, batch_format="pandas"
     )
     if extra_pairs:
         mapping = _apply_union_find(mapping, extra_pairs)
@@ -126,7 +146,6 @@ def _apply_union_find(mapping_ds, pairs: list[tuple[str, str]]):
     """
     import ray
 
-    # representative entity per norm for the norms that appear in pairs
     touched = {n for p in pairs for n in p}
     rep = (
         mapping_ds.map_batches(
@@ -142,7 +161,6 @@ def _apply_union_find(mapping_ds, pairs: list[tuple[str, str]]):
         ea, eb = norm2eid.get(a), norm2eid.get(b)
         if ea and eb:
             uf.union(ea, eb)
-    # winner of each merged set: deterministic = heaviest member, tie → min id
     weight = rep.groupby("entity_id")["n_mentions"].sum().to_dict()
     name = dict(zip(rep["entity_id"], rep["canonical_name"]))
     groups: dict[str, list[str]] = {}

@@ -5,34 +5,40 @@ internal/app/storages/qdrant/store.go:13-51 + the rebatcher
 pipeline.go:182-221) with idempotent Parquet tables:
 
   * edge identity is (src_id, pred, dst_id) — weights aggregate with the
-    partial+final pattern (combiner in map_batches → small groupby), so the
-    all-to-all exchange moves pre-collapsed rows, not one row per triple;
+    partial+final pattern (per-batch pandas combiner → hash-BUCKETED final
+    merge, vectorized within each bucket; never one Python call per edge);
   * provenance (conv_id, turn_idx) is carried as a capped, deterministic
-    sample (first PROV_CAP in (conv_id, turn_idx) order);
+    sample — prov strings are zero-padded ("conv|000012") so plain
+    lexicographic sort IS (conv_id, turn_idx) order, vectorized;
   * every id is a stable hash → re-running writes byte-identical tables
     (the reference's TODO qdrant/store.go:45).
 """
 
 from __future__ import annotations
 
+import zlib
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 PROV_CAP = 20
+NUM_BUCKETS = 64
 
 
 def partial_edges(batch: pa.Table) -> pa.Table:
     """Combiner: linked-triples batch → ≤1 row per (src_id, dst_id, pred)
-    with partial weight + provenance sample ("conv|turn" strings)."""
+    with partial weight + provenance sample + shuffle bucket."""
     df = batch.select(["subj_id", "obj_id", "pred", "conv_id", "turn_idx"]).to_pandas()
-    df["prov"] = df["conv_id"] + "|" + df["turn_idx"].astype(str)
+    df["prov"] = df["conv_id"] + "|" + df["turn_idx"].astype(int).astype(str).str.zfill(6)
     g = df.groupby(["subj_id", "obj_id", "pred"], sort=False)
     out = g.agg(
         weight=("prov", "size"),
         prov=("prov", lambda s: sorted(s)[:PROV_CAP]),
     ).reset_index()
     out = out.rename(columns={"subj_id": "src_id", "obj_id": "dst_id"})
+    key = out["src_id"] + "\x1f" + out["dst_id"] + "\x1f" + out["pred"]
+    out["bucket"] = key.map(lambda k: zlib.crc32(k.encode()) % NUM_BUCKETS)
     return pa.table(
         {
             "src_id": pa.array(out["src_id"], pa.string()),
@@ -40,46 +46,53 @@ def partial_edges(batch: pa.Table) -> pa.Table:
             "pred": pa.array(out["pred"], pa.string()),
             "weight": pa.array(out["weight"], pa.int64()),
             "prov": pa.array(out["prov"], pa.list_(pa.string())),
+            "bucket": pa.array(out["bucket"], pa.int32()),
         }
     )
 
 
-def _prov_sort_key(p: str):
-    conv, turn = p.rsplit("|", 1)
-    return (conv, int(turn))
-
-
-def finalize_edge_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Final aggregate for one (src_id, dst_id, pred): sum weights, merge +
-    cap provenance deterministically."""
-    prov: list[str] = []
-    for lst in g["prov"]:
-        prov.extend(lst)
-    prov = sorted(set(prov), key=_prov_sort_key)[:PROV_CAP]
-    return pd.DataFrame(
-        {
-            "src_id": [g["src_id"].iloc[0]],
-            "dst_id": [g["dst_id"].iloc[0]],
-            "pred": [g["pred"].iloc[0]],
-            "weight": [int(g["weight"].sum())],
-            "prov": [prov],
-        }
+def _finalize_edges_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One bucket of edge partials → final edges, vectorized: sum weights,
+    merge + cap provenance (explode → dedup → sort → head per key)."""
+    keys = ["src_id", "dst_id", "pred"]
+    w = g.groupby(keys, sort=True)["weight"].sum()
+    ex = g[keys + ["prov"]].explode("prov")
+    ex = ex.drop_duplicates().sort_values(keys + ["prov"], kind="stable")
+    ex = ex.groupby(keys, sort=True)["prov"].agg(
+        lambda s: list(s)[:PROV_CAP]
     )
+    out = pd.DataFrame({"weight": w.astype("int64"), "prov": ex}).reset_index()
+    return out
+
+
+def rebucket_edges(batch: pa.Table) -> pa.Table:
+    """Re-attach the shuffle bucket to already-finalized edge partials (the
+    resumable runner's phase-4 global merge over per-shard partials)."""
+    src = batch["src_id"].to_pylist()
+    dst = batch["dst_id"].to_pylist()
+    pred = batch["pred"].to_pylist()
+    buckets = [
+        zlib.crc32(f"{s}\x1f{d}\x1f{p}".encode()) % NUM_BUCKETS
+        for s, d, p in zip(src, dst, pred)
+    ]
+    if "bucket" in batch.schema.names:
+        batch = batch.drop_columns(["bucket"])
+    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
 def edges_from_linked(linked_ds):
-    """linked triples Dataset → edges Dataset (prov as "conv|turn" strings;
+    """linked triples Dataset → edges Dataset (prov as "conv|t" strings;
     promote to list<struct> at the final write projection)."""
     partials = linked_ds.map_batches(
         partial_edges, batch_format="pyarrow", batch_size=16384
     )
-    return partials.groupby(["src_id", "dst_id", "pred"]).map_groups(
-        finalize_edge_group, batch_format="pandas"
+    return partials.groupby("bucket").map_groups(
+        _finalize_edges_bucket, batch_format="pandas"
     )
 
 
 def prov_to_struct(batch: pa.Table) -> pa.Table:
-    """prov list<string "conv|turn"> → provenance list<struct<conv_id,turn_idx>>."""
+    """prov list<string "conv|t"> → provenance list<struct<conv_id,turn_idx>>."""
     prov = batch["prov"].to_pylist()
     structs = [
         [
@@ -99,7 +112,8 @@ def prov_to_struct(batch: pa.Table) -> pa.Table:
 def partial_degrees(batch: pa.Table) -> pa.Table:
     """Combiner for node degree: edges batch → (entity_id, partial degree)."""
     ids = pa.concat_arrays(
-        [batch["src_id"].combine_chunks(), batch["dst_id"].combine_chunks()]
+        [batch["src_id"].combine_chunks().cast(pa.string()),
+         batch["dst_id"].combine_chunks().cast(pa.string())]
     )
     t = pa.table({"entity_id": ids}).group_by("entity_id").aggregate(
         [("entity_id", "count")]
@@ -107,18 +121,7 @@ def partial_degrees(batch: pa.Table) -> pa.Table:
     return t.rename_columns(["entity_id", "degree"])
 
 
-def unpack_aliases(batch: pa.Table) -> pa.Table:
-    """aliases_packed string → aliases list<string> (post-join projection)."""
-    packed = batch["aliases_packed"].to_pylist()
-    lists = [(p.split("\x1f") if p else []) for p in packed]
-    batch = batch.drop_columns(["aliases_packed"])
-    return batch.append_column("aliases", pa.array(lists, pa.list_(pa.string())))
-
-
-_NODE_UNION_COLS = ["entity_id", "surface_norm", "canonical_name",
-                    "n_mentions", "aliases_packed", "degree"]
-
-
+# --- nodes: mapping ∪ degree-partials → bucketed merge ---------------------
 def _mapping_row_for_union(batch: pa.Table) -> pa.Table:
     """mapping rows → node-union schema (degree null)."""
     n = batch.num_rows
@@ -152,40 +155,51 @@ def _degree_row_for_union(batch: pa.Table) -> pa.Table:
     )
 
 
-def _merge_node_union_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One entity_id: mapping rows (canonical/alias info) + degree rows."""
+def _add_eid_bucket(batch: pa.Table) -> pa.Table:
+    buckets = [zlib.crc32(e.encode()) % NUM_BUCKETS
+               for e in batch["entity_id"].to_pylist()]
+    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+def _merge_nodes_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One bucket of (mapping ∪ degree) rows → final node rows, vectorized."""
+    deg = g.groupby("entity_id")["degree"].sum().fillna(0).astype("int64")
     m = g[g["canonical_name"].notna()]
-    deg = int(g["degree"].fillna(0).sum())
-    if m.empty:  # degree row for an entity absent from mapping (shouldn't happen)
+    if m.empty:
         return pd.DataFrame()
-    heaviest = m.sort_values(["n_mentions", "surface_norm"],
-                             ascending=[False, True], kind="stable").iloc[0]
-    aliases: set[str] = set()
-    for p in m["aliases_packed"]:
-        if p:
-            aliases.update(p.split("\x1f"))
+    nm = m.groupby("entity_id")["n_mentions"].sum().astype("int64")
+    heaviest = m.sort_values(["entity_id", "n_mentions", "surface_norm"],
+                             ascending=[True, False, True], kind="stable"
+                             ).drop_duplicates("entity_id").set_index("entity_id")
+    al = m[["entity_id", "aliases_packed"]].copy()
+    al["aliases_packed"] = al["aliases_packed"].str.split("\x1f")
+    al = al.explode("aliases_packed").dropna().drop_duplicates()
+    aliases = al.sort_values(["entity_id", "aliases_packed"]).groupby(
+        "entity_id")["aliases_packed"].agg(list)
+    idx = heaviest.index
     return pd.DataFrame(
         {
-            "entity_id": [g["entity_id"].iloc[0]],
-            "canonical_name": [heaviest["canonical_name"]],
-            "aliases": [sorted(aliases)],
-            "n_mentions": [int(m["n_mentions"].sum())],
-            "degree": [deg],
+            "entity_id": idx,
+            "canonical_name": heaviest["canonical_name"].values,
+            "aliases": aliases.reindex(idx).apply(
+                lambda x: x if isinstance(x, list) else []).values,
+            "n_mentions": nm.reindex(idx).values,
+            "degree": deg.reindex(idx).fillna(0).astype("int64").values,
         }
     )
 
 
 def nodes_with_degree(mapping_ds, degree_partials_ds):
-    """nodes table = mapping ∪ degree-partials → one groupby(entity_id).
+    """nodes table = mapping ∪ degree-partials → one bucketed groupby.
 
     Join-free: both inputs are pre-aggregated/narrow, the union is cheap, and
-    a single hash-partitioned groupby merges them — no pyarrow-join payload
-    type limits, robust to empty inputs, one all-to-all over small data.
-    """
+    a single hash-bucketed groupby merges them vectorized — no pyarrow-join
+    payload type limits, robust to empty inputs, one all-to-all over small
+    data."""
     left = mapping_ds.map_batches(_mapping_row_for_union, batch_format="pyarrow")
-    right = degree_partials_ds.map_batches(_degree_row_for_union, batch_format="pyarrow")
-    return left.union(right).groupby("entity_id").map_groups(
-        _merge_node_union_group, batch_format="pandas"
+    right = degree_partials_ds.map_batches(_degree_row_for_union,
+                                           batch_format="pyarrow")
+    unioned = left.union(right).map_batches(_add_eid_bucket, batch_format="pyarrow")
+    return unioned.groupby("bucket").map_groups(
+        _merge_nodes_bucket, batch_format="pandas"
     )
-
-
