@@ -24,7 +24,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "20000"))
+# big enough that per-stage compute dominates fixed session/planning overhead
+# (~1.6M turns); generated once and cached under /tmp
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "100000"))
 BENCH_SEED = 1234
 
 
@@ -84,7 +86,7 @@ def run_bench() -> dict:
     kg_sec = time.time() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)
 
-    secondary = [
+    secondary = [] if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else [
         ("groupby_agg", Q.q_groupby_agg),
         ("hash_join", Q.q_hash_join),
         ("window_tumbling", Q.q_window_tumbling),
@@ -122,7 +124,8 @@ def run_scaling() -> dict:
     _bench_transcripts_path()  # generate once, outside both timed runs
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,

@@ -1,0 +1,149 @@
+"""Typed pipeline configuration — the reference's config system recast
+(D5, internal/config/config.go:49-126: YAML → typed per-component sub-configs
+with validation before anything runs; D2's validate-then-connect lifecycle,
+pipeline.go:45-67,105-120).
+
+A spec is a plain dataclass tree, loadable from YAML/JSON, validated at
+construction time (fail fast, before any Ray work is scheduled — the
+reference's nil-component + validator-tag checks). ``run_from_spec``
+builds and executes the DAG; the reference's dead RetryPolicy
+(config.go:43-46, parsed-but-unused) is actually wired here via Ray Data's
+task/actor retry knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SourceSpec:
+    kind: str = "parquet"  # registry key (sources.readers.READERS)
+    path: str = ""
+
+    def validate(self) -> None:
+        from .sources.readers import READERS
+
+        if self.kind not in READERS:
+            raise ValueError(f"source.kind must be one of {sorted(READERS)}, "
+                             f"got {self.kind!r}")
+        if not self.path:
+            raise ValueError("source.path is required")
+
+
+@dataclass
+class EncoderSpec:
+    dim: int = 64
+    batch_size: int = 4096
+    concurrency: int = 4
+    max_task_retries: int = 2  # the reference's RetryPolicy, actually wired
+
+    def validate(self) -> None:
+        if self.dim <= 0:
+            raise ValueError("encoder.dim must be > 0")
+        if self.batch_size <= 0:
+            raise ValueError("encoder.batch_size must be > 0")
+        if self.concurrency <= 0:
+            raise ValueError("encoder.concurrency must be > 0")
+
+
+@dataclass
+class LinkerSpec:
+    concurrency: int = 4
+    fuzzy_threshold: float = 0.85
+
+    def validate(self) -> None:
+        if not (0.0 <= self.fuzzy_threshold <= 1.0):
+            raise ValueError("linker.fuzzy_threshold must be in [0, 1]")
+
+
+@dataclass
+class SinkSpec:
+    out_dir: str = ""
+    num_parts: int = 8  # resumable-runner shards
+
+    def validate(self) -> None:
+        if not self.out_dir:
+            raise ValueError("sink.out_dir is required")
+        if self.num_parts <= 0:
+            raise ValueError("sink.num_parts must be > 0")
+
+
+@dataclass
+class PipelineSpec:
+    source: SourceSpec = field(default_factory=SourceSpec)
+    encoder: EncoderSpec = field(default_factory=EncoderSpec)
+    linker: LinkerSpec = field(default_factory=LinkerSpec)
+    sink: SinkSpec = field(default_factory=SinkSpec)
+    resumable: bool = True
+
+    def validate(self) -> "PipelineSpec":
+        self.source.validate()
+        self.encoder.validate()
+        self.linker.validate()
+        self.sink.validate()
+        return self
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineSpec":
+        def build(klass, sub):
+            known = {f.name for f in dataclasses.fields(klass)}
+            unknown = set(sub) - known
+            if unknown:
+                raise ValueError(
+                    f"unknown {klass.__name__} keys: {sorted(unknown)}"
+                )
+            return klass(**sub)
+
+        spec = cls(
+            source=build(SourceSpec, d.get("source", {})),
+            encoder=build(EncoderSpec, d.get("encoder", {})),
+            linker=build(LinkerSpec, d.get("linker", {})),
+            sink=build(SinkSpec, d.get("sink", {})),
+            resumable=bool(d.get("resumable", True)),
+        )
+        return spec.validate()
+
+    @classmethod
+    def load(cls, path: str) -> "PipelineSpec":
+        """YAML (via the stdlib-only subset: JSON is valid YAML; a real YAML
+        parser is used when available) or JSON file → validated spec."""
+        text = open(path).read()
+        try:
+            import yaml  # type: ignore
+
+            d = yaml.safe_load(text)
+        except ImportError:
+            d = json.loads(text)
+        return cls.from_dict(d or {})
+
+
+def run_from_spec(spec: PipelineSpec) -> dict:
+    """Validate → build → execute (the reference's Run lifecycle,
+    pipeline.go:45-67). Ray must already be initialised by the caller."""
+    spec.validate()
+    os.makedirs(spec.sink.out_dir, exist_ok=True)
+    if spec.resumable:
+        from .pipelines.resume import run_kg_resumable
+
+        return run_kg_resumable(
+            spec.source.path,
+            spec.sink.out_dir,
+            num_parts=spec.sink.num_parts,
+            dim=spec.encoder.dim,
+            batch_size=spec.encoder.batch_size,
+        )
+    from .pipelines.kg import run_kg
+
+    res = run_kg(
+        spec.source.path,
+        out_dir=spec.sink.out_dir,
+        dim=spec.encoder.dim,
+        batch_size=spec.encoder.batch_size,
+        encoder_concurrency=spec.encoder.concurrency,
+        linker_concurrency=spec.linker.concurrency,
+    )
+    return {"paths": res.get("paths", {})}
