@@ -17,8 +17,15 @@ from typing import Any
 SF_SMALL = "/root/testdata/sf0.001"
 
 
+def _tune() -> None:
+    from vectrain_ray.tuning import apply_data_context
+
+    apply_data_context()
+
+
 def entry() -> Any:
     """Flagship: derived transcripts → full KG pipeline → linked triples."""
+    _tune()
     from vectrain_ray.pipelines.kg import run_kg
     from vectrain_ray.pipelines.tpch_kg import tpch_transcripts
 
@@ -27,6 +34,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    _tune()
     from vectrain_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)

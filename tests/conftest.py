@@ -17,11 +17,9 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from vectrain_ray.tuning import apply_data_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    apply_data_context()
     yield
     ray.shutdown()
 

@@ -42,12 +42,12 @@ def main():
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR", ignore_reinit_error=True)
-    from ray.data import DataContext
+    import sys as _sys
 
-    DataContext.get_current().enable_progress_bars = False
-    import logging
+    _sys.path.insert(0, ".")
+    from vectrain_ray.tuning import apply_data_context
 
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    apply_data_context()
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])

@@ -4,26 +4,26 @@ re-run: fresh uuid per written point, qdrant/store.go:32 + TODO store.go:45).
 
 Pattern: (1) per-batch combiner — pandas ``drop_duplicates`` inside each
 batch removes same-block duplicates at C speed; (2) hash-BUCKET the key into
-``num_buckets`` coarse partitions and dedup each bucket with one more
-vectorized ``drop_duplicates``. Never ``groupby(unique_key).map_groups`` —
-that is one Python call per ROW and was measured 100×+ slower.
+``num_buckets`` coarse partitions (vectorized ``pd.util.hash_pandas_object``
+— deterministic across processes, no per-row Python) and dedup each bucket
+with one more vectorized ``drop_duplicates``. Never
+``groupby(unique_key).map_groups`` — that is one Python call per ROW and was
+measured 100×+ slower.
 """
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
-import pyarrow as pa
 
 _BUCKET = "__dedup_bucket"
 
 
-def _key_bucket(df: pd.DataFrame, key_cols: list[str], n: int) -> pd.Series:
-    s = df[key_cols[0]].astype(str)
+def key_buckets(df: pd.DataFrame, key_cols: list[str], n: int) -> pd.Series:
+    """Vectorized, process-stable bucket assignment for arbitrary key cols."""
+    h = pd.util.hash_pandas_object(df[key_cols[0]], index=False)
     for c in key_cols[1:]:
-        s = s + "\x1f" + df[c].astype(str)
-    return s.map(lambda x: zlib.crc32(x.encode()) % n)
+        h = h ^ pd.util.hash_pandas_object(df[c], index=False)
+    return (h % n).astype("int32")
 
 
 def dedup_exact(ds, key_cols, sort_within: list[str] | None = None,
@@ -37,7 +37,7 @@ def dedup_exact(ds, key_cols, sort_within: list[str] | None = None,
         df = df.sort_values(order, kind="stable").drop_duplicates(
             subset=key_cols, keep="first"
         )
-        df[_BUCKET] = _key_bucket(df, key_cols, num_buckets)
+        df[_BUCKET] = key_buckets(df, key_cols, num_buckets)
         return df
 
     def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
@@ -46,5 +46,26 @@ def dedup_exact(ds, key_cols, sort_within: list[str] | None = None,
         )
         return g.drop(columns=[_BUCKET])
 
-    pre_ds = ds.map_batches(pre, batch_format="pandas")
+    pre_ds = ds.map_batches(pre, batch_format="pandas", batch_size=65536)
     return pre_ds.groupby(_BUCKET).map_groups(bucket_dedup, batch_format="pandas")
+
+
+def dedup_exact_local(ds, key_cols, sort_within: list[str] | None = None):
+    """Zero-shuffle exact dedup under a PARTITIONING ASSUMPTION: all rows
+    sharing a key live in the same input block (e.g. transcripts written
+    one-file-per-conv-hash-bucket, the Kafka-partition analogue — a
+    conversation and its duplicate re-sends never span files, and blocks at
+    this file size are never split). ``batch_size=None`` makes each batch a
+    whole block, so a vectorized ``drop_duplicates`` per block is exact.
+
+    Use ``dedup_exact`` when the layout is unknown — this variant silently
+    under-dedups if the assumption is violated."""
+    key_cols = list(key_cols)
+    order = list(dict.fromkeys((sort_within or []) + key_cols))
+
+    def block_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order, kind="stable").drop_duplicates(
+            subset=key_cols, keep="first"
+        )
+
+    return ds.map_batches(block_dedup, batch_format="pandas", batch_size=None)

@@ -10,20 +10,24 @@ becomes write_parquet block coalescing.
 Dataflow (each → is a streaming stage; ONE scan of the 100 TB input):
 
   read_parquet(conv_id, turn_idx, text)           # column-pruned read
+    → dedup duplicate re-sent turns              # zero-shuffle when input
+                                                  #   is conv-partitioned
     → filter_nonempty_text                        # admission rule (S3/T2)
     → extract_batch                               # mentions+triples, 1 pass
-    → write extracted/ (narrow intermediate)      # branch point + resume unit
-  extracted → mentions → dedup(mention_id) → HashingEncoder pool → mentions/
-  extracted(dedup'd mentions) → canonicalize (partial-agg + groupby) → mapping
-  mapping → ray.put broadcast index
-  extracted → triples → dedup(row_id) → EntityLinker pool → triples/
-  linked → partial_edges combiner → groupby → edges/
-  mapping ∪ degree-partials → groupby(entity_id) → nodes/
+    → pin extracted (object store)                # branch point
+  extracted → mentions → canonicalize (combiner + ONE merge-key-bucketed
+      groupby) → mapping → ray.put broadcast index
+  extracted → mentions → HashingEncoder pool → mentions/
+  extracted → triples → EntityLinker pool → triples/
+  linked → partial_edges combiner → bucketed groupby → edges/
+  mapping ∪ degree-partials → merge (single-task when small) → nodes/
 
-Scale notes: the only all-to-all exchanges are over (a) the extracted
-intermediate (≪ input), (b) pre-combined partial aggregates. The embedding
-column exists only on the mentions output path and never enters a shuffle
-(SURVEY.md §7 hard parts — wide rows).
+Scale notes: the only all-to-all exchanges are (a) the optional input dedup
+(skipped when files are conv-hash-partitioned — the Kafka-partition
+analogue), (b) pre-combined partial aggregates. The embedding column exists
+only on the mentions output path and never enters a shuffle (SURVEY.md §7
+hard parts — wide rows). The checkpoint/exact-resume variant of this DAG is
+pipelines/resume.py.
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ import os
 import ray
 import ray.data as rd
 
-from ..functions.dedup_exact import dedup_exact
+from ..functions.dedup_exact import dedup_exact, dedup_exact_local
 from ..stages import canonicalize, materialize
 from ..stages.encode import HashingEncoder
 from ..stages.extract import (
@@ -53,6 +57,7 @@ def run_kg(
     encoder_concurrency: int = 4,
     linker_concurrency: int = 4,
     write_outputs: bool = True,
+    assume_conv_partitioned: bool = False,
 ) -> dict:
     """Run the full KG-construction pipeline.
 
@@ -72,26 +77,30 @@ def run_kg(
     else:
         ds = transcripts.select_columns(["conv_id", "turn_idx", "text"])
 
+    # Idempotency: dedup duplicate re-sent turns at the INPUT (narrow rows).
+    # Extraction of distinct turns provably yields distinct mention/triple
+    # row_ids (spans/occ are unique within a turn), so the wider extracted
+    # table needs NO dedup of its own. With ``assume_conv_partitioned``
+    # (input files conv-hash-partitioned, the Kafka-partition analogue) the
+    # dedup is per-block and costs NO shuffle at all.
+    if assume_conv_partitioned:
+        ds = dedup_exact_local(ds, ["conv_id", "turn_idx"], sort_within=["text"])
+    else:
+        ds = dedup_exact(ds, ["conv_id", "turn_idx"], sort_within=["text"])
+
     extracted = ds.map_batches(
         filter_nonempty_text, batch_format="pyarrow", batch_size=batch_size
     ).map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
 
-    # Branch point: persist the narrow intermediate once (resume unit) —
-    # avoids re-scanning the full input for the mention and triple branches.
-    if out_dir and write_outputs:
-        ext_path = os.path.join(out_dir, "extracted")
-        extracted.write_parquet(ext_path)
-        extracted = rd.read_parquet(ext_path)
-    else:
-        extracted = extracted.materialize()  # test scale only
+    # Branch point: pin the narrow intermediate once in the object store
+    # (spills to disk under memory pressure) — avoids re-scanning the full
+    # input for the mention and triple branches, and avoids a parquet
+    # write+read round-trip (the checkpointing variant that DOES write it is
+    # pipelines/resume.py).
+    extracted = extracted.materialize()
 
     # --- mention branch -> canonicalization ------------------------------
-    # dedup once, pin the (narrow, no-embedding) result: it feeds BOTH the
-    # canonicalization groupby and the encoder. (The partitioned runner
-    # (pipelines/resume.py) writes this to parquet instead — use that path
-    # when the mention table exceeds object-store memory.)
     mentions = extracted.map_batches(mentions_table, batch_format="pyarrow")
-    mentions = dedup_exact(mentions, ["mention_id"]).materialize()
 
     # mapping is small (one row per distinct surface form) and consumed by
     # three downstreams (broadcast index, nodes, optional write) → pin it.
@@ -115,7 +124,6 @@ def run_kg(
 
     # --- triple branch -> linking -> edges -------------------------------
     triples = extracted.map_batches(triples_table, batch_format="pyarrow")
-    triples = dedup_exact(triples, ["row_id"])
     linked = triples.map_batches(
         EntityLinker,
         fn_constructor_kwargs={"index_ref": index_ref, "dim": dim},
@@ -123,14 +131,11 @@ def run_kg(
         batch_size=batch_size,
         concurrency=linker_concurrency,
     )
-    # linked feeds BOTH the triples output and edge aggregation → pin it
-    # (write+read-back when a sink dir exists, else object store).
+    # linked feeds BOTH the triples output and edge aggregation → pin it,
+    # then write the output from memory (one write, no read-back).
+    linked = linked.materialize()
     if out_dir and write_outputs:
-        tr_path = os.path.join(out_dir, "triples")
-        linked.write_parquet(tr_path)
-        linked = rd.read_parquet(tr_path)
-    else:
-        linked = linked.materialize()
+        linked.write_parquet(os.path.join(out_dir, "triples"))
 
     # edges is consumed twice (edge table + degree computation) → pin the
     # (small, pre-aggregated) result instead of re-running the linker branch
@@ -141,7 +146,11 @@ def run_kg(
     degree_partials = edges.map_batches(
         materialize.partial_degrees, batch_format="pyarrow"
     )
-    nodes = materialize.nodes_with_degree(mapping, degree_partials)
+    # both inputs are pre-aggregated; when they are SMALL the 64-bucket
+    # sort-shuffle costs more than the merge itself → single-task fast path
+    small = edges.count() + mapping.count() < 500_000
+    nodes = materialize.nodes_with_degree(mapping, degree_partials,
+                                          single_task=small)
 
     result: dict = {
         "mentions": mentions_emb,

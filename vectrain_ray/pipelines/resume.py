@@ -105,6 +105,8 @@ def run_kg_resumable(
         clear_partition_outputs(out_dir, TABLES_P1, part)
         ext_dir = partition_output_dir(out_dir, "extracted", part)
         ds = rd.read_parquet(files)
+        # shards contain whole conversations → per-shard input dedup is exact
+        ds = dedup_exact(ds, ["conv_id", "turn_idx"], sort_within=["text"])
         ext = ds.map_batches(
             filter_nonempty_text, batch_format="pyarrow", batch_size=batch_size
         ).map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
@@ -127,7 +129,6 @@ def run_kg_resumable(
     if not os.path.exists(mapping_marker):
         ds = rd.read_parquet(ext_all)
         mentions = ds.map_batches(mentions_table, batch_format="pyarrow")
-        mentions = dedup_exact(mentions, ["mention_id"])
         mapping = canonicalize.build_mapping(mentions)
         if os.path.exists(mapping_dir):
             import shutil
@@ -152,8 +153,8 @@ def run_kg_resumable(
         clear_partition_outputs(out_dir, TABLES_P3, part)
         ext = rd.read_parquet(ext_files)
 
-        mentions = dedup_exact(
-            ext.map_batches(mentions_table, batch_format="pyarrow"), ["mention_id"]
+        mentions = ext.map_batches(
+            mentions_table, batch_format="pyarrow"
         ).map_batches(
             HashingEncoder,
             fn_constructor_kwargs={"dim": dim},
@@ -163,9 +164,7 @@ def run_kg_resumable(
         )
         mentions.write_parquet(partition_output_dir(out_dir, "mentions", part))
 
-        triples = dedup_exact(
-            ext.map_batches(triples_table, batch_format="pyarrow"), ["row_id"]
-        )
+        triples = ext.map_batches(triples_table, batch_format="pyarrow")
         linked = triples.map_batches(
             EntityLinker,
             fn_constructor_kwargs={"index_ref": index_ref, "dim": dim},
@@ -205,7 +204,7 @@ def run_kg_resumable(
         os.remove(final_marker)
 
     ep = rd.read_parquet(ep_all).map_batches(
-        materialize.rebucket_edges, batch_format="pyarrow"
+        materialize.finalized_to_partial_rows, batch_format="pyarrow"
     )
     edges = ep.groupby("bucket").map_groups(
         materialize._finalize_edges_bucket, batch_format="pandas"

@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
+    from .tuning import apply_data_context
+
+    apply_data_context()
     try:
         metrics = run_from_spec(spec)
         print(json.dumps({"status": "ok", **{k: v for k, v in metrics.items()

@@ -29,8 +29,6 @@ one linker pool per shard (documented partitioning assumption).
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -54,24 +52,36 @@ def add_surface_norm(batch: pa.Table, col: str = "surface_form",
 
 def partial_surface_counts(batch: pa.Table) -> pa.Table:
     """Combiner: batch of mentions → ≤1 row per (surface_norm, surface_form)
-    with a partial count + shuffle bucket. Runs fully in Arrow C++ except
-    the tiny per-distinct-norm bucket hash."""
+    with a partial count + shuffle bucket. The bucket hashes the MERGE KEY,
+    so all norms of one entity cluster land in the same bucket and a SINGLE
+    groupby computes both per-norm stats and cluster assignment."""
     batch = add_surface_norm(batch)
     g = batch.select(["surface_norm", "surface_form"]).group_by(
         ["surface_norm", "surface_form"]
     )
     out = g.aggregate([("surface_form", "count")])
     out = out.rename_columns(["surface_norm", "surface_form", "cnt"])
-    buckets = [zlib.crc32(s.encode()) % NUM_BUCKETS
-               for s in out["surface_norm"].to_pylist()]
-    return out.append_column("bucket", pa.array(buckets, pa.int32()))
+    import pandas as pd
+
+    from ..functions.dedup_exact import key_buckets
+
+    df = pd.DataFrame(
+        {"merge_key": [rules.canonical_merge_key(s)
+                       for s in out["surface_norm"].to_pylist()]}
+    )
+    out = out.append_column("merge_key", pa.array(df["merge_key"], pa.string()))
+    buckets = key_buckets(df, ["merge_key"], NUM_BUCKETS)
+    return out.append_column("bucket", pa.array(buckets.values, pa.int32()))
 
 
-def _merge_norm_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """One bucket of partial counts → one row per surface_norm, vectorized:
-    canonical surface = highest total count (ties → lexicographic)."""
+def _canonicalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One merge-key-bucket of partial counts → mapping rows (one per member
+    norm), all vectorized: per-norm stats (canonical surface = highest total
+    count, ties → lexicographic), then cluster winner = heaviest norm per
+    merge_key. entity_id is a pure function of merge_key → identical across
+    runs and partitionings."""
     tot = (
-        g.groupby(["surface_norm", "surface_form"], sort=True)["cnt"]
+        g.groupby(["merge_key", "surface_norm", "surface_form"], sort=True)["cnt"]
         .sum()
         .reset_index()
     )
@@ -81,37 +91,26 @@ def _merge_norm_bucket(g: pd.DataFrame) -> pd.DataFrame:
     n_mentions = tot.groupby("surface_norm")["cnt"].sum()
     aliases = tot.sort_values(["surface_norm", "surface_form"]).groupby(
         "surface_norm")["surface_form"].agg(list)
-    out = pd.DataFrame(
+    norms = pd.DataFrame(
         {
             "surface_norm": canon.index,
+            "merge_key": canon["merge_key"].values,
             "canonical_surface": canon["surface_form"].values,
             "n_mentions": n_mentions.reindex(canon.index).astype("int64").values,
             "aliases": aliases.reindex(canon.index).values,
         }
     )
-    out["merge_key"] = out["surface_norm"].map(rules.canonical_merge_key)
-    out["bucket2"] = out["merge_key"].map(
-        lambda k: zlib.crc32(k.encode()) % NUM_BUCKETS
-    )
-    return out
-
-
-def _cluster_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """One bucket of norm rows → mapping rows (one per member norm), cluster
-    winner chosen vectorized: heaviest norm per merge_key (ties → lexicographic).
-    entity_id is a pure function of merge_key → identical across runs and
-    partitionings."""
-    g = g.sort_values(["merge_key", "n_mentions", "surface_norm"],
-                      ascending=[True, False, True], kind="stable")
-    win = g.drop_duplicates("merge_key", keep="first").set_index("merge_key")
+    norms = norms.sort_values(["merge_key", "n_mentions", "surface_norm"],
+                              ascending=[True, False, True], kind="stable")
+    win = norms.drop_duplicates("merge_key", keep="first").set_index("merge_key")
     eids = {k: rules.stable_id("ent", k) for k in win.index}
     return pd.DataFrame(
         {
-            "surface_norm": g["surface_norm"].values,
-            "entity_id": g["merge_key"].map(eids).values,
-            "canonical_name": g["merge_key"].map(win["canonical_surface"]).values,
-            "n_mentions": g["n_mentions"].values,
-            "aliases": g["aliases"].values,
+            "surface_norm": norms["surface_norm"].values,
+            "entity_id": norms["merge_key"].map(eids).values,
+            "canonical_name": norms["merge_key"].map(win["canonical_surface"]).values,
+            "n_mentions": norms["n_mentions"].values,
+            "aliases": norms["aliases"].values,
         }
     )
 
@@ -120,17 +119,17 @@ def build_mapping(mentions_ds, extra_pairs: list[tuple[str, str]] | None = None)
     """mentions Dataset → mapping Dataset
     (surface_norm, entity_id, canonical_name, n_mentions, aliases).
 
+    ONE all-to-all: per-batch combiner → groupby(merge-key bucket) →
+    vectorized per-bucket canonicalization.
+
     ``extra_pairs``: optional (surface_norm_a, surface_norm_b) near-duplicate
     candidates from a similarity pass; merged via driver-side union-find.
     """
     partials = mentions_ds.map_batches(
-        partial_surface_counts, batch_format="pyarrow", batch_size=8192
+        partial_surface_counts, batch_format="pyarrow", batch_size=65536
     )
-    norm_stats = partials.groupby("bucket").map_groups(
-        _merge_norm_bucket, batch_format="pandas"
-    )
-    mapping = norm_stats.groupby("bucket2").map_groups(
-        _cluster_bucket, batch_format="pandas"
+    mapping = partials.groupby("bucket").map_groups(
+        _canonicalize_bucket, batch_format="pandas"
     )
     if extra_pairs:
         mapping = _apply_union_find(mapping, extra_pairs)

@@ -16,8 +16,6 @@ pipeline.go:182-221) with idempotent Parquet tables:
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -27,64 +25,91 @@ NUM_BUCKETS = 64
 
 
 def partial_edges(batch: pa.Table) -> pa.Table:
-    """Combiner: linked-triples batch → ≤1 row per (src_id, dst_id, pred)
-    with partial weight + provenance sample + shuffle bucket."""
+    """Combiner: linked-triples batch → NARROW partial rows per
+    (src_id, dst_id, pred): one weight row (prov NULL, cnt = triple count)
+    plus ≤ PROV_CAP provenance rows (cnt 0) — no list columns through the
+    shuffle, no per-group Python in the combiner (all pandas C kernels)."""
+    keys = ["src_id", "dst_id", "pred"]
     df = batch.select(["subj_id", "obj_id", "pred", "conv_id", "turn_idx"]).to_pandas()
+    df = df.rename(columns={"subj_id": "src_id", "obj_id": "dst_id"})
     df["prov"] = df["conv_id"] + "|" + df["turn_idx"].astype(int).astype(str).str.zfill(6)
-    g = df.groupby(["subj_id", "obj_id", "pred"], sort=False)
-    out = g.agg(
-        weight=("prov", "size"),
-        prov=("prov", lambda s: sorted(s)[:PROV_CAP]),
-    ).reset_index()
-    out = out.rename(columns={"subj_id": "src_id", "obj_id": "dst_id"})
-    key = out["src_id"] + "\x1f" + out["dst_id"] + "\x1f" + out["pred"]
-    out["bucket"] = key.map(lambda k: zlib.crc32(k.encode()) % NUM_BUCKETS)
+    grp = df.groupby(keys + ["prov"], sort=False).size().reset_index(name="cnt")
+    w = grp.groupby(keys, sort=False)["cnt"].sum().reset_index()
+    w["prov"] = None
+    pr = (
+        grp.sort_values(keys + ["prov"], kind="stable")
+        .groupby(keys, sort=False)
+        .head(PROV_CAP)[keys + ["prov"]]
+        .copy()
+    )
+    pr["cnt"] = 0
+    out = pd.concat([w[keys + ["prov", "cnt"]], pr[keys + ["prov", "cnt"]]],
+                    ignore_index=True)
+    from ..functions.dedup_exact import key_buckets
+
+    out["bucket"] = key_buckets(out, keys, NUM_BUCKETS)
     return pa.table(
         {
             "src_id": pa.array(out["src_id"], pa.string()),
             "dst_id": pa.array(out["dst_id"], pa.string()),
             "pred": pa.array(out["pred"], pa.string()),
-            "weight": pa.array(out["weight"], pa.int64()),
-            "prov": pa.array(out["prov"], pa.list_(pa.string())),
+            "prov": pa.array(out["prov"], pa.string()),
+            "cnt": pa.array(out["cnt"], pa.int64()),
             "bucket": pa.array(out["bucket"], pa.int32()),
         }
     )
 
 
 def _finalize_edges_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """One bucket of edge partials → final edges, vectorized: sum weights,
-    merge + cap provenance (explode → dedup → sort → head per key)."""
+    """One bucket of edge partials → final edges, vectorized: weight = sum of
+    weight rows; provenance = first PROV_CAP distinct prov strings in sorted
+    (= turn) order (min-k is mergeable, so batch-level caps stay correct)."""
     keys = ["src_id", "dst_id", "pred"]
-    w = g.groupby(keys, sort=True)["weight"].sum()
-    ex = g[keys + ["prov"]].explode("prov")
-    ex = ex.drop_duplicates().sort_values(keys + ["prov"], kind="stable")
-    ex = ex.groupby(keys, sort=True)["prov"].agg(
-        lambda s: list(s)[:PROV_CAP]
+    w = g.groupby(keys, sort=True)["cnt"].sum()
+    pv = g.dropna(subset=["prov"])[keys + ["prov"]].drop_duplicates()
+    pv = pv.sort_values(keys + ["prov"], kind="stable").groupby(
+        keys, sort=True
+    ).head(PROV_CAP)
+    prov_lists = pv.groupby(keys, sort=True)["prov"].agg(list)
+    out = pd.DataFrame({"weight": w.astype("int64")})
+    out["prov"] = prov_lists.reindex(out.index)
+    out["prov"] = out["prov"].apply(lambda x: x if isinstance(x, list) else [])
+    return out.reset_index()
+
+
+def finalized_to_partial_rows(batch: pa.Table) -> pa.Table:
+    """Finalized per-shard edges (src, dst, pred, weight, prov list) → the
+    narrow partial-row shape partial_edges emits, so the resumable runner's
+    phase-4 global merge reuses _finalize_edges_bucket unchanged (min-k prov
+    merge stays correct across shards)."""
+    keys = ["src_id", "dst_id", "pred"]
+    df = batch.select(keys + ["weight", "prov"]).to_pandas()
+    w = df[keys + ["weight"]].rename(columns={"weight": "cnt"}).copy()
+    w["prov"] = None
+    pr = df[keys + ["prov"]].explode("prov").dropna(subset=["prov"]).copy()
+    pr["cnt"] = 0
+    out = pd.concat([w[keys + ["prov", "cnt"]], pr[keys + ["prov", "cnt"]]],
+                    ignore_index=True)
+    from ..functions.dedup_exact import key_buckets
+
+    out["bucket"] = key_buckets(out, keys, NUM_BUCKETS)
+    return pa.table(
+        {
+            "src_id": pa.array(out["src_id"], pa.string()),
+            "dst_id": pa.array(out["dst_id"], pa.string()),
+            "pred": pa.array(out["pred"], pa.string()),
+            "prov": pa.array(out["prov"], pa.string()),
+            "cnt": pa.array(out["cnt"], pa.int64()),
+            "bucket": pa.array(out["bucket"], pa.int32()),
+        }
     )
-    out = pd.DataFrame({"weight": w.astype("int64"), "prov": ex}).reset_index()
-    return out
-
-
-def rebucket_edges(batch: pa.Table) -> pa.Table:
-    """Re-attach the shuffle bucket to already-finalized edge partials (the
-    resumable runner's phase-4 global merge over per-shard partials)."""
-    src = batch["src_id"].to_pylist()
-    dst = batch["dst_id"].to_pylist()
-    pred = batch["pred"].to_pylist()
-    buckets = [
-        zlib.crc32(f"{s}\x1f{d}\x1f{p}".encode()) % NUM_BUCKETS
-        for s, d, p in zip(src, dst, pred)
-    ]
-    if "bucket" in batch.schema.names:
-        batch = batch.drop_columns(["bucket"])
-    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
 def edges_from_linked(linked_ds):
     """linked triples Dataset → edges Dataset (prov as "conv|t" strings;
     promote to list<struct> at the final write projection)."""
     partials = linked_ds.map_batches(
-        partial_edges, batch_format="pyarrow", batch_size=16384
+        partial_edges, batch_format="pyarrow", batch_size=131072
     )
     return partials.groupby("bucket").map_groups(
         _finalize_edges_bucket, batch_format="pandas"
@@ -156,9 +181,13 @@ def _degree_row_for_union(batch: pa.Table) -> pa.Table:
 
 
 def _add_eid_bucket(batch: pa.Table) -> pa.Table:
-    buckets = [zlib.crc32(e.encode()) % NUM_BUCKETS
-               for e in batch["entity_id"].to_pylist()]
-    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+    import pandas as pd
+
+    from ..functions.dedup_exact import key_buckets
+
+    df = pd.DataFrame({"entity_id": batch["entity_id"].to_pandas()})
+    buckets = key_buckets(df, ["entity_id"], NUM_BUCKETS)
+    return batch.append_column("bucket", pa.array(buckets.values, pa.int32()))
 
 
 def _merge_nodes_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -189,17 +218,24 @@ def _merge_nodes_bucket(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def nodes_with_degree(mapping_ds, degree_partials_ds):
+def nodes_with_degree(mapping_ds, degree_partials_ds, single_task: bool = False):
     """nodes table = mapping ∪ degree-partials → one bucketed groupby.
 
     Join-free: both inputs are pre-aggregated/narrow, the union is cheap, and
     a single hash-bucketed groupby merges them vectorized — no pyarrow-join
     payload type limits, robust to empty inputs, one all-to-all over small
-    data."""
+    data. ``single_task=True`` (caller knows both sides are small) replaces
+    the bucketed shuffle with repartition(1) + one vectorized merge task —
+    the sort-shuffle's fixed cost dwarfs the merge at that size."""
     left = mapping_ds.map_batches(_mapping_row_for_union, batch_format="pyarrow")
     right = degree_partials_ds.map_batches(_degree_row_for_union,
                                            batch_format="pyarrow")
-    unioned = left.union(right).map_batches(_add_eid_bucket, batch_format="pyarrow")
+    unioned = left.union(right)
+    if single_task:
+        return unioned.repartition(1).map_batches(
+            _merge_nodes_bucket, batch_format="pandas", batch_size=None
+        )
+    unioned = unioned.map_batches(_add_eid_bucket, batch_format="pyarrow")
     return unioned.groupby("bucket").map_groups(
         _merge_nodes_bucket, batch_format="pandas"
     )
