@@ -1,0 +1,114 @@
+"""Property-based tests (SURVEY.md §5): extraction/linking invariants under
+arbitrary batching, partitioning and row order. Hypothesis generates random
+transcripts; Ray work stays tiny (pure-function properties are checked
+without Ray where possible)."""
+
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from vectrain_ray import oracle, rules
+from vectrain_ray.stages.extract import extract_batch
+from vectrain_ray.schema import TRANSCRIPT_SCHEMA
+
+_WORDS = ["alice", "works", "at", "Acme", "Corp", "Bob", "visited", "Paris",
+          "the", "and", "located", "in", "Globex", "Ltd", "tell", "me",
+          "Helios", "Systems", "founded", "NATION_3", "C0000042", ""]
+
+
+@st.composite
+def transcripts(draw):
+    n_convs = draw(st.integers(1, 4))
+    rows = []
+    for c in range(n_convs):
+        n_turns = draw(st.integers(1, 6))
+        for t in range(n_turns):
+            n_words = draw(st.integers(0, 12))
+            words = [draw(st.sampled_from(_WORDS)) for _ in range(n_words)]
+            rows.append(
+                {"conv_id": f"c{c}", "turn_idx": t, "role": "user",
+                 "text": " ".join(words), "tool": None, "ts": 0}
+            )
+    return rows
+
+
+def _table(rows):
+    return pa.table(
+        {
+            "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+            "role": pa.array([r["role"] for r in rows], pa.string()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "tool": pa.array([r["tool"] for r in rows], pa.string()),
+            "ts": pa.array([r["ts"] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+
+
+def _extract_rows(tbl):
+    out = extract_batch(tbl)
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["kind"], r["row_id"], r["subj"],
+         r["pred"], r["obj"], r["surface_form"])
+        for r in out.to_pylist()
+    )
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(transcripts(), st.randoms())
+def test_extraction_invariant_under_row_order(rows, rnd):
+    base = _extract_rows(_table(rows))
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    assert _extract_rows(_table(shuffled)) == base
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(transcripts(), st.integers(1, 5))
+def test_extraction_invariant_under_batch_split(rows, n_splits):
+    base = _extract_rows(_table(rows))
+    parts = [rows[i::n_splits] for i in range(n_splits)]
+    merged = []
+    for p in parts:
+        if p:
+            merged.extend(_extract_rows(_table(p)))
+    assert sorted(merged) == base
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=200))
+def test_extraction_total_on_arbitrary_text(text):
+    """Never crashes; triples only reference extracted mentions."""
+    mentions, triples = oracle.extract_turn(text)
+    surfs = {m[0] for m in mentions}
+    for s, p, o in triples:
+        assert s in surfs and o in surfs
+        assert p in {rules.normalize_pred(x) for x in rules.PREDICATES}
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=80))
+def test_normalize_surface_idempotent(s):
+    once = rules.normalize_surface(s)
+    assert rules.normalize_surface(once) == once
+    key = rules.canonical_merge_key(once)
+    assert rules.canonical_merge_key(key) == key
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=8))
+def test_encoder_deterministic_property(texts):
+    from vectrain_ray.stages.encode import encode_texts
+
+    import numpy as np
+
+    a = encode_texts(texts, dim=16)
+    b = encode_texts(texts, dim=16)
+    np.testing.assert_array_equal(a, b)
+    # permutation-equivariant
+    rev = encode_texts(texts[::-1], dim=16)
+    np.testing.assert_array_equal(rev[::-1], a)
