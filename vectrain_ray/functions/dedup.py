@@ -85,19 +85,35 @@ class MinHashBander:
         )
 
 
-def _pairs_from_bucket_factory(id_col: str, max_bucket: int):
+def _pairs_from_coarse_bucket_factory(id_col: str, max_bucket: int):
+    """One COARSE bucket (many (band_id, band_hash) groups) → pairs, fully
+    vectorized: per-group id lists capped, then a self-merge on the band key
+    emits all within-group pairs with id_a < id_b (no per-group Python)."""
+
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        truncated = len(ids) > max_bucket
-        ids = ids[:max_bucket]
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "truncated": [truncated] * len(out_a)}
+        keys = ["band_id", "band_hash"]
+        g = g.drop_duplicates(subset=keys + [id_col]).sort_values(
+            keys + [id_col], kind="stable"
         )
+        # cap each band group deterministically; surface the truncation
+        g["__rank"] = g.groupby(keys).cumcount()
+        truncated_groups = set(
+            map(tuple, g.loc[g["__rank"] >= max_bucket, keys].drop_duplicates()
+                .itertuples(index=False))
+        )
+        g = g[g["__rank"] < max_bucket]
+        m = g[keys + [id_col]].merge(g[keys + [id_col]], on=keys,
+                                     suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = pd.DataFrame(
+            {"id_a": m[f"{id_col}_a"].values, "id_b": m[f"{id_col}_b"].values}
+        )
+        if truncated_groups:
+            trunc = m[keys].apply(tuple, axis=1).isin(truncated_groups).values
+        else:
+            trunc = False
+        out["truncated"] = trunc
+        return out.drop_duplicates(subset=["id_a", "id_b"])
 
     return pairs_in_bucket
 
@@ -105,8 +121,11 @@ def _pairs_from_bucket_factory(id_col: str, max_bucket: int):
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             num_perm: int = 64, bands: int = 8,
                             shingle_k: int = 5, seed: int = 42,
-                            max_bucket: int = 200, concurrency: int = 2):
-    """documents → candidate near-dup pairs (id_a < id_b), deduplicated."""
+                            max_bucket: int = 200, concurrency: int = 2,
+                            num_coarse: int = 32):
+    """documents → candidate near-dup pairs (id_a < id_b), deduplicated.
+    Shuffles on a coarse hash of (band_id, band_hash) — one Python call per
+    coarse bucket, vectorized self-merge pair generation inside."""
     banded = ds.map_batches(
         MinHashBander,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
@@ -116,8 +135,18 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         batch_size=1024,
         concurrency=concurrency,
     )
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs_from_bucket_factory(id_col, max_bucket), batch_format="pandas"
+
+    def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup_exact import key_buckets
+
+        df["coarse"] = key_buckets(df, ["band_id", "band_hash"], num_coarse)
+        return df
+
+    pairs = banded.map_batches(add_coarse, batch_format="pandas").groupby(
+        "coarse"
+    ).map_groups(
+        _pairs_from_coarse_bucket_factory(id_col, max_bucket),
+        batch_format="pandas",
     )
     # same pair can surface from several bands → exact-dedup on (id_a, id_b)
     return dedup_exact(pairs, ["id_a", "id_b"])
