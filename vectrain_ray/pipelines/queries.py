@@ -253,6 +253,93 @@ def q_window_tumbling(sf_dir: str):
     )
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (events ↔ latest order at-or-before ts per user): the
+    small side (orders, deduped to one row per (cust, date) deterministically)
+    is broadcast sorted once; each batch runs a vectorized pd.merge_asof.
+    Scale path at two large sides: bucket both by key and merge_asof per
+    bucket inside map_groups (ray_guide 'As-of / range join')."""
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    ).to_pandas()
+    # deterministic tie-break: keep max o_orderkey per (cust, date)
+    orders = (
+        orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        .drop_duplicates(["o_custkey", "o_orderdate"], keep="last")
+        .sort_values("o_orderdate", kind="stable")
+        .reset_index(drop=True)
+    )
+    orders_ref = ray.put(orders)
+
+    class AsOf:
+        def __init__(self):
+            self.orders = ray.get(orders_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values("ts", kind="stable")
+            m = pd.merge_asof(
+                df, self.orders, left_on="ts", right_on="o_orderdate",
+                left_by="user_id", right_by="o_custkey",
+            )
+            m = m.dropna(subset=["o_orderkey"])  # inner semantics
+            return pd.DataFrame(
+                {
+                    "event_id": m["event_id"].astype("int64"),
+                    "user_id": m["user_id"].astype("int64"),
+                    "o_orderkey": m["o_orderkey"].astype("int64"),
+                }
+            )
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return ds.map_batches(AsOf, batch_format="pandas", concurrency=2)
+
+
+def q_anti_join(sf_dir: str):
+    """Anti join via broadcast key set (ray_guide 'Semi / anti join'):
+    customers with no events — the distinct key set is tiny, shipped once."""
+    user_ids = set(
+        pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id"])["user_id"].to_pylist()
+    )
+    keys_ref = ray.put(sorted(user_ids))
+
+    class AntiJoin:
+        def __init__(self):
+            self.keys = set(ray.get(keys_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [k not in self.keys for k in t["c_custkey"].to_pylist()]
+            )
+            return t.filter(mask)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(AntiJoin, batch_format="pyarrow", concurrency=2)
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-5 events per event_type by (value desc, event_id): per-batch
+    partial top-5 combiner, tiny final per-group merge."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "value", "event_id"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("event_type", sort=False).head(5)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="stable").head(5)
+        return g[["event_type", "event_id", "value"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 # --- dedup family ---------------------------------------------------------
 def _add_md5(t: pa.Table, col="text", out="text_hash") -> pa.Table:
     fps = [hashlib.md5((x or "").encode()).hexdigest() for x in t[col].to_pylist()]
@@ -442,6 +529,9 @@ QUERIES = {
     "hash_join": q_hash_join,
     "sessionize": q_sessionize,
     "window_tumbling": q_window_tumbling,
+    "asof_join": q_asof_join,
+    "anti_join": q_anti_join,
+    "topk_per_group": q_topk_per_group,
     "dedup_exact": q_dedup_exact,
     "fingerprint": q_fingerprint,
     "dedup_minhash": q_dedup_minhash,
@@ -506,6 +596,21 @@ ORACLE_SQL = {
         "SELECT user_id, date_trunc('hour', ts) AS hour_bucket, "
         "count(*) AS n_events, round(sum(value),2) AS sum_value "
         "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+    ),
+    "asof_join": (
+        "WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey "
+        "FROM orders GROUP BY o_custkey, o_orderdate) "
+        "SELECT e.event_id, e.user_id, o.o_orderkey FROM events e "
+        "ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    ),
+    "anti_join": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)"
+    ),
+    "topk_per_group": (
+        "SELECT event_type, event_id, value FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id) <= 5"
     ),
     "dedup_exact": (
         "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
