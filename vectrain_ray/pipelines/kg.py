@@ -131,11 +131,29 @@ def run_kg(
         batch_size=batch_size,
         concurrency=linker_concurrency,
     )
-    # linked feeds BOTH the triples output and edge aggregation → pin it,
-    # then write the output from memory (one write, no read-back).
-    linked = linked.materialize()
+    # The encode branch and the link branch are independent consumers of the
+    # pinned `extracted` — overlap exactly these TWO executions (two driver
+    # threads, two streaming executors; a third concurrent execution was
+    # measured to thrash at low CPU counts). `linked` feeds BOTH the triples
+    # output and edge aggregation → pin it; outputs write from memory.
+    linked_holder: dict = {}
+
+    def _link_branch():
+        lk = linked.materialize()
+        if out_dir and write_outputs:
+            lk.write_parquet(os.path.join(out_dir, "triples"))
+        linked_holder["ds"] = lk
+
+    import threading
+
     if out_dir and write_outputs:
-        linked.write_parquet(os.path.join(out_dir, "triples"))
+        t_link = threading.Thread(target=_link_branch)
+        t_link.start()
+        mentions_emb.write_parquet(os.path.join(out_dir, "mentions"))
+        t_link.join()
+    else:
+        _link_branch()
+    linked = linked_holder["ds"]
 
     # edges is consumed twice (edge table + degree computation) → pin the
     # (small, pre-aggregated) result instead of re-running the linker branch
@@ -161,8 +179,10 @@ def run_kg(
     }
 
     if out_dir and write_outputs:
-        paths = {"triples": os.path.join(out_dir, "triples")}
-        for name in ("mentions", "edges", "nodes"):
+        paths = {"triples": os.path.join(out_dir, "triples"),
+                 "mentions": os.path.join(out_dir, "mentions")}
+        result["mentions"] = rd.read_parquet(paths["mentions"])
+        for name in ("edges", "nodes"):
             p = os.path.join(out_dir, name)
             result[name].write_parquet(p)
             paths[name] = p
