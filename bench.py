@@ -4,14 +4,16 @@
                                # (default /root/testdata/sf0.1) with
                                # ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
                                # → prints ONE JSON line
-    python bench.py --scaling  # same job at 8 and 32 CPUs in fresh
-                               # subprocesses → throughput at both +
-                               # scaling efficiency (BASELINE.md criterion)
+    python bench.py --scaling  # same job at N and 4N CPUs (default 2/8) in
+                               # fresh subprocesses → throughput at both +
+                               # scaling efficiency (BASELINE.md criterion);
+                               # extraction (the BASELINE.json metric) is
+                               # primary, full pipeline secondary
 
 Headline: the flagship KG-construction pipeline (extract → encode → link →
 canonicalize → materialize) over a seed-fixed synthetic transcript corpus
-(~300k turns, cached under /tmp) — reported as wall sec + turns/sec.
-Secondary: representative operator pipelines over the sf testdata.
+(default 1.6M turns; scaling uses 6.3M), cached under /tmp — reported as
+wall sec + turns/sec. Secondary: operator pipelines over the sf testdata.
 """
 
 from __future__ import annotations
@@ -145,13 +147,12 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Two fresh processes on identical input: efficiency =
-    throughput(32) / (4 × throughput(8)).
+    """Fresh processes per level on identical input: efficiency =
+    throughput(4N) / (4 × throughput(N)).
 
     Uses a larger corpus than the plain bench (default 400k convs ≈ 6.3M
-    turns) so per-stage compute dominates the ~10 s fixed session/phase
-    cost at BOTH levels — scaling numbers then reflect the engine, not the
-    harness."""
+    turns) so per-stage compute dominates the fixed session/phase cost at
+    BOTH levels — scaling numbers then reflect the engine, not the harness."""
     convs = int(os.environ.get("GRAFT_BENCH_SCALING_CONVS", "400000"))
 
     def run(ncpu: int, mode: str) -> dict:
