@@ -48,6 +48,8 @@ class EncoderSpec:
             raise ValueError("encoder.batch_size must be > 0")
         if self.concurrency <= 0:
             raise ValueError("encoder.concurrency must be > 0")
+        if self.max_task_retries < 0:
+            raise ValueError("encoder.max_task_retries must be >= 0")
 
 
 @dataclass
@@ -135,6 +137,7 @@ def run_from_spec(spec: PipelineSpec) -> dict:
             num_parts=spec.sink.num_parts,
             dim=spec.encoder.dim,
             batch_size=spec.encoder.batch_size,
+            max_task_retries=spec.encoder.max_task_retries,
         )
     from .pipelines.kg import run_kg
 
@@ -145,5 +148,6 @@ def run_from_spec(spec: PipelineSpec) -> dict:
         batch_size=spec.encoder.batch_size,
         encoder_concurrency=spec.encoder.concurrency,
         linker_concurrency=spec.linker.concurrency,
+        max_task_retries=spec.encoder.max_task_retries,
     )
     return {"paths": res.get("paths", {})}

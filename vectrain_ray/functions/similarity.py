@@ -14,11 +14,15 @@ import numpy as np
 import pyarrow as pa
 
 
-def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+def _to_matrix(col: pa.ChunkedArray | pa.Array, dim: int = 0) -> np.ndarray:
     """list<float> column → (n, d) float64 matrix (float64 so cosine matches
-    DuckDB's double-precision list_cosine_similarity)."""
+    DuckDB's double-precision list_cosine_similarity). Empty columns (possible
+    after an ivf_cell filter or on empty input) yield shape (0, dim) — a bare
+    np.asarray([]) would be 1-D and crash axis-1 reductions downstream."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, dim), dtype=np.float64)
     lists = col.to_pylist()
     return np.asarray(lists, dtype=np.float64)
 
@@ -41,14 +45,17 @@ class BatchTopK:
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _to_matrix(batch[self.vec_col])
+        mat = _to_matrix(batch[self.vec_col], dim=len(self.q))
         sims = _cosine_to_query(mat, self.q)
         k = min(self.k, len(sims))
         idx = np.argpartition(-sims, k - 1)[:k] if k else np.array([], int)
         ids = np.asarray(batch[self.id_col].to_pylist())[idx]
+        # explicit id type: an empty pa.array([]) would infer null and break
+        # schema unification at the final sort
+        id_type = batch.schema.field(self.id_col).type
         return pa.table(
             {
-                self.id_col: pa.array(ids.tolist()),
+                self.id_col: pa.array(ids.tolist(), type=id_type),
                 "score": pa.array(np.round(sims[idx], 4), pa.float64()),
             }
         )
@@ -89,7 +96,7 @@ class LSHBucketer:
         self.vec_col, self.out = vec_col, out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _to_matrix(batch[self.vec_col])
+        mat = _to_matrix(batch[self.vec_col], dim=self.planes.shape[1])
         bits = (mat @ self.planes.T) > 0
         buckets = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
         return batch.append_column(self.out, pa.array(buckets, pa.int64()))
@@ -168,7 +175,7 @@ class IVFAssigner:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _to_matrix(batch[self.vec_col])
+        mat = _to_matrix(batch[self.vec_col], dim=self.cents.shape[1])
         d = ((mat[:, None, :] - self.cents[None, :, :]) ** 2).sum(-1)
         return batch.append_column(
             "ivf_cell", pa.array(d.argmin(1).astype(np.int64), pa.int64())

@@ -58,6 +58,7 @@ def run_kg(
     linker_concurrency: int = 4,
     write_outputs: bool = True,
     assume_conv_partitioned: bool = False,
+    max_task_retries: int = 2,
 ) -> dict:
     """Run the full KG-construction pipeline.
 
@@ -114,12 +115,16 @@ def run_kg(
         )
     index_ref = ray.put(build_link_index(mapping_df, dim=dim))
 
+    # the reference's RetryPolicy (config.go:43-46) is parsed but never
+    # read; here it is actually enforced by Ray actor task retries
+    retry_args = {"max_task_retries": max_task_retries} if max_task_retries else {}
     mentions_emb = mentions.map_batches(
         HashingEncoder,
         fn_constructor_kwargs={"dim": dim},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=encoder_concurrency,
+        **retry_args,
     )
 
     # --- triple branch -> linking -> edges -------------------------------
@@ -130,6 +135,10 @@ def run_kg(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=linker_concurrency,
+        # NOTE: no retry_args here — the linker's constructor takes an
+        # object-store ref (index_ref); max_task_retries forces
+        # max_restarts>0 on the pool, which deadlocks actor (re)starts whose
+        # ctor args live in the object store (ray#53727, reproduced here).
     )
     # The encode branch and the link branch are independent consumers of the
     # pinned `extracted` — overlap exactly these TWO executions (two driver
@@ -139,10 +148,16 @@ def run_kg(
     linked_holder: dict = {}
 
     def _link_branch():
-        lk = linked.materialize()
-        if out_dir and write_outputs:
-            lk.write_parquet(os.path.join(out_dir, "triples"))
-        linked_holder["ds"] = lk
+        # exceptions must not die in the thread: capture and re-raise on join
+        # (otherwise the main thread fails later with KeyError on 'ds',
+        # masking the real error)
+        try:
+            lk = linked.materialize()
+            if out_dir and write_outputs:
+                lk.write_parquet(os.path.join(out_dir, "triples"))
+            linked_holder["ds"] = lk
+        except BaseException as exc:  # noqa: BLE001
+            linked_holder["exc"] = exc
 
     import threading
 
@@ -153,6 +168,8 @@ def run_kg(
         t_link.join()
     else:
         _link_branch()
+    if "exc" in linked_holder:
+        raise linked_holder["exc"]
     linked = linked_holder["ds"]
 
     # edges is consumed twice (edge table + degree computation) → pin the

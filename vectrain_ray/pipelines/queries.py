@@ -159,11 +159,15 @@ def q_broadcast_join(sf_dir: str):
 
     class AddRegion:
         def __init__(self):
-            self.lut = ray.get(lookup_ref)
+            # broadcast lookup as Arrow key/value arrays: index_in + take is
+            # the vectorized dictionary-join idiom (no per-row dict.get)
+            lut = ray.get(lookup_ref)
+            self.keys = pa.array(list(lut.keys()))
+            self.vals = pa.array(list(lut.values()), pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.lut.get(nk) for nk in t["c_nationkey"].to_pylist()]
-            t = t.append_column("r_name", pa.array(names, pa.string()))
+            idx = pc.index_in(t["c_nationkey"], value_set=self.keys)
+            t = t.append_column("r_name", pc.take(self.vals, idx))
             g = t.group_by("r_name").aggregate(
                 [("c_acctbal", "sum"), ("c_custkey", "count")]
             )
@@ -203,27 +207,41 @@ def q_hash_join(sf_dir: str):
 
 
 def q_sessionize(sf_dir: str):
-    """Per-user session counting (30-min gap rule): partition by user_id,
-    order by ts within the group — the streaming-window recast
-    (ray_guide 'Streaming-shaped workloads')."""
+    """Per-user session counting (30-min gap rule): hash-BUCKET user_id into
+    64 coarse partitions, then ONE vectorized pass per bucket — sort by
+    (user_id, ts), a session break is a user change or a >30-min gap
+    (groupby(user_id).map_groups would be one Python call per user KEY —
+    the measured-100×-slower trap; see functions/dedup_exact.py)."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values(kind="stable")
-        brk = (ts.diff() > pd.Timedelta(minutes=30)) | ts.diff().isna()
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(brk.sum())]}
-        )
+    from ..functions.dedup_exact import key_buckets
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = key_buckets(df, ["user_id"], 64)
+        return df
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        brk = (new_user | gap).astype("int64")
+        out = (
+            pd.DataFrame({"user_id": g["user_id"].values, "brk": brk.values})
+            .groupby("user_id", sort=False)["brk"].sum().reset_index()
+        )
+        return out.rename(columns={"brk": "n_sessions"})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
+    )
 
 
 def q_window_tumbling(sf_dir: str):
     """Tumbling 1-hour event-time window via floor_temporal + partial+final
     aggregate (no watermark needed: bounded input)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
-
-    from ..functions.dedup_exact import key_buckets
 
     def partial(t: pa.Table) -> pa.Table:
         hb = pc.floor_temporal(t["ts"], unit="hour")
@@ -232,9 +250,13 @@ def q_window_tumbling(sf_dir: str):
             [("value", "sum"), ("value", "count")]
         )
         g = g.rename_columns(["user_id", "hour_bucket", "p_sum", "p_cnt"])
-        df = g.to_pandas()
-        df["bucket"] = key_buckets(df, ["user_id", "hour_bucket"], 32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # shuffle bucket computed IN Arrow (no pandas round-trip): Fibonacci
+        # hash of user_id xor the hour's epoch value, & 31 (process-stable)
+        uid = pc.cast(g["user_id"], pa.uint64())
+        tsi = pc.cast(pc.cast(g["hour_bucket"], pa.int64()), pa.uint64())
+        h = pc.bit_wise_xor(pc.multiply(uid, pa.scalar(0x9E3779B1, pa.uint64())), tsi)
+        bucket = pc.cast(pc.bit_wise_and(h, pa.scalar(31, pa.uint64())), pa.int32())
+        return g.append_column("bucket", bucket)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["user_id", "hour_bucket"], sort=True).agg(
@@ -306,12 +328,11 @@ def q_anti_join(sf_dir: str):
 
     class AntiJoin:
         def __init__(self):
-            self.keys = set(ray.get(keys_ref))
+            self.keys = pa.array(ray.get(keys_ref))
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array(
-                [k not in self.keys for k in t["c_custkey"].to_pylist()]
-            )
+            # Arrow C++ set membership — no per-row Python
+            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys))
             return t.filter(mask)
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -494,16 +515,19 @@ def q_kg_edges(sf_dir: str):
 
     class NameEdges:
         def __init__(self):
-            self.names = ray.get(name_ref)
+            names = ray.get(name_ref)
+            self.keys = pa.array(list(names.keys()), pa.string())
+            self.vals = pa.array(list(names.values()), pa.string())
+
+        def _lookup(self, col) -> pa.Array:
+            return pc.take(self.vals, pc.index_in(col, value_set=self.keys))
 
         def __call__(self, t: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "src_name": pa.array(
-                        [self.names.get(x) for x in t["src_id"].to_pylist()]),
+                    "src_name": self._lookup(t["src_id"]),
                     "pred": t["pred"],
-                    "dst_name": pa.array(
-                        [self.names.get(x) for x in t["dst_id"].to_pylist()]),
+                    "dst_name": self._lookup(t["dst_id"]),
                     "weight": t["weight"],
                 }
             )
@@ -549,6 +573,26 @@ QUERIES = {
 }
 
 _EN_LIST_SQL = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+_LANG_LIST_SQL = {
+    lg: ", ".join(f"'{w}'" for w in sorted(textops.STOPWORDS[lg]))
+    for lg in sorted(textops.STOPWORDS)
+}
+# Stopword-vote language ID in SQL: one list_filter count per language, then
+# a CASE chain ordered fr→es→en→de so ties resolve to the lexicographically
+# LAST tied language — exactly Python's max(langs, key=(score, lang)).
+_LANG_GUESS_SQL = (
+    "WITH c AS (SELECT doc_id, "
+    + ", ".join(
+        "len(list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))),"
+        f" '\\s+'), x -> list_contains([{_LANG_LIST_SQL[lg]}], x))) AS c_{lg}"
+        for lg in sorted(textops.STOPWORDS)
+    )
+    + " FROM documents) SELECT doc_id, CASE "
+    "WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und' "
+    "WHEN c_fr >= c_es AND c_fr >= c_en AND c_fr >= c_de THEN 'fr' "
+    "WHEN c_es >= c_en AND c_es >= c_de THEN 'es' "
+    "WHEN c_en >= c_de THEN 'en' ELSE 'de' END AS lang_guess FROM c"
+)
 
 ORACLE_SQL = {
     "filter_project": (
@@ -634,6 +678,7 @@ ORACLE_SQL = {
         f"x -> list_contains([{_EN_LIST_SQL}], x))) END AS n_stopwords "
         "FROM documents"
     ),
+    "lang_guess": _LANG_GUESS_SQL,
     "ann_topk": (
         "WITH q AS (SELECT embedding AS e FROM embeddings "
         "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) "

@@ -82,6 +82,7 @@ def run_kg_resumable(
     dim: int = 64,
     batch_size: int = 4096,
     fail_after_phase1_parts: int | None = None,
+    max_task_retries: int = 2,
 ) -> dict:
     """Run (or resume) the partitioned pipeline. ``fail_after_phase1_parts``
     injects a crash after N phase-1 shards (kill-point testing only)."""
@@ -111,7 +112,6 @@ def run_kg_resumable(
             filter_nonempty_text, batch_format="pyarrow", batch_size=batch_size
         ).map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
         ext.write_parquet(ext_dir)
-        n = sum(1 for _ in ())  # row count from written files (cheap metadata)
         import pyarrow.parquet as pq
 
         n = sum(pq.read_metadata(f).num_rows
@@ -123,19 +123,36 @@ def run_kg_resumable(
                                f"{part} (testing resume)")
 
     # ---- phase 2: global canonicalization (small) -----------------------
+    # The marker stores the fingerprint of the extracted/part=* inputs: if
+    # phase 1 re-extracted anything (changed shard inputs), the mapping is
+    # rebuilt AND every p3 manifest is invalidated — a stale entity mapping
+    # makes every shard's linking output stale even when that shard's own
+    # extracted files did not change.
+    from ..state.manifest import _fingerprint
+
     mapping_dir = os.path.join(out_dir, "mapping")
     mapping_marker = os.path.join(mapping_dir, "_DONE")
     ext_all = sorted(glob.glob(os.path.join(out_dir, "extracted", "part=*", "*.parquet")))
-    if not os.path.exists(mapping_marker):
+    ext_fp = _fingerprint(ext_all)
+    marker_ok = False
+    if os.path.exists(mapping_marker):
+        try:
+            marker_ok = open(mapping_marker).read() == ext_fp
+        except OSError:
+            marker_ok = False
+    if not marker_ok:
         ds = rd.read_parquet(ext_all)
         mentions = ds.map_batches(mentions_table, batch_format="pyarrow")
         mapping = canonicalize.build_mapping(mentions)
-        if os.path.exists(mapping_dir):
-            import shutil
+        import shutil
 
+        if os.path.exists(mapping_dir):
             shutil.rmtree(mapping_dir)
         mapping.write_parquet(mapping_dir)
-        open(mapping_marker, "w").write("ok")
+        open(mapping_marker, "w").write(ext_fp)
+        if os.path.exists(man3.dir):
+            shutil.rmtree(man3.dir)
+        man3 = PartitionManifest(os.path.join(out_dir, "p3_link"))
     mapping_df = rd.read_parquet(mapping_dir).to_pandas()
     index_ref = ray.put(build_link_index(mapping_df, dim=dim))
 
@@ -161,6 +178,7 @@ def run_kg_resumable(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=2,
+            **({"max_task_retries": max_task_retries} if max_task_retries else {}),
         )
         mentions.write_parquet(partition_output_dir(out_dir, "mentions", part))
 
@@ -171,6 +189,9 @@ def run_kg_resumable(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=2,
+            # no max_task_retries: ctor arg is an object-store ref — actor
+            # pools with max_restarts>0 + object-store ctor args can deadlock
+            # restarts (ray#53727); see pipelines/kg.py
         )
         tr_dir = partition_output_dir(out_dir, "triples", part)
         linked.write_parquet(tr_dir)
