@@ -14,7 +14,7 @@ than silently dropped.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -23,32 +23,48 @@ import pyarrow as pa
 from ..state.unionfind import UnionFind
 from .dedup_exact import dedup_exact  # re-export  # noqa: F401
 
-_MERSENNE = (1 << 61) - 1
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)  # signature of the empty shingle set
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """crc32 hashes of the k-char shingles of lowercase text (unique)."""
+    """md5-lower-64 hashes of the k-char shingles of lowercase text (unique).
+    Hash = DuckDB's md5_number_lower so the whole minhash op is SQL-mirrorable
+    (see queries.ORACLE_SQL['dedup_minhash'])."""
     t = (text or "").lower()
+    if not t:
+        return np.array([], dtype=np.uint64)
     if len(t) < k:
-        return np.array([zlib.crc32(t.encode())], dtype=np.uint64) if t else \
-            np.array([], dtype=np.uint64)
-    hs = {zlib.crc32(t[i : i + k].encode()) for i in range(len(t) - k + 1)}
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+        parts = [t]
+    else:
+        parts = {t[i : i + k] for i in range(len(t) - k + 1)}
+    return np.unique(np.fromiter(
+        (int.from_bytes(hashlib.md5(p.encode()).digest()[8:], "little")
+         for p in parts),
+        dtype=np.uint64, count=len(parts),
+    ))
 
 
 def _perm_params(num_perm: int, seed: int = 42):
+    """Affine wrap-64 permutation family h_j(x) = (a_j*x + b_j) mod 2^64 with
+    odd a_j < 2^31 and b_j < 2^62: numpy uint64 arithmetic wraps to exactly
+    this, and (a::HUGEINT * x + b) % 2^64 reproduces it in SQL without
+    HUGEINT overflow (a < 2^31 keeps the product < 2^95). Min over 64-bit
+    values is dominated by the multiplication-mixed high bits — unlike the
+    previous nominal mod-Mersenne scheme whose 2^64 wrap silently changed
+    the hash family."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = (rng.randint(0, 2**30, size=num_perm, dtype=np.int64).astype(np.uint64)
+         * np.uint64(2) + np.uint64(1))
+    b = rng.randint(0, 2**62, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(num_perm,) uint64 signature: min over shingles of (a*x+b) mod p."""
+    """(num_perm,) uint64 signature: min over shingles of (a*x+b) mod 2^64."""
     if len(shingles) == 0:
-        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+        return np.full(len(a), _SENTINEL, dtype=np.uint64)
     # (num_perm, n_shingles) — batch sizes keep this small
-    vals = (a[:, None] * shingles[None, :] + b[:, None]) % _MERSENNE
+    vals = a[:, None] * shingles[None, :] + b[:, None]  # uint64 wrap = mod 2^64
     return vals.min(axis=1)
 
 
@@ -73,9 +89,14 @@ class MinHashBander:
             sig = minhash_signature(char_shingles(t, self.k), self.a, self.b)
             for band in range(self.bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                # band key = md5_lower64 of the comma-joined decimal values —
+                # reproducible in SQL as md5_number_lower(string_agg(sig, ','))
+                key = ",".join(str(int(v)) for v in chunk)
+                h = int.from_bytes(hashlib.md5(key.encode()).digest()[8:],
+                                   "little")
                 o_id.append(i)
                 o_band.append(band)
-                o_hash.append(int(zlib.crc32(chunk.tobytes())))
+                o_hash.append(h - (1 << 64) if h >= (1 << 63) else h)
         return pa.table(
             {
                 self.id_col: pa.array(o_id),
@@ -162,43 +183,152 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-class JaccardVerifier:
-    """map_batches actor over candidate pairs: exact Jaccard via a broadcast
-    id→text lookup (ray.put once). Shingle sets are memoized per doc in the
-    actor (a doc typically appears in many candidate pairs). Scale path at
-    ≥10^9 docs: replace the broadcast with a bucketed self-join on id ranges."""
+_SH_TYPE = pa.list_(pa.uint64())
 
-    def __init__(self, texts_ref, k: int = 5, threshold: float = 0.8):
-        import ray
 
-        self.texts = ray.get(texts_ref)
-        self.k, self.threshold = k, threshold
-        self._shingles: dict = {}
+class ShingleSketcher:
+    """map_batches actor: (id, text) → (id, sh list<uint64>) — each doc's
+    sorted distinct shingle-hash sketch. Computed ONCE per doc and shipped to
+    its candidate pairs through bucketed shuffles — the 100 TB-safe
+    replacement for broadcasting an id→text dict of the whole corpus to the
+    verifier actors (round-1 scale-killer)."""
 
-    def _sh(self, doc_id) -> set:
-        s = self._shingles.get(doc_id)
-        if s is None:
-            s = set(char_shingles(self.texts.get(doc_id, ""), self.k).tolist())
-            self._shingles[doc_id] = s
-        return s
+    def __init__(self, k: int = 5, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.k, self.id_col, self.text_col = k, id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ia, ib = batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
-        sims = []
-        for x, y in zip(ia, ib):
-            sa, sb = self._sh(x), self._sh(y)
-            if not sa and not sb:
-                sims.append(1.0)
-            elif not sa or not sb:
-                sims.append(0.0)
-            else:
-                sims.append(len(sa & sb) / len(sa | sb))
-        batch = batch.append_column(
-            "jaccard", pa.array([round(s, 4) for s in sims], pa.float64())
-        )
-        import pyarrow.compute as pc
+        shs = [char_shingles(t, self.k)
+               for t in batch[self.text_col].to_pylist()]
+        lens = np.fromiter((len(s) for s in shs), dtype=np.int64,
+                           count=len(shs))
+        offsets = np.zeros(len(shs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = (np.concatenate(shs) if shs else np.array([], dtype=np.uint64))
+        sh_col = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(flat, pa.uint64())
+        ).cast(_SH_TYPE)
+        return pa.table({self.id_col: batch[self.id_col], "sh": sh_col})
 
-        return batch.filter(pc.greater_equal(batch["jaccard"], self.threshold))
+
+def _as_array(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+    return col
+
+
+def _id_bucket(vals, n: int) -> pa.Array:
+    """Process-stable bucket of an id array (int or string)."""
+    h = pd.util.hash_pandas_object(pd.Series(vals), index=False).to_numpy()
+    return pa.array((h % n).astype(np.int32), pa.int32())
+
+
+def verify_pairs_jaccard(cands, corpus, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 5,
+                         threshold: float = 0.8, num_buckets: int = 32,
+                         concurrency: int = 2):
+    """Distributed exact-Jaccard verification of candidate pairs (id_a, id_b):
+
+      1. sketch every corpus doc once (ShingleSketcher),
+      2. explode pairs to one row per SIDE, bucket both streams by doc id,
+         one vectorized merge per bucket attaches each side's sketch,
+      3. re-bucket by pair, pivot the two sides together, exact Jaccard per
+         pair (numpy intersect over sorted sketches — pairs are bounded by
+         the per-band bucket caps upstream).
+
+    Nothing corpus-sized ever reaches the driver; the sketches flow through
+    exactly one all-to-all each. Requires unique ids in ``corpus``.
+    Returns Dataset (id_a, id_b) of pairs with Jaccard ≥ threshold."""
+    from .dedup_exact import key_buckets
+
+    sketches = corpus.map_batches(
+        ShingleSketcher,
+        fn_constructor_kwargs={"k": k, "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+
+    def sides_arrow(t: pa.Table) -> pa.Table:
+        ia, ib = _as_array(t["id_a"]), _as_array(t["id_b"])
+        doc = pa.concat_arrays([ia, ib])
+        return pa.table(
+            {
+                "doc_id": doc,
+                "id_a": pa.concat_arrays([ia, ia]),
+                "id_b": pa.concat_arrays([ib, ib]),
+                "sh": pa.nulls(2 * t.num_rows, type=_SH_TYPE),
+                "jbucket": _id_bucket(doc.to_pandas(), num_buckets),
+            }
+        )
+
+    def sketch_arrow(t: pa.Table) -> pa.Table:
+        doc = _as_array(t[id_col])
+        return pa.table(
+            {
+                "doc_id": doc,
+                "id_a": pa.nulls(t.num_rows, type=doc.type),
+                "id_b": pa.nulls(t.num_rows, type=doc.type),
+                "sh": _as_array(t["sh"]),
+                "jbucket": _id_bucket(doc.to_pandas(), num_buckets),
+            }
+        )
+
+    sides = cands.select_columns(["id_a", "id_b"]).map_batches(
+        sides_arrow, batch_format="pyarrow"
+    )
+    sk = sketches.map_batches(sketch_arrow, batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g[g["id_a"].notna()]
+        src = g[g["id_a"].isna()][["doc_id", "sh"]]
+        if len(pairs) == 0 or len(src) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "sh": pd.Series([], dtype="object"),
+                    "pbucket": pd.Series([], dtype="int32"),
+                }
+            )
+        # arrow int64-with-nulls arrives as float in pandas → back to int
+        pairs = pairs[["doc_id", "id_a", "id_b"]].astype(
+            {"id_a": "int64", "id_b": "int64"}
+        )
+        m = pairs.merge(src, on="doc_id", how="inner")
+        m["pbucket"] = key_buckets(m, ["id_a", "id_b"], num_buckets)
+        return m
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["doc_id"] == g["id_a"]][["id_a", "id_b", "sh"]]
+        b = g[g["doc_id"] == g["id_b"]][["id_a", "id_b", "sh"]]
+        m = a.merge(b, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        oa, ob = [], []
+        for ia, ib, sa, sb in zip(m["id_a"], m["id_b"], m["sh_a"], m["sh_b"]):
+            na, nb = len(sa), len(sb)
+            if na == 0 and nb == 0:
+                j = 1.0
+            elif na == 0 or nb == 0:
+                j = 0.0
+            else:
+                nc = len(np.intersect1d(np.asarray(sa, dtype=np.uint64),
+                                        np.asarray(sb, dtype=np.uint64),
+                                        assume_unique=True))
+                j = nc / (na + nb - nc)
+            if j >= threshold:
+                oa.append(int(ia))
+                ob.append(int(ib))
+        return pd.DataFrame({"id_a": pd.Series(oa, dtype="int64"),
+                             "id_b": pd.Series(ob, dtype="int64")})
+
+    return (
+        sides.union(sk)
+        .groupby("jbucket")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(verify, batch_format="pandas")
+    )
 
 
 def cluster_pairs(pairs_rows, id_col_a: str = "id_a", id_col_b: str = "id_b"):
@@ -220,42 +350,47 @@ def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",
                   shingle_k: int = 5, concurrency: int = 2):
     """Full MinHash near-dedup: → Dataset (id, cluster_id, is_keeper).
 
-    Docs in no near-dup cluster are their own keeper. The verified-pair list
-    and the id→cluster dict are the only driver-side materializations.
-    """
+    Docs in no near-dup cluster are their own keeper. Verification is fully
+    distributed (verify_pairs_jaccard — the corpus never reaches the driver);
+    the only driver-side materializations are the VERIFIED pair list (bounded
+    by the per-band bucket caps: ≤ bands × groups × C(max_bucket, 2), in
+    practice ≪ corpus) for union-find, and the resulting id→cluster map
+    (≤ 2 × verified pairs) broadcast once via ray.put."""
     import ray
-
-    texts = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
-    texts_ref = ray.put(texts)
 
     cands = minhash_candidate_pairs(
         ds, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, concurrency=concurrency,
     )
-    verified = cands.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"texts_ref": texts_ref, "k": shingle_k,
-                               "threshold": threshold},
-        batch_format="pyarrow",
+    verified = verify_pairs_jaccard(
+        cands, ds.select_columns([id_col, text_col]), id_col=id_col,
+        text_col=text_col, k=shingle_k, threshold=threshold,
         concurrency=concurrency,
     )
     clusters = cluster_pairs(verified.take_all())
-    clusters_ref = ray.put(clusters)
+    keys_ref = ray.put(list(clusters.keys()))
+    vals_ref = ray.put(list(clusters.values()))
 
     class AssignCluster:
         def __init__(self):
-            self.clusters = ray.get(clusters_ref)
+            keys, vals = ray.get(keys_ref), ray.get(vals_ref)
+            self.empty = not keys
+            if not self.empty:
+                self.keys = pa.array(keys)
+                self.vals = pa.array(vals)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_pylist()
-            cids = [self.clusters.get(i, i) for i in ids]
-            t = t.append_column("cluster_id", pa.array(cids))
-            keep = [c == i for i, c in zip(ids, cids)]
-            return t.append_column("is_keeper", pa.array(keep, pa.bool_()))
+            import pyarrow.compute as pc
+
+            ids = _as_array(t[id_col])
+            if self.empty:
+                cid = ids
+            else:
+                looked = pc.take(self.vals,
+                                 pc.index_in(ids, value_set=self.keys))
+                cid = pc.if_else(pc.is_null(looked), ids, looked)
+            t = t.append_column("cluster_id", cid)
+            return t.append_column("is_keeper", pc.equal(cid, ids))
 
     return ds.select_columns([id_col]).map_batches(
         AssignCluster, batch_format="pyarrow", concurrency=2
@@ -263,11 +398,22 @@ def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 # --- SimHash ---------------------------------------------------------------
+def md5_lower64(s: str) -> int:
+    """Lower 64 bits of md5 — EXACTLY DuckDB's md5_number_lower(s)
+    (little-endian int of the last 8 digest bytes), so every op built on it
+    has a full SQL oracle."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (crc32-doubled per token)."""
+    """64-bit SimHash over lowercase whitespace tokens, token hash =
+    md5_lower64 (SQL-mirrorable). Reference implementation — the vectorized
+    batch path is SimHasher; tests cross-check the two."""
     votes = [0] * 64
     for tok in (text or "").lower().split():
-        h = zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
+        h = md5_lower64(tok)
         for i in range(64):
             votes[i] += 1 if (h >> i) & 1 else -1
     out = 0
@@ -278,22 +424,60 @@ def simhash64(text: str) -> int:
 
 
 class SimHasher:
-    """map_batches fn: adds simhash (int64, reinterpreted) + 4×16-bit band
-    columns for blocking."""
+    """map_batches actor: adds simhash (int64-reinterpreted) + 4×16-bit band
+    columns for blocking. Tokenization is an Arrow RE2 split; bit votes are
+    one numpy scatter-add over all token occurrences (no per-token Python
+    except md5 of DISTINCT tokens, memoized per actor)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
+        self._memo: dict[str, int] = {}
+        self._shifts = np.arange(64, dtype=np.uint64)
+
+    def _hash_tokens(self, uniq) -> np.ndarray:
+        import hashlib
+
+        memo = self._memo
+        out = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
+            h = memo.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:],
+                                   "little")
+                memo[t] = h
+            out[i] = h
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [simhash64(t) for t in batch[self.text_col].to_pylist()]
-        batch = batch.append_column(
-            "simhash", pa.array([h - (1 << 64) if h >= (1 << 63) else h for h in hs],
-                                pa.int64())
-        )
+        import pyarrow.compute as pc
+
+        txt = pc.utf8_lower(pc.fill_null(batch[self.text_col], ""))
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt),
+                                      pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""  # the [''] artifact of splitting an empty string
+        flat, parents = flat[keep], parents[keep]
+        sh = np.zeros(batch.num_rows, dtype=np.uint64)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            h = self._hash_tokens(uniq)
+            bits = ((h[:, None] >> self._shifts[None, :]) & 1).astype(np.int64)
+            signed = 2 * bits - 1  # (n_uniq, 64)
+            votes = np.zeros((batch.num_rows, 64), dtype=np.int64)
+            np.add.at(votes, parents, signed[inv])
+            sh = ((votes > 0).astype(np.uint64) << self._shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        batch = batch.append_column("simhash",
+                                    pa.array(sh.view(np.int64), pa.int64()))
         for band in range(4):
-            vals = [(h >> (16 * band)) & 0xFFFF for h in hs]
-            batch = batch.append_column(f"sh_band{band}",
-                                        pa.array(vals, pa.int32()))
+            vals = (sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+            batch = batch.append_column(
+                f"sh_band{band}", pa.array(vals.astype(np.int32), pa.int32())
+            )
         return batch
 
 
@@ -301,32 +485,71 @@ def hamming64(a: int, b: int) -> int:
     return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a 1-D uint64 array."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+        axis=1, dtype=np.int64
+    )
+
+
 def simhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                            max_hamming: int = 3, max_bucket: int = 200):
+                            max_hamming: int = 3, max_bucket: int = 200,
+                            num_coarse: int = 64):
     """SimHash blocking: docs sharing any 16-bit band → candidate pair,
-    verified by exact Hamming distance ≤ max_hamming."""
-    hashed = ds.map_batches(SimHasher(text_col=text_col), batch_format="pyarrow")
+    verified by exact Hamming distance ≤ max_hamming. ONE shuffle: each doc
+    explodes to 4 (band, band_val) rows, coarse-bucketed by a hash of the
+    band key (one Python call per COARSE bucket, vectorized self-merge +
+    numpy popcount within — never per band-value, never per row). Band
+    groups are capped deterministically at max_bucket by doc_id rank
+    (mirrored by the SQL oracle's QUALIFY row_number clause)."""
+    hashed = ds.map_batches(SimHasher, fn_constructor_kwargs={"text_col": text_col},
+                            batch_format="pyarrow", concurrency=2)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col).head(max_bucket)
-        ids = list(g[id_col])
-        sh = list(g["simhash"])
-        oa, ob, dist = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(sh[i], sh[j])
-                if d <= max_hamming:
-                    oa.append(ids[i])
-                    ob.append(ids[j])
-                    dist.append(d)
-        return pd.DataFrame({"id_a": oa, "id_b": ob, "hamming": dist})
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup_exact import key_buckets
 
-    out = []
-    for band in range(4):
-        out.append(
-            hashed.select_columns([id_col, "simhash", f"sh_band{band}"])
-            .groupby(f"sh_band{band}")
-            .map_groups(pairs, batch_format="pandas")
+        parts = []
+        for band in range(4):
+            parts.append(pd.DataFrame(
+                {
+                    id_col: df[id_col].values,
+                    "simhash": df["simhash"].values,
+                    "band": np.int32(band),
+                    "band_val": df[f"sh_band{band}"].values,
+                }
+            ))
+        out = pd.concat(parts, ignore_index=True)
+        out["coarse"] = key_buckets(out, ["band", "band_val"], num_coarse)
+        return out
+
+    def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ["band", "band_val"]
+        g = g.drop_duplicates(subset=keys + [id_col]).sort_values(
+            keys + [id_col], kind="stable"
         )
-    allp = out[0].union(*out[1:])
+        g = g[g.groupby(keys).cumcount() < max_bucket]
+        cols = keys + [id_col, "simhash"]
+        m = g[cols].merge(g[cols], on=keys, suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        sa = m["simhash_a"].to_numpy(dtype=np.int64).view(np.uint64)
+        sb = m["simhash_b"].to_numpy(dtype=np.int64).view(np.uint64)
+        ham = _popcount64(sa ^ sb)
+        out = pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_a"].values,
+                "id_b": m[f"{id_col}_b"].values,
+                "hamming": ham,
+            }
+        )
+        return out[out["hamming"] <= max_hamming].drop_duplicates(
+            subset=["id_a", "id_b"]
+        )
+
+    allp = (
+        hashed.map_batches(explode_bands, batch_format="pandas")
+        .groupby("coarse")
+        .map_groups(pairs_in_coarse, batch_format="pandas")
+    )
     return dedup_exact(allp, ["id_a", "id_b"])

@@ -406,12 +406,20 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_candidate_pairs(ds, max_hamming=3)
 
 
+_ND_PLANES = 6
+_ND_THRESHOLD = 0.4  # yields >0 pairs at every test SF (max offdiag ≈ 0.5)
+
+
 def q_embed_neardup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs via LSH buckets (rows-only)."""
+    """Embedding-cosine near-duplicate pairs via LSH buckets. Full SQL
+    oracle: the seeded hyperplanes are emitted as literals and the bucketing
+    + in-bucket exact cosine are reproduced in DuckDB."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["embedding"])[0][0].as_py())
-    return neardup_pairs_cosine(ds, dim=dim, threshold=0.98)
+    pairs = neardup_pairs_cosine(ds, dim=dim, threshold=_ND_THRESHOLD,
+                                 n_planes=_ND_PLANES)
+    return pairs.select_columns(["id_a", "id_b"])
 
 
 # --- text analysis --------------------------------------------------------
@@ -573,6 +581,69 @@ QUERIES = {
 }
 
 _EN_LIST_SQL = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+
+# MinHash permutation params as SQL literals — same seeded family as the Ray
+# op (functions.dedup._perm_params), so the oracle reproduces the signatures
+# bit-for-bit: h_j(x) = (a_j*x + b_j) mod 2^64 with a_j < 2^31 (the HUGEINT
+# product never overflows).
+from ..functions.dedup import _perm_params as _mh_perm_params  # noqa: E402
+
+_MH_A, _MH_B = _mh_perm_params(64, seed=42)
+_MH_PERM_VALUES = ", ".join(
+    f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+)
+# Full SQL mirror of MinHash+LSH near-dedup: shingle hash = md5_number_lower
+# of each distinct lowercase 5-gram, 64 affine-permutation minima, 8 bands of
+# 8 (band key = md5_number_lower of the comma-joined signature chunk), the
+# same 200-per-band-bucket cap, exact shingle-set Jaccard >= 0.8 verification,
+# and connected components via a recursive CTE (cluster id = min member id).
+_DEDUP_MINHASH_SQL = (
+    "WITH RECURSIVE "
+    f"perms(pidx, a, b) AS (VALUES {_MH_PERM_VALUES}), "
+    "docs AS (SELECT doc_id, lower(coalesce(text,'')) AS t FROM documents), "
+    "shing AS ("
+    "SELECT DISTINCT doc_id, md5_number_lower(substr(t, i, 5)) AS x "
+    "FROM docs, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i) "
+    "WHERE len(t) >= 5 "
+    "UNION "
+    "SELECT doc_id, md5_number_lower(t) FROM docs WHERE len(t) > 0 AND len(t) < 5), "
+    "sigs AS (SELECT s.doc_id, p.pidx, "
+    "min(CAST((CAST(p.a AS HUGEINT) * s.x + p.b) % 18446744073709551616 AS UBIGINT)) AS sig "
+    "FROM shing s CROSS JOIN perms p GROUP BY s.doc_id, p.pidx), "
+    "fullsigs AS (SELECT d.doc_id, p.pidx, "
+    "coalesce(sg.sig, CAST(18446744073709551615 AS UBIGINT)) AS sig "
+    "FROM (SELECT doc_id FROM documents) d CROSS JOIN perms p "
+    "LEFT JOIN sigs sg ON sg.doc_id = d.doc_id AND sg.pidx = p.pidx), "
+    "bands AS (SELECT doc_id, pidx // 8 AS band_id, "
+    "md5_number_lower(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY pidx)) AS band_hash "
+    "FROM fullsigs GROUP BY doc_id, pidx // 8), "
+    "capped AS (SELECT * FROM bands "
+    "QUALIFY row_number() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) <= 200), "
+    "cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b "
+    "FROM capped x JOIN capped y ON x.band_id = y.band_id "
+    "AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id), "
+    "nsh AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id), "
+    "common AS (SELECT c.id_a, c.id_b, count(*) AS nc FROM cand c "
+    "JOIN shing sa ON sa.doc_id = c.id_a "
+    "JOIN shing sb ON sb.doc_id = c.id_b AND sb.x = sa.x "
+    "GROUP BY c.id_a, c.id_b), "
+    "verified AS (SELECT c.id_a, c.id_b FROM cand c "
+    "LEFT JOIN nsh na ON na.doc_id = c.id_a "
+    "LEFT JOIN nsh nb ON nb.doc_id = c.id_b "
+    "LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b "
+    "WHERE CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) = 0 THEN TRUE "
+    "ELSE coalesce(cm.nc, 0) * 1.0 / "
+    "(coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(cm.nc, 0)) >= 0.8 END), "
+    "edges AS (SELECT id_a AS u, id_b AS v FROM verified "
+    "UNION SELECT id_b, id_a FROM verified), "
+    "reach(src, dst) AS (SELECT u, v FROM edges "
+    "UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u), "
+    "clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
+    "FROM reach GROUP BY src) "
+    "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
+    "coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper "
+    "FROM documents d LEFT JOIN clusters c USING (doc_id)"
+)
 _LANG_LIST_SQL = {
     lg: ", ".join(f"'{w}'" for w in sorted(textops.STOPWORDS[lg]))
     for lg in sorted(textops.STOPWORDS)
@@ -592,6 +663,28 @@ _LANG_GUESS_SQL = (
     "WHEN c_fr >= c_es AND c_fr >= c_en AND c_fr >= c_de THEN 'fr' "
     "WHEN c_es >= c_en AND c_es >= c_de THEN 'es' "
     "WHEN c_en >= c_de THEN 'en' ELSE 'de' END AS lang_guess FROM c"
+)
+
+# Embedding near-dup in SQL: the seeded random hyperplanes (identical to
+# functions.similarity.hyperplanes(64, 6, 42)) as DOUBLE[] literals; bucket =
+# sign-pattern integer; exact cosine within bucket. repr() round-trips the
+# float64 values exactly.
+from ..functions.similarity import hyperplanes as _nd_hyperplanes  # noqa: E402
+
+_ND_DIM = 64  # embeddings.parquet dim across all test SFs
+_ND_PLANE_VALUES = ", ".join(
+    "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in row))
+    for i, row in enumerate(_nd_hyperplanes(_ND_DIM, _ND_PLANES, seed=42))
+)
+_EMBED_NEARDUP_SQL = (
+    f"WITH planes(pidx, vec) AS (VALUES {_ND_PLANE_VALUES}), "
+    "b AS (SELECT vec_id, embedding, "
+    "sum(CASE WHEN list_dot_product(embedding, p.vec) > 0 "
+    "THEN (1 << p.pidx) ELSE 0 END) AS bucket "
+    "FROM embeddings CROSS JOIN planes p GROUP BY vec_id, embedding) "
+    "SELECT a.vec_id AS id_a, c.vec_id AS id_b "
+    "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id "
+    f"WHERE list_cosine_similarity(a.embedding, c.embedding) >= {_ND_THRESHOLD}"
 )
 
 ORACLE_SQL = {
@@ -679,6 +772,36 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "lang_guess": _LANG_GUESS_SQL,
+    "dedup_minhash": _DEDUP_MINHASH_SQL,
+    "embed_neardup": _EMBED_NEARDUP_SQL,
+    # Full SQL mirror of the SimHash op: token hash = md5_number_lower
+    # (= functions.dedup.md5_lower64), 64 bit-position votes per doc, 4×16-bit
+    # banding with the same deterministic 200-per-bucket cap (QUALIFY), exact
+    # Hamming verify via bit_count(xor(...)) <= 3.
+    "simhash_pairs": (
+        "WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+')) AS tok "
+        "FROM documents) WHERE tok <> ''), "
+        "votes AS (SELECT doc_id, b.bit, "
+        "sum(CASE WHEN (md5_number_lower(tok) >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+        "FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b "
+        "GROUP BY doc_id, b.bit), "
+        "sh0 AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN "
+        "(CAST(1 AS UBIGINT) << bit) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) "
+        "AS simhash FROM votes GROUP BY doc_id), "
+        "sh AS (SELECT d.doc_id, coalesce(s.simhash, CAST(0 AS UBIGINT)) AS simhash "
+        "FROM documents d LEFT JOIN sh0 s USING (doc_id)), "
+        "banded AS (SELECT doc_id, simhash, b.band, "
+        "(simhash >> (16 * b.band)) & 65535 AS band_val "
+        "FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b), "
+        "capped AS (SELECT * FROM banded "
+        "QUALIFY row_number() OVER (PARTITION BY band, band_val ORDER BY doc_id) <= 200) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM capped a JOIN capped b ON a.band = b.band "
+        "AND a.band_val = b.band_val AND a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    ),
     "ann_topk": (
         "WITH q AS (SELECT embedding AS e FROM embeddings "
         "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) "
@@ -730,6 +853,7 @@ ORACLE_SQL = {
         "(SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS cnt_s "
         "FROM nation) WHERE cnt_c + cnt_s > 0"
     ),
-    # rows-only (non-SQL-expressible): dedup_minhash, simhash_pairs,
-    # embed_neardup, lang_guess, kg pipelines beyond the above.
+    # every QUERIES entry above has a full value-exact oracle — including
+    # dedup_minhash (banding + Jaccard + recursive-CTE clustering),
+    # simhash_pairs, embed_neardup (literal hyperplanes) and lang_guess.
 }
