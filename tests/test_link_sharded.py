@@ -1,0 +1,143 @@
+"""Sharded link index (stages/link.py) — the ≥10^8-entity path.
+
+Contract: ShardedEntityLinker over K crc-bucketed LinkShard actors produces
+BIT-IDENTICAL output to the broadcast EntityLinker, including the fuzzy
+fallback's global-argmax tie-break, and the full KG pipeline is invariant to
+the index deployment shape (VERDICT r1 item 3: "a pytest forcing K≥4 shards
+with kg_edges/kg_nodes oracle still exact").
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def tiny_mapping(tmp_path_factory):
+    df = pd.DataFrame(
+        {
+            "surface_norm": [
+                "acme corp", "acme corporation", "globex", "initech",
+                "umbrella corp", "wayne enterprises", "stark industries",
+            ],
+            "entity_id": ["e1", "e1", "e2", "e3", "e4", "e5", "e6"],
+            "canonical_name": [
+                "Acme Corp", "Acme Corp", "Globex", "Initech",
+                "Umbrella Corp", "Wayne Enterprises", "Stark Industries",
+            ],
+        }
+    )
+    return df
+
+
+def _batch():
+    surfaces = [
+        "Acme Corp",          # exact (after normalize)
+        "ACME corporation!",  # exact after normalize strips punctuation
+        "Globex",             # exact
+        "globex international ltd",   # fuzzy or new
+        "Completely Unrelated Zzz",   # new entity
+        None,                 # null passthrough
+        "Stark  Industries",  # whitespace-collapse exact
+    ]
+    return pa.table({"subj": surfaces, "obj": list(reversed(surfaces))})
+
+
+@pytest.mark.parametrize("threshold", [0.85, 0.0])
+def test_sharded_equals_broadcast_linker(tiny_mapping, tmp_path, threshold):
+    """Same batch through both deployment shapes → identical ids, at a real
+    threshold (mixed exact/fuzzy/new) and at 0.0 (EVERY miss goes through
+    the cross-shard global fuzzy max → exercises the tie-break)."""
+    from vectrain_ray.stages.link import (
+        EntityLinker,
+        LinkShard,
+        ShardedEntityLinker,
+        build_link_index,
+        make_link_shard_actors,
+        write_link_index,
+    )
+
+    index_ref = ray.put(build_link_index(tiny_mapping, dim=64))
+    broadcast = EntityLinker(index_ref=index_ref, dim=64,
+                             fuzzy_threshold=threshold)
+
+    idx_dir = str(tmp_path / f"idx_{threshold}")
+    write_link_index(rd.from_pandas(tiny_mapping), idx_dir, num_shards=4)
+    # at least two non-empty shards, or the test proves nothing
+    non_empty = sum(
+        1 for s in range(4) if LinkShard(idx_dir, s).norms)
+    assert non_empty >= 2
+    actors = make_link_shard_actors(idx_dir, 4, dim=64)
+    try:
+        sharded = ShardedEntityLinker(actors, dim=64,
+                                      fuzzy_threshold=threshold)
+        got_b = broadcast(_batch())
+        got_s = sharded(_batch())
+        assert got_b.column_names == got_s.column_names
+        for col in ("subj_id", "obj_id"):
+            assert got_b[col].to_pylist() == got_s[col].to_pylist(), col
+        # memo path: second call identical
+        assert sharded(_batch())["subj_id"].to_pylist() == \
+            got_s["subj_id"].to_pylist()
+    finally:
+        for a in actors:
+            ray.kill(a)
+
+
+def _frames(res):
+    out = {}
+    for name in ("triples", "edges", "nodes"):
+        df = res[name].to_pandas()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        out[name] = df.sort_values(list(df.columns), kind="stable").reset_index(
+            drop=True)
+    return out
+
+
+def test_kg_pipeline_invariant_to_link_sharding(small_transcripts, tmp_path):
+    """run_kg with link_shards=4 == broadcast run_kg, row for row."""
+    from vectrain_ray.pipelines.kg import run_kg
+
+    ds = rd.from_arrow(small_transcripts)
+    res_b = run_kg(ds, out_dir=None, write_outputs=False, link_shards=0)
+    res_s = run_kg(ds, out_dir=str(tmp_path / "kg_sharded"),
+                   write_outputs=False, link_shards=4)
+    fb, fs = _frames(res_b), _frames(res_s)
+    for name in ("triples", "edges", "nodes"):
+        pd.testing.assert_frame_equal(fb[name], fs[name]), name
+
+
+def test_resumable_with_sharded_index(small_transcripts, tmp_path):
+    """Resumable runner with link_shards: same edges/nodes as broadcast,
+    and a rerun skips all phases (index marker honored)."""
+    import pyarrow.parquet as pq
+
+    from vectrain_ray.pipelines.resume import run_kg_resumable
+
+    inp = str(tmp_path / "in")
+    rd.from_arrow(small_transcripts).write_parquet(inp)
+    out_b = str(tmp_path / "out_broadcast")
+    out_s = str(tmp_path / "out_sharded")
+    run_kg_resumable(inp, out_b, num_parts=2, link_shards=0)
+    m1 = run_kg_resumable(inp, out_s, num_parts=2, link_shards=3)
+
+    def read(out, tbl):
+        df = pq.read_table(f"{out}/{tbl}").to_pandas()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns), kind="stable").reset_index(
+            drop=True)
+
+    for tbl in ("edges", "nodes"):
+        pd.testing.assert_frame_equal(read(out_b, tbl), read(out_s, tbl)), tbl
+
+    m2 = run_kg_resumable(inp, out_s, num_parts=2, link_shards=3)
+    assert m2["skipped_p1"] == len(m1["p1_parts"]) and m2["skipped_p1"] > 0
+    assert m2["skipped_p3"] == len(m1["p3_parts"]) and m2["skipped_p3"] > 0

@@ -46,7 +46,18 @@ from ..stages.extract import (
     mentions_table,
     triples_table,
 )
-from ..stages.link import EntityLinker, build_link_index
+from ..stages.link import (
+    EntityLinker,
+    ShardedEntityLinker,
+    build_link_index,
+    make_link_shard_actors,
+    write_link_index,
+)
+
+# Above this many entities the mapping is not broadcast as one object but
+# sharded by crc32(surface_norm) (stages/link.py): per-shard parquet + one
+# LinkShard actor per shard; the driver never holds the entity table.
+BROADCAST_MAX_ENTITIES = 2_000_000
 
 
 def run_kg(
@@ -59,6 +70,7 @@ def run_kg(
     write_outputs: bool = True,
     assume_conv_partitioned: bool = False,
     max_task_retries: int = 2,
+    link_shards: int | None = None,
 ) -> dict:
     """Run the full KG-construction pipeline.
 
@@ -104,16 +116,38 @@ def run_kg(
     mentions = extracted.map_batches(mentions_table, batch_format="pyarrow")
 
     # mapping is small (one row per distinct surface form) and consumed by
-    # three downstreams (broadcast index, nodes, optional write) → pin it.
+    # three downstreams (link index, nodes, optional write) → pin it.
     mapping = canonicalize.build_mapping(mentions).materialize()
-    mapping_df = mapping.to_pandas()  # entity table: small vs corpus; shard at >=1e8 entities
-    if "surface_norm" not in mapping_df.columns:  # zero-mention corpus
-        import pandas as pd
+    n_entities = mapping.count()
+    if link_shards is None:
+        link_shards = 0 if n_entities < BROADCAST_MAX_ENTITIES else max(
+            8, n_entities // 1_000_000)
 
-        mapping_df = pd.DataFrame(
-            columns=["surface_norm", "entity_id", "canonical_name"]
-        )
-    index_ref = ray.put(build_link_index(mapping_df, dim=dim))
+    shard_actors: list = []
+    if link_shards:
+        # sharded index: streamed to per-shard parquet, loaded by K actors —
+        # the entity table and its name-encode never touch the driver
+        if out_dir:
+            index_dir = os.path.join(out_dir, "link_index")
+        else:
+            import tempfile
+
+            index_dir = tempfile.mkdtemp(prefix="vr_link_index_", dir="/tmp")
+        write_link_index(mapping, index_dir, link_shards)
+        shard_actors = make_link_shard_actors(index_dir, link_shards, dim=dim)
+        linker_cls: type = ShardedEntityLinker
+        linker_kwargs: dict = {"shard_handles": shard_actors, "dim": dim}
+    else:
+        mapping_df = mapping.to_pandas()  # < BROADCAST_MAX_ENTITIES rows
+        if "surface_norm" not in mapping_df.columns:  # zero-mention corpus
+            import pandas as pd
+
+            mapping_df = pd.DataFrame(
+                columns=["surface_norm", "entity_id", "canonical_name"]
+            )
+        index_ref = ray.put(build_link_index(mapping_df, dim=dim))
+        linker_cls = EntityLinker
+        linker_kwargs = {"index_ref": index_ref, "dim": dim}
 
     # the reference's RetryPolicy (config.go:43-46) is parsed but never
     # read; here it is actually enforced by Ray actor task retries
@@ -130,8 +164,8 @@ def run_kg(
     # --- triple branch -> linking -> edges -------------------------------
     triples = extracted.map_batches(triples_table, batch_format="pyarrow")
     linked = triples.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"index_ref": index_ref, "dim": dim},
+        linker_cls,
+        fn_constructor_kwargs=linker_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=linker_concurrency,
@@ -168,6 +202,8 @@ def run_kg(
         t_link.join()
     else:
         _link_branch()
+    for a in shard_actors:  # linking done (or failed) → free the index
+        ray.kill(a)
     if "exc" in linked_holder:
         raise linked_holder["exc"]
     linked = linked_holder["ds"]

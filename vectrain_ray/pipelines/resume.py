@@ -42,7 +42,13 @@ from ..stages.extract import (
     mentions_table,
     triples_table,
 )
-from ..stages.link import EntityLinker, build_link_index
+from ..stages.link import (
+    EntityLinker,
+    ShardedEntityLinker,
+    build_link_index,
+    make_link_shard_actors,
+    write_link_index,
+)
 from ..state.manifest import (
     PartitionManifest,
     clear_partition_outputs,
@@ -83,6 +89,7 @@ def run_kg_resumable(
     batch_size: int = 4096,
     fail_after_phase1_parts: int | None = None,
     max_task_retries: int = 2,
+    link_shards: int = 0,
 ) -> dict:
     """Run (or resume) the partitioned pipeline. ``fail_after_phase1_parts``
     injects a crash after N phase-1 shards (kill-point testing only)."""
@@ -153,8 +160,26 @@ def run_kg_resumable(
         if os.path.exists(man3.dir):
             shutil.rmtree(man3.dir)
         man3 = PartitionManifest(os.path.join(out_dir, "p3_link"))
-    mapping_df = rd.read_parquet(mapping_dir).to_pandas()
-    index_ref = ray.put(build_link_index(mapping_df, dim=dim))
+    shard_actors: list = []
+    if link_shards:
+        # sharded index artifact lives next to the mapping; rebuilt whenever
+        # the mapping was rebuilt or the shard count changed
+        index_dir = os.path.join(out_dir, "link_index")
+        shards_marker = os.path.join(index_dir, "_SHARDS")
+        index_ok = marker_ok and os.path.exists(shards_marker) and \
+            open(shards_marker).read() == str(link_shards)
+        if not index_ok:
+            write_link_index(rd.read_parquet(mapping_dir), index_dir,
+                             link_shards)
+            open(shards_marker, "w").write(str(link_shards))
+        shard_actors = make_link_shard_actors(index_dir, link_shards, dim=dim)
+        linker_cls: type = ShardedEntityLinker
+        linker_kwargs: dict = {"shard_handles": shard_actors, "dim": dim}
+    else:
+        mapping_df = rd.read_parquet(mapping_dir).to_pandas()
+        index_ref = ray.put(build_link_index(mapping_df, dim=dim))
+        linker_cls = EntityLinker
+        linker_kwargs = {"index_ref": index_ref, "dim": dim}
 
     # ---- phase 3: per-shard linking + mention encoding + edge partials --
     for part in range(num_parts):
@@ -184,8 +209,8 @@ def run_kg_resumable(
 
         triples = ext.map_batches(triples_table, batch_format="pyarrow")
         linked = triples.map_batches(
-            EntityLinker,
-            fn_constructor_kwargs={"index_ref": index_ref, "dim": dim},
+            linker_cls,
+            fn_constructor_kwargs=linker_kwargs,
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=2,
@@ -211,6 +236,9 @@ def run_kg_resumable(
                    for f in glob.glob(os.path.join(tr_dir, "*.parquet")))
         man3.commit(part, ext_files,
                     {"triples_out": n_tr, "wall_sec": round(time.time() - t0, 3)})
+
+    for a in shard_actors:  # linking done → free the index actors
+        ray.kill(a)
 
     # ---- phase 4: global finalize (small pre-aggregated inputs) ---------
     final_marker = os.path.join(out_dir, "_FINAL_DONE")

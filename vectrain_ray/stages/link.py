@@ -9,12 +9,27 @@ Index = (a) exact dict surface_norm → (entity_id, canonical_name) and
 (b) a dense matrix of entity-name embeddings for fuzzy fallback: misses are
 encoded with the same deterministic HashingEncoder and matched brute-force
 cosine top-1 (numpy matmul per batch of *misses only*). This is the
-broadcast-small-side join analogue — no shuffle. At ≥10^8 entities, shard
-the dict/matrix by crc_bucket(norm, K) with one actor pool per shard
-(partitioning assumption; SURVEY.md §7 step 5).
+broadcast-small-side join analogue — no shuffle.
+
+Two deployment shapes, same semantics (tests assert bit-identical output):
+
+- **Broadcast** (entity table ≪ worker heap): one (dict, matrix) object in
+  the object store via ``ray.put``, read by every ``EntityLinker`` actor.
+- **Sharded** (≥10^8 entities — the 100 TB path): the mapping is written as
+  parquet partitioned by ``link_shard = crc32(surface_norm) % K``; K
+  ``LinkShard`` actors each load ONLY their partition and build their own
+  sub-matrix (so neither the dict nor the name-encode ever touches the
+  driver). ``ShardedEntityLinker`` routes each distinct surface to its shard
+  by the same crc (exact lookups: one batched call per shard per batch) and
+  fans fuzzy queries to all shards, taking the global (score, norm) max —
+  identical to the broadcast argmax, which breaks ties on the
+  lexicographically-smallest norm because the matrix rows are norm-sorted.
 """
 
 from __future__ import annotations
+
+import glob
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -26,7 +41,9 @@ from .encode import encode_texts
 def build_link_index(mapping_df, dim: int = 64):
     """mapping (pandas: surface_norm, entity_id, canonical_name) →
     (norm2ent dict, names list, L2-normalized name matrix). Driver-side;
-    result objects go into ``ray.put`` once."""
+    result objects go into ``ray.put`` once. Norms are SORTED so fuzzy
+    argmax ties resolve to the smallest norm — the same tie-break the
+    sharded path's global max uses."""
     norm2ent = {
         n: (e, c)
         for n, e, c in zip(
@@ -34,7 +51,7 @@ def build_link_index(mapping_df, dim: int = 64):
             mapping_df["canonical_name"],
         )
     }
-    norms = list(mapping_df["surface_norm"])
+    norms = sorted(norm2ent)
     mat = encode_texts(norms, dim=dim) if norms else np.zeros((0, dim), np.float32)
     return norm2ent, norms, mat
 
@@ -93,6 +110,171 @@ class EntityLinker:
             uniq = sorted({v for v in vals if v is not None})
             eids_u, _ = self._link_values(uniq)
             lut = dict(zip(uniq, eids_u))
+            batch = batch.append_column(
+                f"{col}_id", pa.array([lut.get(v) for v in vals], pa.string())
+            )
+        return batch
+
+
+# --- sharded index (the ≥10^8-entity path) ---------------------------------
+
+def add_link_shard(t: pa.Table, num_shards: int,
+                   col: str = "surface_norm") -> pa.Table:
+    """map_batches fn: add ``link_shard = crc32(surface_norm) % K``. One
+    crc per row of the (already per-norm-unique) mapping table."""
+    shards = [rules.crc_bucket(n, num_shards) for n in t[col].to_pylist()]
+    return t.append_column("link_shard", pa.array(shards, pa.int32()))
+
+
+def write_link_index(mapping_ds, index_dir: str, num_shards: int) -> str:
+    """Persist the mapping as the sharded link-index artifact:
+    ``index_dir/link_shard=<s>/*.parquet``. Streaming write — the mapping
+    never gathers on the driver. Idempotent: the dir is replaced."""
+    import shutil
+
+    if os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    mapping_ds.map_batches(
+        add_link_shard, fn_kwargs={"num_shards": num_shards},
+        batch_format="pyarrow",
+    ).select_columns(
+        ["surface_norm", "entity_id", "canonical_name", "link_shard"]
+    ).write_parquet(index_dir, partition_cols=["link_shard"])
+    return index_dir
+
+
+class LinkShard:
+    """Raw Ray actor: ONE shard of the entity index. Loads only its own
+    ``link_shard=<s>`` parquet partition (no Ray Data, no driver transit)
+    and encodes only its own norms. ``num_cpus`` is fractional — lookups
+    are cheap and the actors must not starve the map_batches pools."""
+
+    def __init__(self, index_dir: str, shard: int, dim: int = 64):
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(
+            os.path.join(index_dir, f"link_shard={shard}", "*.parquet")))
+        if files:
+            t = pq.read_table(
+                files, columns=["surface_norm", "entity_id", "canonical_name"])
+            self.norm2ent = {
+                n: (e, c) for n, e, c in zip(
+                    t["surface_norm"].to_pylist(), t["entity_id"].to_pylist(),
+                    t["canonical_name"].to_pylist())
+            }
+        else:
+            self.norm2ent = {}
+        self.norms = sorted(self.norm2ent)
+        self.mat = (encode_texts(self.norms, dim=dim)
+                    if self.norms else np.zeros((0, dim), np.float32))
+
+    def lookup(self, norms: list) -> list:
+        """Exact lookups: norm → (entity_id, canonical_name) | None."""
+        return [self.norm2ent.get(n) for n in norms]
+
+    def fuzzy(self, q: np.ndarray) -> tuple:
+        """Per-query best match within this shard: (scores, eids, names,
+        norms). Matrix rows are norm-sorted → argmax ties pick the
+        smallest norm, matching the broadcast index."""
+        m = q.shape[0]
+        if not self.norms:
+            return (np.full(m, -np.inf), [None] * m, [None] * m, [None] * m)
+        sims = q @ self.mat.T
+        best = np.argmax(sims, axis=1)
+        bn = [self.norms[b] for b in best]
+        hits = [self.norm2ent[n] for n in bn]
+        return (sims[np.arange(m), best],
+                [h[0] for h in hits], [h[1] for h in hits], bn)
+
+
+def make_link_shard_actors(index_dir: str, num_shards: int, dim: int = 64,
+                           num_cpus: float = 0.1) -> list:
+    """Start the K shard actors over a written link index. Caller owns the
+    handles (kill them when linking is done)."""
+    import ray
+
+    cls = ray.remote(num_cpus=num_cpus)(LinkShard)
+    return [cls.remote(index_dir, s, dim=dim) for s in range(num_shards)]
+
+
+class ShardedEntityLinker:
+    """map_batches actor: same output as ``EntityLinker`` but against the
+    sharded index. Per batch: distinct surfaces → exact lookup routed per
+    shard (one batched actor call per shard), remaining misses encoded ONCE
+    here and fanned to every shard's ``fuzzy``; global max by (score, then
+    smallest norm). Resolved surfaces are memoized per actor (hot entities
+    repeat across batches)."""
+
+    def __init__(self, shard_handles, cols=("subj", "obj"), dim: int = 64,
+                 fuzzy_threshold: float = 0.85, max_memo: int = 1_000_000):
+        self.shards = list(shard_handles)
+        self.num_shards = len(self.shards)
+        self.cols = cols
+        self.dim = dim
+        self.threshold = fuzzy_threshold
+        self.max_memo = max_memo
+        self._memo: dict = {}
+
+    def _resolve(self, surfaces: list) -> dict:
+        """distinct original surfaces → {surface: entity_id}."""
+        import ray
+
+        out: dict = {}
+        todo = [(s, rules.normalize_surface(s)) for s in surfaces
+                if s is not None and s not in self._memo]
+        for s in surfaces:
+            if s in self._memo:
+                out[s] = self._memo[s]
+        if todo:
+            per_shard: dict[int, list] = {}
+            for s, norm in todo:
+                per_shard.setdefault(rules.crc_bucket(norm, self.num_shards),
+                                     []).append((s, norm))
+            futs = {
+                sh: self.shards[sh].lookup.remote([n for _, n in items])
+                for sh, items in per_shard.items()
+            }
+            misses: list = []  # (surface, norm)
+            for sh, items in per_shard.items():
+                for (s, norm), hit in zip(items, ray.get(futs[sh])):
+                    if hit is not None:
+                        out[s] = hit[0]
+                    else:
+                        misses.append((s, norm))
+            if misses:
+                q = encode_texts([n for _, n in misses], dim=self.dim)
+                answers = ray.get([sh.fuzzy.remote(q) for sh in self.shards])
+                m = len(misses)
+                best_score = np.full(m, -np.inf)
+                best_eid: list = [None] * m
+                best_norm: list = [None] * m
+                for scores, eids, _names, norms in answers:
+                    for j in range(m):
+                        if norms[j] is None:
+                            continue
+                        if scores[j] > best_score[j] or (
+                            scores[j] == best_score[j]
+                            and best_norm[j] is not None
+                            and norms[j] < best_norm[j]
+                        ):
+                            best_score[j] = scores[j]
+                            best_eid[j] = eids[j]
+                            best_norm[j] = norms[j]
+                for j, (s, norm) in enumerate(misses):
+                    if best_eid[j] is not None and best_score[j] >= self.threshold:
+                        out[s] = best_eid[j]
+                    else:
+                        out[s] = rules.stable_id(
+                            "ent", rules.canonical_merge_key(norm))
+            if len(self._memo) < self.max_memo:
+                for s, _ in todo:
+                    self._memo[s] = out[s]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for col in self.cols:
+            vals = batch[col].to_pylist()
+            lut = self._resolve(sorted({v for v in vals if v is not None}))
             batch = batch.append_column(
                 f"{col}_id", pa.array([lut.get(v) for v in vals], pa.string())
             )
