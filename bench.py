@@ -102,7 +102,7 @@ def run_bench() -> dict:
     else:
         t0 = time.time()
         out_dir = f"/tmp/vectrain_bench/out_{NUM_CPUS}_{int(t0)}"
-        run_kg(
+        res = run_kg(
             tpath,
             out_dir=out_dir,
             batch_size=8192,
@@ -112,6 +112,7 @@ def run_bench() -> dict:
         )
         kg_sec = time.time() - t0
         timings["kg_pipeline"] = round(kg_sec, 3)
+        timings["kg_phases"] = res.get("timings", {})
 
     secondary = [] if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else [
         ("groupby_agg", Q.q_groupby_agg),

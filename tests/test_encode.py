@@ -62,3 +62,60 @@ def test_error_rows_carry_dead_letter():
     enc = HashingEncoder(dim=8)
     _, errs = enc._encode_texts(["", "ok", None])
     assert errs[0] == "empty_text" and errs[1] is None and errs[2] == "empty_text"
+
+
+# --- encoder registry (reference factory.go:23-30) -------------------------
+def test_registry_lists_both_encoders():
+    from vectrain_ray.stages.encode import ENCODERS, HashingEncoder, OllamaEncoder
+
+    assert ENCODERS["hashing"] is HashingEncoder
+    assert ENCODERS["ollama"] is OllamaEncoder
+
+
+def test_config_selects_registered_encoder():
+    from vectrain_ray.config import EncoderSpec
+
+    EncoderSpec(kind="hashing").validate()
+    EncoderSpec(kind="ollama", options={"endpoint": "http://x/api"}).validate()
+    import pytest
+
+    with pytest.raises(ValueError, match="encoder.kind"):
+        EncoderSpec(kind="bert-9000").validate()
+
+
+def test_ollama_adapter_with_fake_transport():
+    """Wire-shape test: the model adapter batches texts into ONE transport
+    call, fans vectors back per row, normalizes, and dead-letters transport
+    failures per the Vector-xor-Err contract."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vectrain_ray.stages.encode import OllamaEncoder
+
+    calls = []
+
+    def fake(texts):
+        calls.append(list(texts))
+        return [[float(len(t)), 1.0, 0.0, 0.0] for t in texts]
+
+    enc = OllamaEncoder(dim=4, transport=fake)
+    out = enc(pa.table({"surface_form": ["ab", "xyz", None, "ab"]}))
+    assert len(calls) == 1 and calls[0] == ["ab", "xyz"]  # batched + memoized
+    emb = np.asarray(out["embedding"].to_pylist())
+    assert np.allclose(np.linalg.norm(emb[[0, 1, 3]], axis=1), 1.0)
+    assert np.allclose(emb[0], emb[3])  # same text → same vector
+    errs = out["encode_err"].to_pylist()
+    assert errs == [None, None, "empty_text", None]
+
+
+def test_ollama_adapter_dead_letters_on_transport_error():
+    import pyarrow as pa
+
+    from vectrain_ray.stages.encode import OllamaEncoder
+
+    def broken(texts):
+        raise ConnectionError("server down")
+
+    enc = OllamaEncoder(dim=4, transport=broken)
+    out = enc(pa.table({"surface_form": ["ab"]}))
+    assert out["encode_err"][0].as_py().startswith("embed_error")

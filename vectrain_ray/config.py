@@ -36,12 +36,22 @@ class SourceSpec:
 
 @dataclass
 class EncoderSpec:
+    kind: str = "hashing"  # registry key (stages.encode.ENCODERS) — the
+    # reference's embedder factory (factory.go:23-30); 'ollama' selects the
+    # real-model HTTP adapter
     dim: int = 64
     batch_size: int = 4096
     concurrency: int = 4
     max_task_retries: int = 2  # the reference's RetryPolicy, actually wired
+    options: dict = field(default_factory=dict)  # encoder-specific kwargs
+    # (e.g. ollama endpoint/model)
 
     def validate(self) -> None:
+        from .stages.encode import ENCODERS
+
+        if self.kind not in ENCODERS:
+            raise ValueError(f"encoder.kind must be one of {sorted(ENCODERS)}, "
+                             f"got {self.kind!r}")
         if self.dim <= 0:
             raise ValueError("encoder.dim must be > 0")
         if self.batch_size <= 0:
@@ -138,6 +148,8 @@ def run_from_spec(spec: PipelineSpec) -> dict:
             dim=spec.encoder.dim,
             batch_size=spec.encoder.batch_size,
             max_task_retries=spec.encoder.max_task_retries,
+            encoder_kind=spec.encoder.kind,
+            encoder_kwargs=spec.encoder.options,
         )
     from .pipelines.kg import run_kg
 
@@ -149,5 +161,7 @@ def run_from_spec(spec: PipelineSpec) -> dict:
         encoder_concurrency=spec.encoder.concurrency,
         linker_concurrency=spec.linker.concurrency,
         max_task_retries=spec.encoder.max_task_retries,
+        encoder_kind=spec.encoder.kind,
+        encoder_kwargs=spec.encoder.options,
     )
     return {"paths": res.get("paths", {})}

@@ -39,7 +39,7 @@ import ray.data as rd
 
 from ..functions.dedup_exact import dedup_exact, dedup_exact_local
 from ..stages import canonicalize, materialize
-from ..stages.encode import HashingEncoder
+from ..stages.encode import ENCODERS
 from ..stages.extract import (
     extract_batch,
     filter_nonempty_text,
@@ -71,6 +71,8 @@ def run_kg(
     assume_conv_partitioned: bool = False,
     max_task_retries: int = 2,
     link_shards: int | None = None,
+    encoder_kind: str = "hashing",
+    encoder_kwargs: dict | None = None,
 ) -> dict:
     """Run the full KG-construction pipeline.
 
@@ -84,6 +86,17 @@ def run_kg(
     total_cpus = int(ray.cluster_resources().get("CPU", 4))
     encoder_concurrency = max(1, min(encoder_concurrency, total_cpus - 2))
     linker_concurrency = max(1, min(linker_concurrency, total_cpus - 2))
+
+    import time
+
+    from ..tuning import pin_failed_fsspec_http_import
+
+    # run_kg overlaps branch writes on driver threads → the fsspec.http
+    # import inside each write must be made race-free first
+    pin_failed_fsspec_http_import()
+
+    timings: dict[str, float] = {}
+    t_start = time.time()
 
     if isinstance(transcripts, str):
         ds = rd.read_parquet(transcripts, columns=["conv_id", "turn_idx", "text"])
@@ -111,13 +124,52 @@ def run_kg(
     # write+read round-trip (the checkpointing variant that DOES write it is
     # pipelines/resume.py).
     extracted = extracted.materialize()
+    timings["extract"] = round(time.time() - t_start, 3)
 
-    # --- mention branch -> canonicalization ------------------------------
+    # --- mention branch ---------------------------------------------------
     mentions = extracted.map_batches(mentions_table, batch_format="pyarrow")
 
+    # the reference's RetryPolicy (config.go:43-46) is parsed but never
+    # read; here it is actually enforced by Ray actor task retries
+    retry_args = {"max_task_retries": max_task_retries} if max_task_retries else {}
+
+    mentions_emb = mentions.map_batches(
+        ENCODERS[encoder_kind],
+        fn_constructor_kwargs={"dim": dim, **(encoder_kwargs or {})},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=encoder_concurrency,
+        **retry_args,
+    )
+
+    # The encode branch needs NO global state — launch its streaming
+    # execution (encode → write mentions/) in a side thread NOW, overlapping
+    # it with mapping-build + linking on the main thread (strictly more
+    # overlap than the old encode∥link window; still only TWO concurrent
+    # executions — three-way was measured to thrash at low CPU counts).
+    import threading
+
+    encode_holder: dict = {}
+
+    def _encode_branch():
+        try:
+            t0 = time.time()
+            mentions_emb.write_parquet(os.path.join(out_dir, "mentions"))
+            encode_holder["sec"] = round(time.time() - t0, 3)
+        except BaseException as exc:  # noqa: BLE001
+            encode_holder["exc"] = exc
+
+    t_encode = None
+    if out_dir and write_outputs:
+        t_encode = threading.Thread(target=_encode_branch)
+        t_encode.start()
+
+    # --- canonicalization -------------------------------------------------
     # mapping is small (one row per distinct surface form) and consumed by
     # three downstreams (link index, nodes, optional write) → pin it.
+    t0 = time.time()
     mapping = canonicalize.build_mapping(mentions).materialize()
+    timings["mapping"] = round(time.time() - t0, 3)
     n_entities = mapping.count()
     if link_shards is None:
         link_shards = 0 if n_entities < BROADCAST_MAX_ENTITIES else max(
@@ -149,18 +201,6 @@ def run_kg(
         linker_cls = EntityLinker
         linker_kwargs = {"index_ref": index_ref, "dim": dim}
 
-    # the reference's RetryPolicy (config.go:43-46) is parsed but never
-    # read; here it is actually enforced by Ray actor task retries
-    retry_args = {"max_task_retries": max_task_retries} if max_task_retries else {}
-    mentions_emb = mentions.map_batches(
-        HashingEncoder,
-        fn_constructor_kwargs={"dim": dim},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=encoder_concurrency,
-        **retry_args,
-    )
-
     # --- triple branch -> linking -> edges -------------------------------
     triples = extracted.map_batches(triples_table, batch_format="pyarrow")
     linked = triples.map_batches(
@@ -174,44 +214,21 @@ def run_kg(
         # max_restarts>0 on the pool, which deadlocks actor (re)starts whose
         # ctor args live in the object store (ray#53727, reproduced here).
     )
-    # The encode branch and the link branch are independent consumers of the
-    # pinned `extracted` — overlap exactly these TWO executions (two driver
-    # threads, two streaming executors; a third concurrent execution was
-    # measured to thrash at low CPU counts). `linked` feeds BOTH the triples
-    # output and edge aggregation → pin it; outputs write from memory.
-    linked_holder: dict = {}
-
-    def _link_branch():
-        # exceptions must not die in the thread: capture and re-raise on join
-        # (otherwise the main thread fails later with KeyError on 'ds',
-        # masking the real error)
-        try:
-            lk = linked.materialize()
-            if out_dir and write_outputs:
-                lk.write_parquet(os.path.join(out_dir, "triples"))
-            linked_holder["ds"] = lk
-        except BaseException as exc:  # noqa: BLE001
-            linked_holder["exc"] = exc
-
-    import threading
-
+    # `linked` feeds BOTH the triples output and edge aggregation → pin it.
+    t0 = time.time()
+    linked = linked.materialize()
     if out_dir and write_outputs:
-        t_link = threading.Thread(target=_link_branch)
-        t_link.start()
-        mentions_emb.write_parquet(os.path.join(out_dir, "mentions"))
-        t_link.join()
-    else:
-        _link_branch()
-    for a in shard_actors:  # linking done (or failed) → free the index
+        linked.write_parquet(os.path.join(out_dir, "triples"))
+    timings["link"] = round(time.time() - t0, 3)
+    for a in shard_actors:  # linking done → free the index actors
         ray.kill(a)
-    if "exc" in linked_holder:
-        raise linked_holder["exc"]
-    linked = linked_holder["ds"]
 
     # edges is consumed twice (edge table + degree computation) → pin the
     # (small, pre-aggregated) result instead of re-running the linker branch
+    t0 = time.time()
     edges = materialize.edges_from_linked(linked).materialize()
     edges_out = edges.map_batches(materialize.prov_to_struct, batch_format="pyarrow")
+    timings["edges"] = round(time.time() - t0, 3)
 
     # --- nodes + degree (join-free: union + one groupby) ------------------
     degree_partials = edges.map_batches(
@@ -232,14 +249,40 @@ def run_kg(
     }
 
     if out_dir and write_outputs:
+        t0 = time.time()
         paths = {"triples": os.path.join(out_dir, "triples"),
                  "mentions": os.path.join(out_dir, "mentions")}
-        result["mentions"] = rd.read_parquet(paths["mentions"])
+        # overlap the edges write with the nodes computation/write
+        edge_holder: dict = {}
+
+        def _write_edges():
+            try:
+                edges_out.write_parquet(os.path.join(out_dir, "edges"))
+            except BaseException as exc:  # noqa: BLE001
+                edge_holder["exc"] = exc
+
+        t_edges = threading.Thread(target=_write_edges)
+        t_edges.start()
+        nodes.write_parquet(os.path.join(out_dir, "nodes"))
+        t_edges.join()
+        if "exc" in edge_holder:
+            raise edge_holder["exc"]
         for name in ("edges", "nodes"):
             p = os.path.join(out_dir, name)
-            result[name].write_parquet(p)
             paths[name] = p
             result[name] = rd.read_parquet(p)
+        timings["final_writes"] = round(time.time() - t0, 3)
         result["paths"] = paths
+
+    if t_encode is not None:
+        t_encode.join()
+        if "exc" in encode_holder:
+            raise encode_holder["exc"]
+        timings["encode_write"] = encode_holder["sec"]
+        result["mentions"] = rd.read_parquet(
+            os.path.join(out_dir, "mentions"))
+
+    timings["total"] = round(time.time() - t_start, 3)
+    result["timings"] = timings
     return result
 

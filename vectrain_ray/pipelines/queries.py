@@ -471,6 +471,29 @@ def q_ann_topk(sf_dir: str):
     return topk_cosine(ds, q, k=10)
 
 
+def q_ann_index_topk(sf_dir: str):
+    """Persisted-IVF-index path (the vector-store sink, qdrant/store.go role):
+    build the index artifact under /tmp, then query it with n_probe=all —
+    exact, so it shares ann_topk's SQL oracle."""
+    import hashlib
+
+    from ..state.vector_index import build_ivf_index, query_ivf_index
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["embedding"])[0][0].as_py())
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/vectrain_ivf_{tag}"
+    n_centroids = 16
+    build_ivf_index(ds, index_dir, dim=dim, n_centroids=n_centroids)
+    qmin = ds.min("vec_id")
+    qrow = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], qmin)), batch_format="pyarrow"
+    ).take(1)[0]
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
+    return query_ivf_index(index_dir, q, k=10, n_probe=n_centroids)
+
+
 # --- transcripts / KG -----------------------------------------------------
 def q_transcript_turns(sf_dir: str):
     """documents → derived transcript turns; the per-turn text-equality
@@ -574,6 +597,7 @@ QUERIES = {
     "stopword_count": q_stopword_count,
     "lang_guess": q_lang_guess,
     "ann_topk": q_ann_topk,
+    "ann_index_topk": q_ann_index_topk,
     "transcript_turns": q_transcript_turns,
     "kg_triples": q_kg_triples,
     "kg_edges": q_kg_edges,
@@ -803,6 +827,16 @@ ORACLE_SQL = {
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     ),
     "ann_topk": (
+        "WITH q AS (SELECT embedding AS e FROM embeddings "
+        "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) "
+        "SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT e FROM q)), 4) "
+        "AS score FROM embeddings "
+        "ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id "
+        "LIMIT 10"
+    ),
+    # same result set as ann_topk: n_probe = n_centroids reads every cell →
+    # the persisted-index query is exactly brute-force cosine top-10
+    "ann_index_topk": (
         "WITH q AS (SELECT embedding AS e FROM embeddings "
         "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) "
         "SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT e FROM q)), 4) "

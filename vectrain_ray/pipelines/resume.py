@@ -35,7 +35,7 @@ import ray.data as rd
 from .. import rules
 from ..functions.dedup_exact import dedup_exact
 from ..stages import canonicalize, materialize
-from ..stages.encode import HashingEncoder
+from ..stages.encode import ENCODERS
 from ..stages.extract import (
     extract_batch,
     filter_nonempty_text,
@@ -90,6 +90,8 @@ def run_kg_resumable(
     fail_after_phase1_parts: int | None = None,
     max_task_retries: int = 2,
     link_shards: int = 0,
+    encoder_kind: str = "hashing",
+    encoder_kwargs: dict | None = None,
 ) -> dict:
     """Run (or resume) the partitioned pipeline. ``fail_after_phase1_parts``
     injects a crash after N phase-1 shards (kill-point testing only)."""
@@ -198,8 +200,8 @@ def run_kg_resumable(
         mentions = ext.map_batches(
             mentions_table, batch_format="pyarrow"
         ).map_batches(
-            HashingEncoder,
-            fn_constructor_kwargs={"dim": dim},
+            ENCODERS[encoder_kind],
+            fn_constructor_kwargs={"dim": dim, **(encoder_kwargs or {})},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=2,

@@ -60,13 +60,17 @@ class EntityLinker:
     """map_batches actor: adds ``<col>_id`` for each configured surface col."""
 
     def __init__(self, index_ref, cols=("subj", "obj"), dim: int = 64,
-                 fuzzy_threshold: float = 0.85):
+                 fuzzy_threshold: float = 0.85, max_memo: int = 1_000_000):
         import ray
 
         self.norm2ent, self.norms, self.mat = ray.get(index_ref)
         self.cols = cols
         self.dim = dim
         self.threshold = fuzzy_threshold
+        # surface → entity_id memo across batches (hot entities recur in
+        # every batch; the index is immutable for the run)
+        self.max_memo = max_memo
+        self._memo: dict = {}
 
     def _link_values(self, values: list) -> tuple[list, list]:
         """surfaces → (entity_ids, canonical_names); dict hit, else fuzzy
@@ -104,15 +108,20 @@ class EntityLinker:
         return eids, names
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        memo = self._memo
         for col in self.cols:
-            # link each DISTINCT surface once per batch, then fan back out
+            # link each DISTINCT un-memoized surface once, then fan back out
             vals = batch[col].to_pylist()
-            uniq = sorted({v for v in vals if v is not None})
-            eids_u, _ = self._link_values(uniq)
-            lut = dict(zip(uniq, eids_u))
-            batch = batch.append_column(
-                f"{col}_id", pa.array([lut.get(v) for v in vals], pa.string())
-            )
+            uniq = sorted({v for v in vals if v is not None and v not in memo})
+            fresh: dict = {}
+            if uniq:
+                eids_u, _ = self._link_values(uniq)
+                fresh = dict(zip(uniq, eids_u))
+                if len(memo) < self.max_memo:
+                    memo.update(fresh)
+            ids = [None if v is None else
+                   (memo[v] if v in memo else fresh[v]) for v in vals]
+            batch = batch.append_column(f"{col}_id", pa.array(ids, pa.string()))
         return batch
 
 

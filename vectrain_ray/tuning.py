@@ -13,9 +13,41 @@ from __future__ import annotations
 import logging
 
 
+def pin_failed_fsspec_http_import() -> None:
+    """Make the (absent-aiohttp) ``fsspec.implementations.http`` import
+    deterministic. Ray's path resolution does
+    ``from fsspec.implementations.http import HTTPFileSystem`` inside EVERY
+    ``write_parquet``/``read_parquet`` and catches ModuleNotFoundError — but
+    a FAILED import is not cached by Python, so two driver threads writing
+    concurrently (kg.py overlaps its branch writes) can race the retried
+    import and one sees the other's partially-initialized module: an
+    ImportError ('cannot import name HTTPFileSystem') that Ray does NOT
+    catch. Registering a stub module once makes every later import succeed
+    instantly and thread-safely; the stub class matches nothing in
+    isinstance checks, which is exactly the 'not an HTTP fs' answer."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return  # real module importable — nothing to pin
+    except ModuleNotFoundError:
+        pass
+    except ImportError:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # stub: isinstance(...) is always False for real fs
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def apply_data_context() -> None:
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    pin_failed_fsspec_http_import()
