@@ -98,3 +98,27 @@ def test_run_loop_bounded_stops(tmp_path):
     hist = drv.run(idle_stop_after=2)
     assert hist[0]["new_files"] == 1
     assert [h["new_files"] for h in hist[-2:]] == [0, 0]
+
+
+def test_status_surface_reads_committed_state(tmp_path):
+    """D6/D8: the status document is assembled from committed manifests +
+    offset store only (no Ray work) and reflects phases, stream offsets,
+    and output row counts."""
+    from vectrain_ray.run import _status
+
+    landing = str(tmp_path / "landing")
+    write_transcripts(landing, num_convs=8, turns_per_conv=4, seed=11,
+                      num_files=2)
+    out = str(tmp_path / "out")
+    drv = StreamDriver(landing, out, num_parts=2, poll_sec=0.01)
+    drv.poll_once()
+
+    doc = _status(out)
+    assert doc["finalized"] and doc["mapping_done"]
+    assert doc["phases"]["p1"]["completed_parts"] == [0, 1]
+    assert doc["phases"]["p1"]["total_rows"] > 0
+    assert doc["phases"]["p3"]["total_wall_sec"] > 0
+    assert doc["stream"]["files_ingested"] == 2
+    assert doc["output_rows"]["nodes"] > 0
+    assert _status(str(tmp_path / "nope")) == {
+        "out_dir": str(tmp_path / "nope"), "exists": False}

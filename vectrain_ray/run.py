@@ -1,10 +1,21 @@
-"""CLI entry point — the reference's ``vectrain --config=…`` recast
-(cmd/vectrain/main.go:28-121): load+validate config, run the pipeline,
-exit cleanly. Job control (the reference's /api/start|stop HTTP plane, D6)
-is ``ray job submit / stop``; pause/resume is checkpoint + relaunch
-(pipelines/resume.py).
+"""CLI entry point — the reference's ``vectrain --config=…`` + HTTP control
+plane recast (cmd/vectrain/main.go:28-121; internal/http/routes.go:17-23).
 
-    python -m vectrain_ray.run --config pipeline.json [--num-cpus N]
+Subcommands (the D6 control-plane surface):
+
+    python -m vectrain_ray.run run    --config pipeline.json [--num-cpus N]
+    python -m vectrain_ray.run stream --config pipeline.json [--num-cpus N]
+                                      [--max-iterations N] [--idle-stop-after N]
+                                      [--poll-sec S]
+    python -m vectrain_ray.run status --out-dir OUT
+
+``run`` = the reference's /api/start (one bounded pipeline); ``stream`` =
+the unbounded micro-batch loop (the Kafka consume loop; stop with SIGINT or
+the bounded flags — the /api/stop analogue, since checkpointed state makes
+kill+rerun lossless); ``status`` = the health/introspection + metrics
+endpoint (routes.go /health, monitoring/prometheus.go): it reads ONLY the
+committed manifests/offset store — no Ray session — and prints per-phase,
+per-partition metrics as one JSON document, suitable for scraping.
 
 This module OWNS its Ray session (guarded init + shutdown); library code
 never initialises Ray.
@@ -13,15 +24,85 @@ never initialises Ray.
 from __future__ import annotations
 
 import argparse
+import glob
 import json
+import os
 import sys
 
 
+def _status(out_dir: str) -> dict:
+    """Assemble the introspection document from committed state only."""
+    from .state.manifest import PartitionManifest
+
+    doc: dict = {"out_dir": out_dir, "exists": os.path.isdir(out_dir)}
+    if not doc["exists"]:
+        return doc
+    phases: dict = {}
+    for name, key in (("p1_extract", "p1"), ("p3_link", "p3")):
+        mdir = os.path.join(out_dir, name, "_manifest")
+        if not os.path.isdir(mdir):
+            continue
+        man = PartitionManifest(os.path.join(out_dir, name))
+        parts = {p: man.load(p) for p in man.completed_parts()}
+        phases[key] = {
+            "completed_parts": sorted(parts),
+            "partitions": parts,
+            "total_wall_sec": round(
+                sum(v.get("wall_sec", 0) for v in parts.values()), 3),
+            "total_rows": sum(
+                v.get("rows_out", v.get("triples_out", 0))
+                for v in parts.values()),
+        }
+    doc["phases"] = phases
+    doc["mapping_done"] = os.path.exists(
+        os.path.join(out_dir, "mapping", "_DONE"))
+    doc["finalized"] = os.path.exists(os.path.join(out_dir, "_FINAL_DONE"))
+    offsets_path = os.path.join(out_dir, "stream_offsets.json")
+    if os.path.exists(offsets_path):
+        offsets = json.load(open(offsets_path))
+        doc["stream"] = {
+            "files_ingested": len(offsets),
+            "rows_ingested": sum(v.get("rows", 0) for v in offsets.values()),
+            "last_ingested_at": max(
+                (v.get("ingested_at", 0) for v in offsets.values()),
+                default=None),
+        }
+    out_rows: dict = {}
+    for tbl in ("edges", "nodes"):
+        files = glob.glob(os.path.join(out_dir, tbl, "**", "*.parquet"),
+                          recursive=True)
+        if files:
+            import pyarrow.parquet as pq
+
+            out_rows[tbl] = sum(pq.read_metadata(f).num_rows for f in files)
+    doc["output_rows"] = out_rows
+    return doc
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # back-compat: bare `--config …` means `run --config …`
+    if argv and argv[0].startswith("--"):
+        argv = ["run"] + argv
+
     ap = argparse.ArgumentParser(prog="vectrain-ray")
-    ap.add_argument("--config", required=True, help="pipeline spec (YAML/JSON)")
-    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p_run = sub.add_parser("run", help="one bounded pipeline run")
+    p_run.add_argument("--config", required=True)
+    p_run.add_argument("--num-cpus", type=int, default=None)
+    p_st = sub.add_parser("stream", help="unbounded micro-batch watch loop")
+    p_st.add_argument("--config", required=True)
+    p_st.add_argument("--num-cpus", type=int, default=None)
+    p_st.add_argument("--max-iterations", type=int, default=None)
+    p_st.add_argument("--idle-stop-after", type=int, default=None)
+    p_st.add_argument("--poll-sec", type=float, default=2.0)
+    p_q = sub.add_parser("status", help="introspection from committed state")
+    p_q.add_argument("--out-dir", required=True)
     args = ap.parse_args(argv)
+
+    if args.cmd == "status":  # no Ray session needed
+        print(json.dumps(_status(args.out_dir)))
+        return 0
 
     from .config import PipelineSpec, run_from_spec
 
@@ -38,6 +119,23 @@ def main(argv: list[str] | None = None) -> int:
 
     apply_data_context()
     try:
+        if args.cmd == "stream":
+            from .pipelines.stream import StreamDriver
+
+            drv = StreamDriver(
+                spec.source.path, spec.sink.out_dir,
+                num_parts=spec.sink.num_parts, poll_sec=args.poll_sec,
+                dim=spec.encoder.dim, batch_size=spec.encoder.batch_size,
+                max_task_retries=spec.encoder.max_task_retries,
+                encoder_kind=spec.encoder.kind,
+                encoder_kwargs=spec.encoder.options,
+            )
+            history = drv.run(max_iterations=args.max_iterations,
+                              idle_stop_after=args.idle_stop_after)
+            print(json.dumps({"status": "ok", "polls": len(history),
+                              "new_files": sum(h["new_files"]
+                                               for h in history)}))
+            return 0
         metrics = run_from_spec(spec)
         print(json.dumps({"status": "ok", **{k: v for k, v in metrics.items()
                                              if isinstance(v, (int, str, list))}}))
