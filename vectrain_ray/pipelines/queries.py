@@ -393,9 +393,27 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_sample_hash(sf_dir: str):
+    """Deterministic 10% sample (SURVEY §2.6 sampling): keep rows whose
+    md5-lower-64 of the id is ≡ 0 mod 10 — reproducible across runs,
+    partitionings and engines, unlike ds.random_sample; exactly mirrored by
+    the SQL oracle's md5_number_lower. The right sampling primitive for
+    lineage-stable subsets at 100 TB (re-runs pick the SAME rows)."""
+    from ..functions.dedup import md5_lower64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = [md5_lower64(str(d)) % 10 == 0 for d in t["doc_id"].to_pylist()]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dedup (rows-only oracle: clustering is not
-    SQL-expressible)."""
+    """MinHash+LSH near-dedup, fully SQL-mirrored (ORACLE_SQL reproduces the
+    md5 shingles, affine-mod-2^64 permutations, banding, Jaccard verify and
+    recursive-CTE clustering bit-for-bit)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup_minhash(ds, threshold=0.8)
 
@@ -589,6 +607,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "dedup_exact": q_dedup_exact,
     "fingerprint": q_fingerprint,
+    "sample_hash": q_sample_hash,
     "dedup_minhash": q_dedup_minhash,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
@@ -796,6 +815,10 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "lang_guess": _LANG_GUESS_SQL,
+    "sample_hash": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0"
+    ),
     "dedup_minhash": _DEDUP_MINHASH_SQL,
     "embed_neardup": _EMBED_NEARDUP_SQL,
     # Full SQL mirror of the SimHash op: token hash = md5_number_lower
