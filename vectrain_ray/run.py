@@ -98,10 +98,36 @@ def main(argv: list[str] | None = None) -> int:
     p_st.add_argument("--poll-sec", type=float, default=2.0)
     p_q = sub.add_parser("status", help="introspection from committed state")
     p_q.add_argument("--out-dir", required=True)
+    p_p = sub.add_parser("push", help="HTTP push-ingest server → landing dir")
+    p_p.add_argument("--landing-dir", required=True)
+    p_p.add_argument("--port", type=int, default=8080)
+    p_p.add_argument("--queue-cap", type=int, default=1000)
+    p_p.add_argument("--status-out-dir", default=None)
     args = ap.parse_args(argv)
 
     if args.cmd == "status":  # no Ray session needed
         print(json.dumps(_status(args.out_dir)))
+        return 0
+
+    if args.cmd == "push":  # no Ray session needed (ingest is decoupled)
+        import time
+
+        from .sources.push import PushServer
+
+        srv = PushServer(args.landing_dir, port=args.port,
+                         queue_cap=args.queue_cap,
+                         status_out_dir=args.status_out_dir).start()
+        print(json.dumps({"status": "serving", "host": srv.host,
+                          "port": srv.port}), flush=True)
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.stop()  # tail flush
+        print(json.dumps({"status": "stopped", "accepted": srv.accepted,
+                          "rejected_full": srv.rejected_full}))
         return 0
 
     from .config import PipelineSpec, run_from_spec
