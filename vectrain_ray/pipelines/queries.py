@@ -275,6 +275,96 @@ def q_window_tumbling(sf_dir: str):
     )
 
 
+_SLIDE_W = 3600  # window width (sec)
+_SLIDE_S = 900   # slide step (sec) → each event lands in 4 windows
+
+
+def q_window_sliding(sf_dir: str):
+    """Sliding event-time window (1 h wide, 15 min step): each event is
+    exploded to its width/step windows VECTORIZED (numpy repeat on integer
+    window indices — no per-row Python), partial-aggregated per
+    (window, event_type) inside the batch, then one bucketed final merge.
+    The multi-window explode is the canonical sliding-window shape: shuffle
+    volume is (width/step) × the PARTIAL rows, never × the events."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    n_win = _SLIDE_W // _SLIDE_S
+
+    def partial(t: pa.Table) -> pa.Table:
+        sec = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        sec = sec // 1_000_000  # timestamp[us] → epoch seconds
+        hi = sec // _SLIDE_S  # last window index containing the event
+        # windows hi-n_win+1 .. hi  (those whose [start, start+W) cover ts)
+        wi = (np.repeat(hi, n_win)
+              - np.tile(np.arange(n_win, dtype=np.int64), len(hi)))
+        et = np.repeat(
+            np.asarray(t["event_type"].to_pylist(), dtype=object), n_win)
+        df = pd.DataFrame({"window_start": wi * _SLIDE_S, "event_type": et})
+        g = df.groupby(["window_start", "event_type"], sort=False).size() \
+            .reset_index(name="p_cnt")
+        from ..functions.dedup_exact import key_buckets
+
+        g["bucket"] = key_buckets(g, ["window_start"], 32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["window_start", "event_type"], sort=True)["p_cnt"] \
+            .sum().reset_index(name="n_events")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Frequency top-k (the heavy-hitters sketch's exact form): per-batch
+    partial counts in Arrow C++ → tiny groupby sum → global top-20 with a
+    deterministic (count desc, key asc) tie-break. At 100 TB the partial
+    pass bounds shuffle rows by (#batches × #distinct-in-batch)."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_partkey").aggregate([("l_partkey", "count")])
+        return g.rename_columns(["l_partkey", "p_cnt"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_partkey")
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+    )
+    return out.sort(["cnt", "l_partkey"], descending=[True, False]).limit(20)
+
+
+def q_set_except(sf_dir: str):
+    """Set difference (EXCEPT): customer keys minus event-user keys —
+    bucketed distinct on the minuend, broadcast distinct-key-set
+    anti-filter for the subtrahend via pc.is_in + invert. (For a
+    subtrahend too large to broadcast, use the shuffle path of q_anti_join
+    instead — that op filters ROWS, this one computes the key SET.)"""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    okeys = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id"])["user_id"]
+    o_set = pa.array(sorted(set(okeys.to_pylist())), pa.int64())
+    ref = ray.put(o_set)
+
+    distinct = dedup_exact(cust, ["c_custkey"])
+
+    class ExceptFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = pc.cast(self.keys, t["c_custkey"].type)
+            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
+            return t.filter(mask)
+
+    return distinct.map_batches(ExceptFilter, batch_format="pyarrow",
+                                concurrency=2)
+
+
 def q_asof_join(sf_dir: str):
     """As-of join (events ↔ latest order at-or-before ts per user): the
     small side (orders, deduped to one row per (cust, date) deterministically)
@@ -332,7 +422,8 @@ def q_anti_join(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             # Arrow C++ set membership — no per-row Python
-            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys))
+            keys = pc.cast(self.keys, t["c_custkey"].type)
+            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
             return t.filter(mask)
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -602,6 +693,9 @@ QUERIES = {
     "hash_join": q_hash_join,
     "sessionize": q_sessionize,
     "window_tumbling": q_window_tumbling,
+    "window_sliding": q_window_sliding,
+    "heavy_hitters": q_heavy_hitters,
+    "set_except": q_set_except,
     "asof_join": q_asof_join,
     "anti_join": q_anti_join,
     "topk_per_group": q_topk_per_group,
@@ -818,6 +912,23 @@ ORACLE_SQL = {
     "sample_hash": (
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0"
+    ),
+    # sliding window: each event joins the 4 window indices covering it
+    "window_sliding": (
+        "SELECT wi * 900 AS window_start, event_type, "
+        "count(*) AS n_events FROM ("
+        "SELECT event_type, unnest(generate_series("
+        "(epoch_us(ts) // 1000000) // 900 - 3, "
+        "(epoch_us(ts) // 1000000) // 900)) AS wi "
+        "FROM events) GROUP BY wi, event_type"
+    ),
+    "heavy_hitters": (
+        "SELECT l_partkey, count(*) AS cnt FROM lineitem "
+        "GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 20"
+    ),
+    "set_except": (
+        "SELECT c_custkey FROM customer "
+        "EXCEPT SELECT user_id FROM events"
     ),
     "dedup_minhash": _DEDUP_MINHASH_SQL,
     "embed_neardup": _EMBED_NEARDUP_SQL,
