@@ -217,17 +217,36 @@ def run_kg(
     # `linked` feeds BOTH the triples output and edge aggregation → pin it.
     t0 = time.time()
     linked = linked.materialize()
-    if out_dir and write_outputs:
-        linked.write_parquet(os.path.join(out_dir, "triples"))
     timings["link"] = round(time.time() - t0, 3)
     for a in shard_actors:  # linking done → free the index actors
         ray.kill(a)
 
+    # Both consumers of the pinned `linked` — the triples parquet write and
+    # the edge aggregation — are independent: overlap them (the encode
+    # branch is usually done by now, so this keeps two executions in
+    # flight, not three).
+    t0 = time.time()
+    triples_holder: dict = {}
+
+    def _write_triples():
+        try:
+            linked.write_parquet(os.path.join(out_dir, "triples"))
+        except BaseException as exc:  # noqa: BLE001
+            triples_holder["exc"] = exc
+
+    t_triples = None
+    if out_dir and write_outputs:
+        t_triples = threading.Thread(target=_write_triples)
+        t_triples.start()
+
     # edges is consumed twice (edge table + degree computation) → pin the
     # (small, pre-aggregated) result instead of re-running the linker branch
-    t0 = time.time()
     edges = materialize.edges_from_linked(linked).materialize()
     edges_out = edges.map_batches(materialize.prov_to_struct, batch_format="pyarrow")
+    if t_triples is not None:
+        t_triples.join()
+        if "exc" in triples_holder:
+            raise triples_holder["exc"]
     timings["edges"] = round(time.time() - t0, 3)
 
     # --- nodes + degree (join-free: union + one groupby) ------------------

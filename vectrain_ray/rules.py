@@ -122,14 +122,16 @@ def extract_mentions(sentence: str):
     return out
 
 
-def extract_triples_from_sentence(sentence: str):
+def extract_triples_from_sentence(sentence: str, mentions=None):
     """(subj, pred, obj) triples in one sentence.
 
     Rule: for each predicate occurrence, subj = nearest mention ending at or
     before the predicate start, obj = nearest mention starting at or after the
-    predicate end; both must exist, subj != obj.
-    """
-    mentions = extract_mentions(sentence)
+    predicate end; both must exist, subj != obj. Pass precomputed
+    ``mentions`` to avoid re-running the mention regex (the extractor
+    computes them once per sentence anyway)."""
+    if mentions is None:
+        mentions = extract_mentions(sentence)
     if not mentions:
         return []
     out = []

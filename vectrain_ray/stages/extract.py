@@ -47,6 +47,27 @@ def filter_nonempty_text(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.not_equal(stripped, ""))
 
 
+# Per-worker-process sentence memo: mention/triple extraction is a pure
+# function of the SENTENCE (spans are sentence-relative; ids are derived
+# outside), and templated/conversational corpora repeat sentences heavily
+# (68% duplicates measured within ONE bench file) — so each worker runs the
+# regexes once per distinct sentence. Bounded; misses beyond the cap are
+# computed without being retained.
+_SENT_CACHE: dict = {}
+_SENT_CACHE_MAX = 2_000_000
+
+
+def _sentence_extract(sentence: str):
+    r = _SENT_CACHE.get(sentence)
+    if r is None:
+        m = rules.extract_mentions(sentence)
+        tr = rules.extract_triples_from_sentence(sentence, mentions=m)
+        r = (m, tr)
+        if len(_SENT_CACHE) < _SENT_CACHE_MAX:
+            _SENT_CACHE[sentence] = r
+    return r
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """transcripts batch → combined mention+triple rows (EXTRACTED_SCHEMA).
 
@@ -68,7 +89,8 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         occ = 0
         off = 0
         for sentence in text.split(rules.SENTENCE_SEP):
-            for surf, s, e in rules.extract_mentions(sentence):
+            sent_mentions, sent_triples = _sentence_extract(sentence)
+            for surf, s, e in sent_mentions:
                 o_conv.append(conv_id)
                 o_turn.append(turn_idx)
                 o_kind.append("mention")
@@ -79,7 +101,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
                 o_subj.append(None)
                 o_pred.append(None)
                 o_obj.append(None)
-            for subj, pred, obj in rules.extract_triples_from_sentence(sentence):
+            for subj, pred, obj in sent_triples:
                 o_conv.append(conv_id)
                 o_turn.append(turn_idx)
                 o_kind.append("triple")
