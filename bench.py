@@ -178,10 +178,10 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
 
     def eff_pair(mode: str) -> dict:
-        # the hi-level run is short → noisy (scheduler/obj-store warmup
-        # variance up to ~20%); run it twice and keep the steady-state
-        # (fastest). The lo run is long and stable → once.
-        r_lo = run(lo, mode)
+        # run-to-run variance on this shared box reaches ±20% at BOTH
+        # levels (page cache, background noise) — take min-of-2 at both so
+        # the ratio compares steady states, not noise draws
+        r_lo = min((run(lo, mode) for _ in range(2)), key=lambda r: r["value"])
         r_hi = min((run(hi, mode) for _ in range(2)), key=lambda r: r["value"])
         tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
         return {

@@ -82,6 +82,36 @@ def q_id_backfill(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_read_json(sf_dir: str):
+    """T1 (JSON parse / schema-on-read, kafka/fetch_messages.go:33-34):
+    documents round-tripped once to JSONL under /tmp, ingested with
+    ray.data.read_json, typed projection pushed to Arrow. Oracle reads the
+    same columns from the parquet view — value-exact."""
+    import hashlib as _hl
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    jdir = f"/tmp/vectrain_json_{tag}"
+    marker = os.path.join(jdir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(jdir, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "lang", "n_chars"])
+        t.to_pandas().to_json(os.path.join(jdir, "docs.jsonl"),
+                              orient="records", lines=True)
+        open(marker, "w").write("ok")
+    ds = rd.read_json(os.path.join(jdir, "docs.jsonl"))
+    sch = pq.read_schema(os.path.join(sf_dir, "documents.parquet"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        # cast back to the parquet column types (JSON numbers arrive int64)
+        return pa.table(
+            {c: pc.cast(t[c], sch.field(c).type)
+             for c in ("doc_id", "lang", "n_chars")}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_typed_projection(sf_dir: str):
     """Typed projection + cast with zero-value defaults (qdrant/store.go:53-89)."""
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value", "props"])
@@ -686,6 +716,7 @@ QUERIES = {
     "filter_project": q_filter_project,
     "id_backfill": q_id_backfill,
     "typed_projection": q_typed_projection,
+    "read_json": q_read_json,
     "groupby_agg": q_groupby_agg,
     "sort_topk": q_sort_topk,
     "distinct": q_distinct,
@@ -913,6 +944,7 @@ ORACLE_SQL = {
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0"
     ),
+    "read_json": "SELECT doc_id, lang, n_chars FROM documents",
     # sliding window: each event joins the 4 window indices covering it
     "window_sliding": (
         "SELECT wi * 900 AS window_start, event_type, "

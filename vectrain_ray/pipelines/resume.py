@@ -32,6 +32,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+import logging
+
 from .. import rules
 from ..functions.dedup_exact import dedup_exact
 from ..stages import canonicalize, materialize
@@ -54,6 +56,8 @@ from ..state.manifest import (
     clear_partition_outputs,
     partition_output_dir,
 )
+
+_LOG = logging.getLogger("vectrain_ray.resume")
 
 TABLES_P1 = ["extracted"]
 TABLES_P3 = ["triples", "mentions", "edge_partials"]
@@ -126,6 +130,11 @@ def run_kg_resumable(
         n = sum(pq.read_metadata(f).num_rows
                 for f in glob.glob(os.path.join(ext_dir, "*.parquet")))
         man1.commit(part, files, {"rows_out": n, "wall_sec": round(time.time() - t0, 3)})
+        from ..logs import log_event
+
+        log_event(_LOG, f"p1 extract part={part} committed", phase="p1",
+                  part=part, rows_out=n,
+                  wall_sec=round(time.time() - t0, 3))
         done1 += 1
         if fail_after_phase1_parts is not None and done1 >= fail_after_phase1_parts:
             raise RuntimeError("injected kill after phase-1 shard "
@@ -238,6 +247,11 @@ def run_kg_resumable(
                    for f in glob.glob(os.path.join(tr_dir, "*.parquet")))
         man3.commit(part, ext_files,
                     {"triples_out": n_tr, "wall_sec": round(time.time() - t0, 3)})
+        from ..logs import log_event
+
+        log_event(_LOG, f"p3 link part={part} committed", phase="p3",
+                  part=part, triples_out=n_tr,
+                  wall_sec=round(time.time() - t0, 3))
 
     for a in shard_actors:  # linking done → free the index actors
         ray.kill(a)

@@ -32,11 +32,16 @@ import json
 import os
 import time
 
+import logging
+
 import pyarrow as pa
 import ray.data as rd
 
 from .. import rules
+from ..logs import log_event
 from .resume import run_kg_resumable
+
+_LOG = logging.getLogger("vectrain_ray.stream")
 
 
 class StreamDriver:
@@ -119,6 +124,10 @@ class StreamDriver:
         )
         metrics.update({"new_files": len(new), "rows_in": rows_in,
                         "ran_pipeline": True})
+        log_event(_LOG, f"poll ingested {len(new)} files ({rows_in} rows)",
+                  new_files=len(new), rows_in=rows_in,
+                  skipped_p1=metrics.get("skipped_p1"),
+                  skipped_p3=metrics.get("skipped_p3"))
         return metrics
 
     def run(self, max_iterations: int | None = None,

@@ -144,6 +144,9 @@ def main(argv: list[str] | None = None) -> int:
     from .tuning import apply_data_context
 
     apply_data_context()
+    from .logs import setup_logging
+
+    setup_logging(spec.sink.out_dir)
     try:
         if args.cmd == "stream":
             from .pipelines.stream import StreamDriver
