@@ -141,3 +141,21 @@ def test_resumable_with_sharded_index(small_transcripts, tmp_path):
     m2 = run_kg_resumable(inp, out_s, num_parts=2, link_shards=3)
     assert m2["skipped_p1"] == len(m1["p1_parts"]) and m2["skipped_p1"] > 0
     assert m2["skipped_p3"] == len(m1["p3_parts"]) and m2["skipped_p3"] > 0
+
+
+def test_name_edges_join_path_equals_broadcast(small_transcripts):
+    """name_edges above the broadcast threshold (forced with
+    broadcast_max=0) must equal the broadcast path row-for-row — the node
+    table is never driver-materialized on the scale path."""
+    from vectrain_ray.pipelines.kg import run_kg
+    from vectrain_ray.pipelines.queries import name_edges
+
+    res = run_kg(rd.from_arrow(small_transcripts), out_dir=None,
+                 write_outputs=False)
+    b = name_edges(res["edges"], res["nodes"]).to_pandas()
+    j = name_edges(res["edges"], res["nodes"], broadcast_max=0).to_pandas()
+    key = ["src_name", "pred", "dst_name", "weight"]
+    pd.testing.assert_frame_equal(
+        b.sort_values(key, kind="stable").reset_index(drop=True),
+        j.sort_values(key, kind="stable").reset_index(drop=True),
+    )

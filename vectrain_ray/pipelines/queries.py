@@ -218,7 +218,10 @@ def q_hash_join(sf_dir: str):
     on the key), then partial+final aggregate per market segment."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = orders.join(cust, join_type="inner", num_partitions=16,
+    # join aggregator pool sized to the cluster (oversized pools stall
+    # scheduling on small clusters — see name_edges)
+    nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    joined = orders.join(cust, join_type="inner", num_partitions=nparts,
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -676,33 +679,69 @@ def _run_tpch_kg(sf_dir: str) -> dict:
     return _KG_CACHE[sf_dir]
 
 
+def name_edges(edges, nodes, broadcast_max: int | None = None):
+    """edges (src_id, dst_id, pred, weight) ⋈ nodes (entity_id →
+    canonical_name) → (src_name, pred, dst_name, weight).
+
+    Same deployment policy as the link index (pipelines/kg.py
+    BROADCAST_MAX_ENTITIES): when the node table fits a broadcast object,
+    ship it once via ray.put and resolve per batch with index_in/take
+    (zero shuffle); above the threshold fall back to two hash joins — the
+    node table is never pulled whole to the driver OR to one worker.
+    ``broadcast_max`` overrides the threshold (tests force the join path)."""
+    from .kg import BROADCAST_MAX_ENTITIES
+
+    if broadcast_max is None:
+        broadcast_max = BROADCAST_MAX_ENTITIES
+    names = nodes.select_columns(["entity_id", "canonical_name"])
+    if names.count() < broadcast_max:
+        nd = names.to_pandas()
+        name_ref = ray.put((list(nd["entity_id"]), list(nd["canonical_name"])))
+
+        class NameEdges:
+            def __init__(self):
+                keys, vals = ray.get(name_ref)
+                self.keys = pa.array(keys, pa.string())
+                self.vals = pa.array(vals, pa.string())
+
+            def _lookup(self, col) -> pa.Array:
+                return pc.take(self.vals, pc.index_in(col, value_set=self.keys))
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "src_name": self._lookup(t["src_id"]),
+                        "pred": t["pred"],
+                        "dst_name": self._lookup(t["dst_id"]),
+                        "weight": t["weight"],
+                    }
+                )
+
+        return edges.map_batches(NameEdges, batch_format="pyarrow",
+                                 concurrency=2)
+    # scale path: hash-join once per key side (scalar columns only).
+    # Partition count sized to the cluster: the join's aggregator actors
+    # each reserve a CPU slot, and an oversized pool stalls scheduling on
+    # small clusters (observed at num_partitions=16 with 4 CPUs).
+    nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    sn = names.map_batches(
+        lambda t: t.rename_columns(["src_id", "src_name"]),
+        batch_format="pyarrow")
+    dn = names.map_batches(
+        lambda t: t.rename_columns(["dst_id", "dst_name"]),
+        batch_format="pyarrow")
+    out = (edges.select_columns(["src_id", "dst_id", "pred", "weight"])
+           .join(sn, join_type="inner", num_partitions=nparts, on=("src_id",))
+           .join(dn, join_type="inner", num_partitions=nparts, on=("dst_id",)))
+    return out.select_columns(["src_name", "pred", "dst_name", "weight"])
+
+
 def q_kg_edges(sf_dir: str):
-    """Full pipeline → edges with readable names (ids → canonical_name via
-    the broadcast node map). SQL oracle: weight 2 per (entity, nation)."""
+    """Full pipeline → edges with readable names (ids → canonical_name,
+    broadcast-or-join per name_edges policy). SQL oracle: weight 2 per
+    (entity, nation)."""
     res = _run_tpch_kg(sf_dir)
-    nodes = res["nodes"].select_columns(["entity_id", "canonical_name"]).to_pandas()
-    name_ref = ray.put(dict(zip(nodes["entity_id"], nodes["canonical_name"])))
-
-    class NameEdges:
-        def __init__(self):
-            names = ray.get(name_ref)
-            self.keys = pa.array(list(names.keys()), pa.string())
-            self.vals = pa.array(list(names.values()), pa.string())
-
-        def _lookup(self, col) -> pa.Array:
-            return pc.take(self.vals, pc.index_in(col, value_set=self.keys))
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "src_name": self._lookup(t["src_id"]),
-                    "pred": t["pred"],
-                    "dst_name": self._lookup(t["dst_id"]),
-                    "weight": t["weight"],
-                }
-            )
-
-    return res["edges"].map_batches(NameEdges, batch_format="pyarrow", concurrency=2)
+    return name_edges(res["edges"], res["nodes"])
 
 
 def q_kg_nodes(sf_dir: str):
