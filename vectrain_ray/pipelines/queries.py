@@ -164,6 +164,67 @@ def q_groupby_agg(sf_dir: str):
     )
 
 
+def q_grouped_median(sf_dir: str):
+    """Exact grouped quantile via the value-count combiner: each batch
+    collapses to (group, value, count) in Arrow C++, counts merge in one
+    tiny groupby, and the discrete median (DuckDB quantile_disc semantics:
+    element at floor((n-1)/2) of the sorted multiset) is read off the CDF.
+    Exact at any scale when the VALUE domain is bounded (quantities, ages,
+    scores) — the classic alternative to t-digest sketches."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_quantity", "p_cnt"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+    )
+
+    def cdf_median(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_m = [], []
+        for flag, g in df.groupby("l_returnflag", sort=True):
+            g = g.sort_values("l_quantity", kind="stable")
+            n = int(g["cnt"].sum())
+            idx = (n - 1) // 2  # discrete lower median
+            cum = g["cnt"].cumsum()
+            v = g.loc[cum > idx, "l_quantity"].iloc[0]
+            out_g.append(flag)
+            out_m.append(float(v))
+        return pd.DataFrame({"l_returnflag": out_g, "median_qty": out_m})
+
+    # merged is ≤ (#groups × #distinct values) rows → one task reads the CDF
+    return merged.repartition(1).map_batches(
+        cdf_median, batch_format="pandas", batch_size=None)
+
+
+def q_set_intersect(sf_dir: str):
+    """Set intersection: customer keys that are ALSO event users — bucketed
+    distinct + broadcast key-set filter (the positive twin of set_except)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    ukeys = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id"])["user_id"]
+    u_set = pa.array(sorted(set(ukeys.to_pylist())), pa.int64())
+    ref = ray.put(u_set)
+
+    distinct = dedup_exact(cust, ["c_custkey"])
+
+    class IntersectFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = pc.cast(self.keys, t["c_custkey"].type)
+            return t.filter(pc.is_in(t["c_custkey"], value_set=keys))
+
+    return distinct.map_batches(IntersectFilter, batch_format="pyarrow",
+                                concurrency=2)
+
+
 def q_sort_topk(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
@@ -757,6 +818,8 @@ QUERIES = {
     "typed_projection": q_typed_projection,
     "read_json": q_read_json,
     "groupby_agg": q_groupby_agg,
+    "grouped_median": q_grouped_median,
+    "set_intersect": q_set_intersect,
     "sort_topk": q_sort_topk,
     "distinct": q_distinct,
     "broadcast_join": q_broadcast_join,
@@ -1000,6 +1063,15 @@ ORACLE_SQL = {
     "set_except": (
         "SELECT c_custkey FROM customer "
         "EXCEPT SELECT user_id FROM events"
+    ),
+    "set_intersect": (
+        "SELECT c_custkey FROM customer "
+        "INTERSECT SELECT user_id FROM events"
+    ),
+    "grouped_median": (
+        "SELECT l_returnflag, "
+        "CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS median_qty "
+        "FROM lineitem GROUP BY l_returnflag"
     ),
     "dedup_minhash": _DEDUP_MINHASH_SQL,
     "embed_neardup": _EMBED_NEARDUP_SQL,
