@@ -122,3 +122,42 @@ def test_status_surface_reads_committed_state(tmp_path):
     assert doc["output_rows"]["nodes"] > 0
     assert _status(str(tmp_path / "nope")) == {
         "out_dir": str(tmp_path / "nope"), "exists": False}
+
+
+def test_crash_after_ingest_before_pipeline_recovers(tmp_path):
+    """Regression: files ingested (offsets committed) but the pipeline run
+    crashed → a later poll with NO new files must still run the pipeline
+    (the stale _FINAL_DONE from the previous success must not mask it)."""
+    landing = str(tmp_path / "landing")
+    write_transcripts(landing, num_convs=16, turns_per_conv=4, seed=8,
+                      num_files=4)
+    all_files = sorted(glob.glob(os.path.join(landing, "*.parquet")))
+    hidden = str(tmp_path / "hidden")
+    os.makedirs(hidden)
+    late = all_files[2:]
+    for f in late:
+        os.rename(f, os.path.join(hidden, os.path.basename(f)))
+
+    out = str(tmp_path / "out")
+    drv = StreamDriver(landing, out, num_parts=2, poll_sec=0.01)
+    drv.poll_once()  # success → _FINAL_DONE + __completed__ committed
+
+    # new files arrive; simulate a crash AFTER ingest, BEFORE the pipeline
+    for f in late:
+        dst = os.path.join(landing, os.path.basename(f))
+        os.rename(os.path.join(hidden, os.path.basename(f)), dst)
+        offsets = drv._load_offsets()
+        offsets[dst] = {"rows": drv._append_file(dst), "ingested_at": 0}
+        drv._commit_offsets(offsets)
+
+    m = drv.poll_once()  # sees no "new" files — but must still run
+    assert m["new_files"] == 0 and m["ran_pipeline"] is True
+
+    out_once = str(tmp_path / "out_once")
+    run_kg_resumable(landing, out_once, num_parts=2)
+    for tbl in ("edges", "nodes"):
+        pd.testing.assert_frame_equal(
+            _read_sorted(out, tbl), _read_sorted(out_once, tbl)), tbl
+
+    # and now it IS up to date
+    assert drv.poll_once()["ran_pipeline"] is False

@@ -105,7 +105,11 @@ class StreamDriver:
     # --- the poll loop ----------------------------------------------------
     def poll_once(self) -> dict:
         """One micro-batch: ingest NEW landing files (exactly-once), then
-        run the manifest-gated phases. No new files → pure no-op."""
+        run the manifest-gated phases. A poll is a pure no-op only when the
+        PIPELINE has completed over exactly the current file set — a stale
+        ``_FINAL_DONE`` from an earlier poll does NOT mask files that were
+        ingested but whose pipeline run crashed (the ``__completed__``
+        marker commits only after a successful run)."""
         offsets = self._load_offsets()
         files = sorted(glob.glob(os.path.join(self.input_dir, "*.parquet")))
         new = [f for f in files if f not in offsets]
@@ -116,12 +120,20 @@ class StreamDriver:
             offsets[f] = {"rows": n, "ingested_at": time.time()}
             self._commit_offsets(offsets)  # per-file commit, append is
             # idempotent → crash between append and commit is safe
-        if not new and os.path.exists(os.path.join(self.out_dir, "_FINAL_DONE")):
+        up_to_date = (
+            not new
+            and offsets.get("__completed__") == files
+            and os.path.exists(os.path.join(self.out_dir, "_FINAL_DONE"))
+        )
+        if up_to_date:
             return {"new_files": 0, "rows_in": 0, "ran_pipeline": False}
         metrics = run_kg_resumable(
             self.input_dir, self.out_dir, num_parts=self.num_parts,
             **self.resume_kwargs,
         )
+        offsets = self._load_offsets()
+        offsets["__completed__"] = files  # commit LAST: pipeline succeeded
+        self._commit_offsets(offsets)
         metrics.update({"new_files": len(new), "rows_in": rows_in,
                         "ran_pipeline": True})
         log_event(_LOG, f"poll ingested {len(new)} files ({rows_in} rows)",

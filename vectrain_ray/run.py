@@ -59,7 +59,8 @@ def _status(out_dir: str) -> dict:
     doc["finalized"] = os.path.exists(os.path.join(out_dir, "_FINAL_DONE"))
     offsets_path = os.path.join(out_dir, "stream_offsets.json")
     if os.path.exists(offsets_path):
-        offsets = json.load(open(offsets_path))
+        offsets = {k: v for k, v in json.load(open(offsets_path)).items()
+                   if not k.startswith("__")}  # skip the __completed__ marker
         doc["stream"] = {
             "files_ingested": len(offsets),
             "rows_ingested": sum(v.get("rows", 0) for v in offsets.values()),
