@@ -67,9 +67,6 @@ def log_event(logger: logging.Logger, msg: str, **fields) -> None:
     logger.info(msg, extra={"fields": fields})
 
 
-_T0: dict = {}
-
-
 def phase_timer(logger: logging.Logger, phase: str):
     """Context manager logging a phase's wall time as a structured event."""
     class _Timer:

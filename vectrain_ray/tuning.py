@@ -3,9 +3,14 @@ tests, CLI, driver contract) — never by library functions, which stay pure.
 
 Note on shuffle strategy: Ray 2.49's HASH_SHUFFLE backend measured ~1.5×
 faster than the default sort-based shuffle on this engine's bucketed
-groupbys, but its aggregator ACTORS reserve CPUs and can starve the map
-stages on small clusters (observed executor stall at num_cpus=4), so the
-default sort shuffle is kept. Revisit with explicit aggregator sizing.
+groupbys in isolation, but its aggregator ACTORS stall the full KG
+pipeline on small clusters — reproduced TWICE: executor stall at
+num_cpus=4 (round 1), and a >10-min hang of the 47-s 8-CPU pipeline even
+with max_hash_shuffle_aggregators=2 and 0.1-CPU-per-partition overrides
+(round 2; the overlapped dual-execution DAG deadlocks against the
+aggregator pool). The default sort shuffle is kept; revisit only on a
+real multi-node cluster where aggregators don't share cores with the map
+stages.
 """
 
 from __future__ import annotations
