@@ -280,3 +280,29 @@ def test_video_sampler_deterministic():
     a = VideoFrameSampler()(t).to_pylist()
     b = VideoFrameSampler()(t).to_pylist()
     assert a == b and len(a) == 5 * 2  # 1000ms / 500ms
+
+
+def test_dedup_minhash_string_ids():
+    """Regression (review finding): the distributed verify path must keep
+    working for STRING doc ids, not just int64 — the id dtype flows through
+    attach/verify generically."""
+    from vectrain_ray.functions.dedup import dedup_minhash
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    t = pa.table({
+        "doc_id": pa.array([f"doc-{i:03d}" for i in range(8)]),
+        "text": pa.array([
+            base, base + "!", base + " extra tail words",
+            "completely different content about databases and rays",
+            "another unrelated short text", base + "?",
+            "yet another singleton", "",
+        ]),
+    })
+    out = dedup_minhash(rd.from_arrow(t), threshold=0.8).to_pandas()
+    assert len(out) == 8
+    by_id = dict(zip(out["doc_id"], out["cluster_id"]))
+    # the three near-identical docs cluster together under the min id
+    assert by_id["doc-000"] == by_id["doc-001"] == by_id["doc-005"] == "doc-000"
+    assert by_id["doc-003"] == "doc-003"  # singleton keeps itself
+    keepers = set(out.loc[out["is_keeper"], "doc_id"])
+    assert "doc-000" in keepers and "doc-001" not in keepers

@@ -86,3 +86,21 @@ def test_upsert_idempotent_and_additive(tmp_path):
     ids = got["vec_id"].to_pylist()
     assert len(ids) == len(set(ids)) == 120  # no dupes from the re-ingest
     assert got["vec_id"][0].as_py() == 0  # self still top-1
+
+
+def test_upsert_changed_vector_no_duplicate_when_both_cells_probed(tmp_path):
+    """Regression (review finding): an upsert that MOVES a vector to a new
+    cell must not surface the stale copy when both cells are probed —
+    last-generation-wins is global across probed cells."""
+    d = str(tmp_path / "idx")
+    build_ivf_index(rd.from_arrow(_vecs(100)), d, dim=DIM, n_centroids=4)
+    # replace id 0 with a completely different vector (new cell, gen 1)
+    moved = _vecs(1, seed=999)
+    moved = moved.set_column(0, "vec_id", pa.array([0], pa.int64()))
+    upsert_ivf_index(rd.from_arrow(moved), d)
+    q = moved["embedding"][0].as_py()
+    got = query_ivf_index(d, q, k=100, n_probe=4)  # probe ALL cells
+    ids = got["vec_id"].to_pylist()
+    assert ids.count(0) == 1  # stale gen-0 copy suppressed
+    assert got["vec_id"][0].as_py() == 0  # new vector is its own top-1
+    assert got["score"][0].as_py() == 1.0

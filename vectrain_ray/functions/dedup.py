@@ -7,7 +7,8 @@ Union-find runs driver-side over the *verified* pair list only (small by
 construction); the full corpus never leaves the cluster.
 
 Everything is seeded/deterministic: permutation parameters derive from a
-fixed seed, shingle hashes use crc32 (process-stable), pair emission caps
+fixed seed, shingle/token hashes use md5-lower-64 (process-stable and
+SQL-reproducible), pair emission caps
 are deterministic (sorted ids) and surfaced via a 'truncated' flag rather
 than silently dropped.
 """
@@ -364,22 +365,22 @@ def verify_pairs_jaccard(cands, corpus, id_col: str = "doc_id",
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         pairs = g[g["id_a"].notna()]
         src = g[g["id_a"].isna()][["doc_id", "sh"]]
+        id_dtype = g["doc_id"].dtype  # works for int AND string ids
         if len(pairs) == 0 or len(src) == 0:
             return pd.DataFrame(
                 {
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "id_a": pd.Series([], dtype="int64"),
-                    "id_b": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype=id_dtype),
+                    "id_a": pd.Series([], dtype=id_dtype),
+                    "id_b": pd.Series([], dtype=id_dtype),
                     "sh": pd.Series([], dtype="object"),
                     "pbucket": pd.Series([], dtype="int32"),
                 }
             )
-        # arrow int64-with-nulls arrives as float in pandas → back to int;
-        # dedup here too — the same pair may arrive once per matching band
-        # (the upstream pair-dedup shuffle is skipped, this replaces it)
-        pairs = pairs[["doc_id", "id_a", "id_b"]].astype(
-            {"id_a": "int64", "id_b": "int64"}
-        ).drop_duplicates()
+        pairs = pairs[["doc_id", "id_a", "id_b"]]
+        if id_dtype.kind in "iu":
+            # arrow int-with-nulls arrives as float in pandas → back to int
+            pairs = pairs.astype({"id_a": id_dtype, "id_b": id_dtype})
+        pairs = pairs.drop_duplicates()
         m = pairs.merge(src, on="doc_id", how="inner")
         m["pbucket"] = key_buckets(m, ["id_a", "id_b"], num_buckets)
         return m
@@ -401,10 +402,11 @@ def verify_pairs_jaccard(cands, corpus, id_col: str = "doc_id",
                                         assume_unique=True))
                 j = nc / (na + nb - nc)
             if j >= threshold:
-                oa.append(int(ia))
-                ob.append(int(ib))
-        return pd.DataFrame({"id_a": pd.Series(oa, dtype="int64"),
-                             "id_b": pd.Series(ob, dtype="int64")})
+                oa.append(ia)
+                ob.append(ib)
+        id_dtype = g["id_a"].dtype
+        return pd.DataFrame({"id_a": pd.Series(oa, dtype=id_dtype),
+                             "id_b": pd.Series(ob, dtype=id_dtype)})
 
     return (
         sides.union(sk)

@@ -89,16 +89,18 @@ def q_read_json(sf_dir: str):
     same columns from the parquet view — value-exact."""
     import hashlib as _hl
 
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}:{st.st_mtime_ns}"  # regenerate when the corpus does
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
     jdir = f"/tmp/vectrain_json_{tag}"
     marker = os.path.join(jdir, "_DONE")
-    if not os.path.exists(marker):
+    if not (os.path.exists(marker) and open(marker).read() == fp):
         os.makedirs(jdir, exist_ok=True)
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "lang", "n_chars"])
+        t = pq.read_table(src, columns=["doc_id", "lang", "n_chars"])
         t.to_pandas().to_json(os.path.join(jdir, "docs.jsonl"),
                               orient="records", lines=True)
-        open(marker, "w").write("ok")
+        open(marker, "w").write(fp)
     ds = rd.read_json(os.path.join(jdir, "docs.jsonl"))
     sch = pq.read_schema(os.path.join(sf_dir, "documents.parquet"))
 
@@ -621,7 +623,8 @@ def q_embed_neardup(sf_dir: str):
     dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["embedding"])[0][0].as_py())
     pairs = neardup_pairs_cosine(ds, dim=dim, threshold=_ND_THRESHOLD,
-                                 n_planes=_ND_PLANES)
+                                 n_planes=_ND_PLANES,
+                                 max_bucket=_ND_MAX_BUCKET)
     return pairs.select_columns(["id_a", "id_b"])
 
 
@@ -754,7 +757,9 @@ def name_edges(edges, nodes, broadcast_max: int | None = None):
 
     if broadcast_max is None:
         broadcast_max = BROADCAST_MAX_ENTITIES
-    names = nodes.select_columns(["entity_id", "canonical_name"])
+    # pin once: count + the chosen path would otherwise re-execute a lazy
+    # nodes dataset 2-3 times
+    names = nodes.select_columns(["entity_id", "canonical_name"]).materialize()
     if names.count() < broadcast_max:
         nd = names.to_pandas()
         name_ref = ray.put((list(nd["entity_id"]), list(nd["canonical_name"])))
@@ -946,12 +951,17 @@ _ND_PLANE_VALUES = ", ".join(
     "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in row))
     for i, row in enumerate(_nd_hyperplanes(_ND_DIM, _ND_PLANES, seed=42))
 )
+_ND_MAX_BUCKET = 2000  # must equal neardup_pairs_cosine(max_bucket=...)
 _EMBED_NEARDUP_SQL = (
     f"WITH planes(pidx, vec) AS (VALUES {_ND_PLANE_VALUES}), "
-    "b AS (SELECT vec_id, embedding, "
+    "b0 AS (SELECT vec_id, embedding, "
     "sum(CASE WHEN list_dot_product(embedding, p.vec) > 0 "
     "THEN (1 << p.pidx) ELSE 0 END) AS bucket "
-    "FROM embeddings CROSS JOIN planes p GROUP BY vec_id, embedding) "
+    "FROM embeddings CROSS JOIN planes p GROUP BY vec_id, embedding), "
+    # same deterministic per-bucket cap as the Ray path (sorted by id,
+    # head max_bucket) so the oracle stays exact past 2000-vector buckets
+    "b AS (SELECT * FROM b0 QUALIFY "
+    f"row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= {_ND_MAX_BUCKET}) "
     "SELECT a.vec_id AS id_a, c.vec_id AS id_b "
     "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id "
     f"WHERE list_cosine_similarity(a.embedding, c.embedding) >= {_ND_THRESHOLD}"

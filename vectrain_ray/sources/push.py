@@ -59,6 +59,7 @@ class PushServer:
         self.accepted = 0
         self.rejected_full = 0
         self.rejected_bad = 0
+        self._counter_lock = threading.Lock()  # handler threads race +=
         self._files_written = 0
         self._stop = threading.Event()
         server_self = self
@@ -96,25 +97,31 @@ class PushServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     rec = json.loads(self.rfile.read(n))
+                    if not isinstance(rec, dict):  # '[1,2]' / '"x"' → 400
+                        raise ValueError("record must be a JSON object")
                     text = rec.get("text", "")
                     if not isinstance(text, str) or text == "":
-                        server_self.rejected_bad += 1
+                        with server_self._counter_lock:
+                            server_self.rejected_bad += 1
                         self._reply(400, {"error": "empty text"})  # client.go:90-97
                         return
                     row = {"conv_id": str(rec.get("conv_id", "")),
                            "turn_idx": int(rec.get("turn_idx", 0)),
                            "text": text}
                 except (ValueError, TypeError, json.JSONDecodeError):
-                    server_self.rejected_bad += 1
+                    with server_self._counter_lock:
+                        server_self.rejected_bad += 1
                     self._reply(400, {"error": "bad record"})
                     return
                 try:
                     server_self.queue.put_nowait(row)
                 except queue.Full:
-                    server_self.rejected_full += 1
+                    with server_self._counter_lock:
+                        server_self.rejected_full += 1
                     self._reply(429, {"error": "queue_full"})  # client.go:99-111
                     return
-                server_self.accepted += 1
+                with server_self._counter_lock:
+                    server_self.accepted += 1
                 self._reply(200, {"status": "queued"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)

@@ -77,7 +77,12 @@ class HashingEncoder:
             mat_m, errs_m = self._encode_texts(missing)
             fresh = {t: (mat_m[j], errs_m[j]) for j, t in enumerate(missing)}
             if len(memo) < self.max_memo:
-                memo.update(fresh)
+                # never memoize TRANSIENT failures (model-server errors):
+                # a cached dead-letter would poison every later occurrence
+                # of that surface on this actor. empty_text is
+                # deterministic → safe to cache.
+                memo.update({t: v for t, v in fresh.items()
+                             if v[1] is None or v[1] == "empty_text"})
         mat = np.empty((len(texts), self.dim), dtype=np.float32)
         errs: list = [None] * len(texts)
         for i, t in enumerate(texts):

@@ -161,6 +161,14 @@ class LinkShard:
     def __init__(self, index_dir: str, shard: int, dim: int = 64):
         import pyarrow.parquet as pq
 
+        if not os.path.isdir(index_dir):
+            # on a multi-node cluster this actor may land on any node —
+            # a missing index ROOT means the artifact isn't on shared
+            # storage; silently serving an empty index would mislink every
+            # surface with zero diagnostics
+            raise FileNotFoundError(
+                f"link index dir {index_dir!r} not visible from this node; "
+                "the index must live on storage all nodes share")
         files = sorted(glob.glob(
             os.path.join(index_dir, f"link_shard={shard}", "*.parquet")))
         if files:

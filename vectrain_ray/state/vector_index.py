@@ -21,7 +21,13 @@ at 100 TB, size ``n_centroids`` so one cell (≈ corpus/C) fits a reader;
 equal to functions.similarity.topk_cosine). Upsert is idempotent by vector
 id (the reference's upsert semantics, minus its random-uuid non-idempotency
 — see rules.stable_id): re-adding an id replaces it at query time via
-last-generation-wins dedup.
+GLOBAL last-generation-wins dedup over the probed cells. Strictness
+caveat: an upsert that CHANGES a vector assigns it to a (possibly) new
+cell; the stale copy in the old cell loses whenever both cells are
+probed, but can surface if only the old cell is — exactly Faiss-IVF
+semantics, where changed-vector upsert requires delete-before-insert or a
+rebuild. Same-vector re-ingest (the reference's at-least-once redelivery
+case) is always exact.
 """
 
 from __future__ import annotations
@@ -171,6 +177,7 @@ def query_ivf_index(index_dir: str, query_vec, k: int = 10,
 
     qn = q / max(np.linalg.norm(q), 1e-30)
     ids: list = []
+    gens: list = []
     scores: list = []
     for cell in probe.tolist():
         files = sorted(glob.glob(
@@ -178,20 +185,30 @@ def query_ivf_index(index_dir: str, query_vec, k: int = 10,
         if not files:
             continue
         t = pq.read_table(files, columns=[id_col, vec_col, _GEN_COL])
-        if meta["max_gen"] > 0:
-            # last-generation-wins per id (upsert semantics)
-            import pandas as pd
-
-            df = t.to_pandas()
-            df = df.sort_values(_GEN_COL, kind="stable").drop_duplicates(
-                id_col, keep="last")
-            t = pa.Table.from_pandas(df, preserve_index=False)
         mat = _to_matrix(t[vec_col], dim=meta["dim"])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1e-30
         sims = (mat @ qn) / norms
         ids.extend(t[id_col].to_pylist())
+        gens.extend(t[_GEN_COL].to_pylist())
         scores.extend(np.round(sims, 4).tolist())
+
+    if meta["max_gen"] > 0:
+        # last-generation-wins per id GLOBALLY across probed cells: a
+        # changed-vector upsert lands in its new cell, so the stale copy in
+        # the old cell must lose to the newer generation even cross-cell.
+        # Caveat (documented): if ONLY the stale cell is probed, the stale
+        # row can still surface — like Faiss IVF, a changed-vector upsert
+        # needs delete-before-insert or a rebuild for strict semantics;
+        # same-vector re-ingest (the reference's redelivery case) is exact.
+        best: dict = {}
+        for i in range(len(ids)):
+            j = best.get(ids[i])
+            if j is None or gens[i] > gens[j]:
+                best[ids[i]] = i
+        keep = sorted(best.values())
+        ids = [ids[i] for i in keep]
+        scores = [scores[i] for i in keep]
 
     order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:k]
     return pa.table({
