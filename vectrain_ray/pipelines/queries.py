@@ -371,6 +371,39 @@ def q_window_tumbling(sf_dir: str):
     )
 
 
+def q_running_total(sf_dir: str):
+    """Running per-key aggregate (the ordered window-function class):
+    cumulative event count per user ordered by (ts, event_id). Same
+    bucket-then-vectorize shape as sessionize — users hash into 64 coarse
+    buckets, ONE sorted cumcount pass per bucket (never per user key);
+    exact SQL mirror via count(*) OVER (PARTITION BY ... ORDER BY ...)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    from ..functions.dedup_exact import key_buckets
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = key_buckets(df, ["user_id"], 64)
+        return df
+
+    def running_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].values,
+                "event_id": g["event_id"].values,
+                "running_n": (g.groupby("user_id", sort=False).cumcount()
+                              + 1).astype("int64").values,
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(running_bucket, batch_format="pandas")
+    )
+
+
 _SLIDE_W = 3600  # window width (sec)
 _SLIDE_S = 900   # slide step (sec) → each event lands in 4 windows
 
@@ -832,6 +865,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
+    "running_total": q_running_total,
     "heavy_hitters": q_heavy_hitters,
     "set_except": q_set_except,
     "asof_join": q_asof_join,
@@ -1065,6 +1099,11 @@ ORACLE_SQL = {
         "(epoch_us(ts) // 1000000) // 900 - 3, "
         "(epoch_us(ts) // 1000000) // 900)) AS wi "
         "FROM events) GROUP BY wi, event_type"
+    ),
+    "running_total": (
+        "SELECT user_id, event_id, count(*) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS running_n FROM events"
     ),
     "heavy_hitters": (
         "SELECT l_partkey, count(*) AS cnt FROM lineitem "

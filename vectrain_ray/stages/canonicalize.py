@@ -50,28 +50,49 @@ def add_surface_norm(batch: pa.Table, col: str = "surface_form",
     return batch.append_column(out, x)
 
 
+# per-worker-process memo: surface_form → (surface_norm, merge_key).
+# Surfaces are Zipf-heavy, so normalizing DISTINCT forms (after the count
+# aggregate) with a warm memo collapses the combiner's regex + merge-key
+# cost from per-occurrence to per-new-distinct — measured the `mapping`
+# phase growing superlinearly at 25M turns before this.
+_NORM_MEMO: dict = {}
+_NORM_MEMO_MAX = 2_000_000
+
+
 def partial_surface_counts(batch: pa.Table) -> pa.Table:
     """Combiner: batch of mentions → ≤1 row per (surface_norm, surface_form)
     with a partial count + shuffle bucket. The bucket hashes the MERGE KEY,
     so all norms of one entity cluster land in the same bucket and a SINGLE
     groupby computes both per-norm stats and cluster assignment."""
-    batch = add_surface_norm(batch)
-    g = batch.select(["surface_norm", "surface_form"]).group_by(
-        ["surface_norm", "surface_form"]
-    )
+    # count per DISTINCT raw surface first (Arrow C++), then normalize only
+    # the distinct forms (memoized)
+    g = batch.select(["surface_form"]).group_by(["surface_form"])
     out = g.aggregate([("surface_form", "count")])
-    out = out.rename_columns(["surface_norm", "surface_form", "cnt"])
+    out = out.rename_columns(["surface_form", "cnt"])
+    forms = out["surface_form"].to_pylist()
+    memo = _NORM_MEMO
+    norms: list = []
+    keys: list = []
+    for f in forms:
+        hit = memo.get(f)
+        if hit is None:
+            n = rules.normalize_surface(f or "")
+            hit = (n, rules.canonical_merge_key(n))
+            if len(memo) < _NORM_MEMO_MAX:
+                memo[f] = hit
+        norms.append(hit[0])
+        keys.append(hit[1])
     import pandas as pd
 
     from ..functions.dedup_exact import key_buckets
 
-    df = pd.DataFrame(
-        {"merge_key": [rules.canonical_merge_key(s)
-                       for s in out["surface_norm"].to_pylist()]}
-    )
-    out = out.append_column("merge_key", pa.array(df["merge_key"], pa.string()))
+    out = out.append_column("surface_norm", pa.array(norms, pa.string()))
+    out = out.append_column("merge_key", pa.array(keys, pa.string()))
+    df = pd.DataFrame({"merge_key": keys})
     buckets = key_buckets(df, ["merge_key"], NUM_BUCKETS)
-    return out.append_column("bucket", pa.array(buckets.values, pa.int32()))
+    out = out.append_column("bucket", pa.array(buckets.values, pa.int32()))
+    return out.select(["surface_norm", "surface_form", "cnt", "merge_key",
+                       "bucket"])
 
 
 def _canonicalize_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -28,22 +28,39 @@ def partial_edges(batch: pa.Table) -> pa.Table:
     """Combiner: linked-triples batch → NARROW partial rows per
     (src_id, dst_id, pred): one weight row (prov NULL, cnt = triple count)
     plus ≤ PROV_CAP provenance rows (cnt 0) — no list columns through the
-    shuffle, no per-group Python in the combiner (all pandas C kernels)."""
+    shuffle. The per-occurrence aggregation runs in Arrow C++ (prov string
+    build + hash group_by); pandas touches only the COLLAPSED rows for the
+    per-key prov cap (measured: the all-pandas version made `edges` the
+    second-largest phase at 25M turns)."""
     keys = ["src_id", "dst_id", "pred"]
-    df = batch.select(["subj_id", "obj_id", "pred", "conv_id", "turn_idx"]).to_pandas()
-    df = df.rename(columns={"subj_id": "src_id", "obj_id": "dst_id"})
-    df["prov"] = df["conv_id"] + "|" + df["turn_idx"].astype(int).astype(str).str.zfill(6)
-    grp = df.groupby(keys + ["prov"], sort=False).size().reset_index(name="cnt")
-    w = grp.groupby(keys, sort=False)["cnt"].sum().reset_index()
-    w["prov"] = None
+    t = pa.table(
+        {
+            "src_id": batch["subj_id"],
+            "dst_id": batch["obj_id"],
+            "pred": batch["pred"],
+            "prov": pc.binary_join_element_wise(
+                batch["conv_id"],
+                pc.utf8_lpad(pc.cast(batch["turn_idx"], pa.string()), 6, "0"),
+                "|",
+            ),
+        }
+    )
+    grp = t.group_by(keys + ["prov"]).aggregate([("prov", "count")])
+    grp = grp.rename_columns(keys + ["prov", "cnt"])
+    w = grp.group_by(keys).aggregate([("cnt", "sum")])
+    w = w.rename_columns(keys + ["cnt"])
+
+    df = grp.select(keys + ["prov"]).to_pandas()  # collapsed rows only
     pr = (
-        grp.sort_values(keys + ["prov"], kind="stable")
+        df.sort_values(keys + ["prov"], kind="stable")
         .groupby(keys, sort=False)
-        .head(PROV_CAP)[keys + ["prov"]]
+        .head(PROV_CAP)
         .copy()
     )
     pr["cnt"] = 0
-    out = pd.concat([w[keys + ["prov", "cnt"]], pr[keys + ["prov", "cnt"]]],
+    wdf = w.to_pandas()
+    wdf["prov"] = None
+    out = pd.concat([wdf[keys + ["prov", "cnt"]], pr[keys + ["prov", "cnt"]]],
                     ignore_index=True)
     from ..functions.dedup_exact import key_buckets
 
