@@ -25,17 +25,17 @@ import time
 
 class JsonLineFormatter(logging.Formatter):
     def format(self, record: logging.LogRecord) -> str:
-        doc = {
+        extra = getattr(record, "fields", None)
+        doc = dict(extra) if isinstance(extra, dict) else {}
+        # envelope keys win — structured fields must not clobber them
+        doc.update({
             "ts": round(record.created, 3),
             "level": record.levelname,
             "logger": record.name,
             "msg": record.getMessage(),
-        }
+        })
         if record.exc_info:
             doc["exc"] = self.formatException(record.exc_info)
-        extra = getattr(record, "fields", None)
-        if isinstance(extra, dict):
-            doc.update(extra)
         return json.dumps(doc, default=str)
 
 
@@ -47,6 +47,7 @@ def setup_logging(out_dir: str | None = None,
     lg.propagate = False
     for h in list(lg.handlers):
         lg.removeHandler(h)
+        h.close()  # reconfiguration must not leak file descriptors
     con = logging.StreamHandler()
     con.setLevel(console_level)
     con.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(name)s %(message)s"))

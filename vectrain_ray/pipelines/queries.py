@@ -42,6 +42,36 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the cluster: the join's
+    aggregator actors each reserve a CPU slot, and an oversized pool stalls
+    scheduling on small clusters (observed at num_partitions=16 with 4
+    CPUs)."""
+    return max(2, min(16, int(ray.cluster_resources().get("CPU", 4)) // 2))
+
+
+def _broadcast_keyset_filter(ds, col: str, keys: pa.Array, keep: bool):
+    """Bucketed-distinct set op: filter distinct ``col`` values of ``ds`` by
+    membership in a broadcast key set (keep=True → INTERSECT, False →
+    EXCEPT). The key set ships once via ray.put."""
+    ref = ray.put(keys)
+    distinct = dedup_exact(ds, [col])
+
+    class KeySetFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ks = pc.cast(self.keys, t[col].type)
+            mask = pc.is_in(t[col], value_set=ks)
+            if not keep:
+                mask = pc.invert(mask)
+            return t.filter(mask)
+
+    return distinct.map_batches(KeySetFilter, batch_format="pyarrow",
+                                concurrency=2)
+
+
 def _round_cols(cols: dict[str, int]):
     def fn(t: pa.Table) -> pa.Table:
         for c, nd in cols.items():
@@ -95,13 +125,14 @@ def q_read_json(sf_dir: str):
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
     jdir = f"/tmp/vectrain_json_{tag}"
     marker = os.path.join(jdir, "_DONE")
-    if not (os.path.exists(marker) and open(marker).read() == fp):
+    jpath = os.path.join(jdir, "docs.jsonl")
+    if not (os.path.exists(marker) and os.path.exists(jpath)
+            and open(marker).read() == fp):
         os.makedirs(jdir, exist_ok=True)
         t = pq.read_table(src, columns=["doc_id", "lang", "n_chars"])
-        t.to_pandas().to_json(os.path.join(jdir, "docs.jsonl"),
-                              orient="records", lines=True)
+        t.to_pandas().to_json(jpath, orient="records", lines=True)
         open(marker, "w").write(fp)
-    ds = rd.read_json(os.path.join(jdir, "docs.jsonl"))
+    ds = rd.read_json(jpath)
     sch = pq.read_schema(os.path.join(sf_dir, "documents.parquet"))
 
     def fn(t: pa.Table) -> pa.Table:
@@ -208,23 +239,10 @@ def q_set_intersect(sf_dir: str):
     """Set intersection: customer keys that are ALSO event users — bucketed
     distinct + broadcast key-set filter (the positive twin of set_except)."""
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    ukeys = pq.read_table(os.path.join(sf_dir, "events.parquet"),
-                          columns=["user_id"])["user_id"]
-    u_set = pa.array(sorted(set(ukeys.to_pylist())), pa.int64())
-    ref = ray.put(u_set)
-
-    distinct = dedup_exact(cust, ["c_custkey"])
-
-    class IntersectFilter:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = pc.cast(self.keys, t["c_custkey"].type)
-            return t.filter(pc.is_in(t["c_custkey"], value_set=keys))
-
-    return distinct.map_batches(IntersectFilter, batch_format="pyarrow",
-                                concurrency=2)
+    ukeys = pc.unique(pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                                    columns=["user_id"])["user_id"]
+                      .combine_chunks())
+    return _broadcast_keyset_filter(cust, "c_custkey", ukeys, keep=True)
 
 
 def q_sort_topk(sf_dir: str):
@@ -281,9 +299,7 @@ def q_hash_join(sf_dir: str):
     on the key), then partial+final aggregate per market segment."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    # join aggregator pool sized to the cluster (oversized pools stall
-    # scheduling on small clusters — see name_edges)
-    nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    nparts = _join_partitions()
     joined = orders.join(cust, join_type="inner", num_partitions=nparts,
                          on=("o_custkey",), right_on=("c_custkey",))
 
@@ -474,24 +490,10 @@ def q_set_except(sf_dir: str):
     subtrahend too large to broadcast, use the shuffle path of q_anti_join
     instead — that op filters ROWS, this one computes the key SET.)"""
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    okeys = pq.read_table(os.path.join(sf_dir, "events.parquet"),
-                          columns=["user_id"])["user_id"]
-    o_set = pa.array(sorted(set(okeys.to_pylist())), pa.int64())
-    ref = ray.put(o_set)
-
-    distinct = dedup_exact(cust, ["c_custkey"])
-
-    class ExceptFilter:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = pc.cast(self.keys, t["c_custkey"].type)
-            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
-            return t.filter(mask)
-
-    return distinct.map_batches(ExceptFilter, batch_format="pyarrow",
-                                concurrency=2)
+    ukeys = pc.unique(pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                                    columns=["user_id"])["user_id"]
+                      .combine_chunks())
+    return _broadcast_keyset_filter(cust, "c_custkey", ukeys, keep=False)
 
 
 def q_asof_join(sf_dir: str):
@@ -818,11 +820,11 @@ def name_edges(edges, nodes, broadcast_max: int | None = None):
 
         return edges.map_batches(NameEdges, batch_format="pyarrow",
                                  concurrency=2)
-    # scale path: hash-join once per key side (scalar columns only).
-    # Partition count sized to the cluster: the join's aggregator actors
-    # each reserve a CPU slot, and an oversized pool stalls scheduling on
-    # small clusters (observed at num_partitions=16 with 4 CPUs).
-    nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    # scale path: LEFT join once per key side (scalar columns only) — left,
+    # not inner, so an edge whose endpoint id is missing from nodes keeps a
+    # null name exactly like the broadcast path (the two deployment shapes
+    # must agree row-for-row).
+    nparts = _join_partitions()
     sn = names.map_batches(
         lambda t: t.rename_columns(["src_id", "src_name"]),
         batch_format="pyarrow")
@@ -830,8 +832,10 @@ def name_edges(edges, nodes, broadcast_max: int | None = None):
         lambda t: t.rename_columns(["dst_id", "dst_name"]),
         batch_format="pyarrow")
     out = (edges.select_columns(["src_id", "dst_id", "pred", "weight"])
-           .join(sn, join_type="inner", num_partitions=nparts, on=("src_id",))
-           .join(dn, join_type="inner", num_partitions=nparts, on=("dst_id",)))
+           .join(sn, join_type="left_outer", num_partitions=nparts,
+                 on=("src_id",))
+           .join(dn, join_type="left_outer", num_partitions=nparts,
+                 on=("dst_id",)))
     return out.select_columns(["src_name", "pred", "dst_name", "weight"])
 
 

@@ -36,6 +36,7 @@ import logging
 
 from .. import rules
 from ..functions.dedup_exact import dedup_exact
+from ..logs import log_event
 from ..stages import canonicalize, materialize
 from ..stages.encode import ENCODERS
 from ..stages.extract import (
@@ -130,8 +131,6 @@ def run_kg_resumable(
         n = sum(pq.read_metadata(f).num_rows
                 for f in glob.glob(os.path.join(ext_dir, "*.parquet")))
         man1.commit(part, files, {"rows_out": n, "wall_sec": round(time.time() - t0, 3)})
-        from ..logs import log_event
-
         log_event(_LOG, f"p1 extract part={part} committed", phase="p1",
                   part=part, rows_out=n,
                   wall_sec=round(time.time() - t0, 3))
@@ -247,8 +246,6 @@ def run_kg_resumable(
                    for f in glob.glob(os.path.join(tr_dir, "*.parquet")))
         man3.commit(part, ext_files,
                     {"triples_out": n_tr, "wall_sec": round(time.time() - t0, 3)})
-        from ..logs import log_event
-
         log_event(_LOG, f"p3 link part={part} committed", phase="p3",
                   part=part, triples_out=n_tr,
                   wall_sec=round(time.time() - t0, 3))

@@ -112,8 +112,11 @@ class StreamDriver:
         marker commits only after a successful run)."""
         offsets = self._load_offsets()
         files = sorted(glob.glob(os.path.join(self.input_dir, "*.parquet")))
-        if not files:  # nothing has ever landed → idle, don't run the
-            # pipeline over an empty shard layout (read_parquet([]) raises)
+        if not files and not offsets:
+            # nothing has EVER landed → idle (don't run the pipeline over an
+            # empty shard layout — read_parquet([]) raises). When offsets
+            # exist but the landing dir was emptied (retention), fall
+            # through: previously-sharded rows may still need processing.
             return {"new_files": 0, "rows_in": 0, "ran_pipeline": False}
         new = [f for f in files if f not in offsets]
         rows_in = 0
