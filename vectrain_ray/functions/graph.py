@@ -1,0 +1,457 @@
+"""Distributed graph analytics over edge Datasets (beyond-reference ops).
+
+The reference engine (torys877/vectrain) stops at writing points into a
+vector store; a KG-construction pipeline at 100 TB also needs the classic
+graph passes over the edge table it produces. Everything here follows the
+repo's two standing policies:
+
+* **node-sized state is broadcast-or-join** (same policy as
+  pipelines/kg.BROADCAST_MAX_ENTITIES): label / rank / degree tables are one
+  row per node. While they fit a broadcast object they ship once per
+  iteration via ``ray.put`` and every batch does a vectorized
+  ``index_in``/``take`` lookup; above the threshold the lookup becomes a
+  hash join (``Dataset.join``) — the node table never sits on one worker.
+* **combiner before every shuffle**: each iteration's exchange is a
+  per-batch Arrow ``group_by`` partial (min / sum) over the batch's
+  candidates, then ONE bucketed groupby over node-sized partials — edges
+  themselves never shuffle after the initial distinct.
+
+Determinism: label mins are plain value order (string = byte order, int =
+numeric) and PageRank is **integer** arithmetic (floor division) — both
+mirror ANSI SQL exactly, so every op has a full DuckDB oracle
+(pipelines/queries.py ORACLE_SQL: kg_components, pagerank, triangle_count,
+khop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .dedup_exact import dedup_exact, key_buckets
+
+NUM_BUCKETS = 64
+# above this many nodes, per-iteration label/rank lookups switch from a
+# ray.put broadcast to a hash join (and khop raises — its frontier-set
+# variant is the documented small-frontier fast path)
+BROADCAST_MAX_NODES = 2_000_000
+
+
+def _distinct_edges(edges, src: str, dst: str, symmetric: bool):
+    """edges → distinct (u, v) pairs, self-loops dropped; ``symmetric`` adds
+    the reversed direction (for undirected propagation). One all-to-all
+    (bucketed dedup) over per-batch-deduped pairs."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = pc.cast(t[src], pa.string()) if pa.types.is_string(t[src].type) else t[src]
+        v = t[dst]
+        out = pa.table({"u": t[src], "v": t[dst]})
+        if symmetric:
+            out = pa.concat_tables(
+                [out, pa.table({"u": pc.cast(t[dst], out["u"].type),
+                                "v": pc.cast(t[src], out["v"].type)})]
+            )
+        out = out.filter(pc.invert(pc.equal(out["u"], out["v"])))
+        # per-batch combiner: collapse duplicates before the shuffle
+        return out.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+
+    prepped = edges.map_batches(prep, batch_format="pyarrow")
+    return dedup_exact(prepped, ["u", "v"])
+
+
+def _node_table(e_dist):
+    """distinct (u, v) → distinct node Dataset (column ``node``)."""
+    both = e_dist.map_batches(
+        lambda t: pa.table(
+            {"node": pa.concat_arrays(
+                [t["u"].combine_chunks(), t["v"].combine_chunks()]
+            )}
+        ).group_by(["node"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    return dedup_exact(both, ["node"])
+
+
+def _pull_pairs(ds, kcol: str, vcol: str):
+    """node-sized Dataset → (keys pa.Array, vals pa.Array) for ray.put.
+    ONLY called under BROADCAST_MAX_NODES (the caller's policy gate)."""
+    df = ds.to_pandas()
+    return pa.array(df[kcol]), pa.array(df[vcol])
+
+
+def _bucketed_min(parts, value_col: str):
+    """(node, value) partial rows → one row per node with the min value:
+    bucket on node, vectorized pandas min within each bucket."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = key_buckets(pd.DataFrame({"node": t["node"].to_pandas()}),
+                        ["node"], NUM_BUCKETS)
+        return t.append_column("bucket", pa.array(b.values, pa.int32()))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=True)[value_col].min().reset_index()
+
+    return parts.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(merge, batch_format="pandas")
+
+
+def connected_components(edges, src: str = "src", dst: str = "dst",
+                         max_iters: int = 50,
+                         broadcast_max: int | None = None):
+    """Undirected connected components by iterative min-label propagation.
+
+    Returns a Dataset (node, component) where component = min node id in the
+    component (value order — byte order for strings, exactly SQL ``min``).
+    Converges in O(diameter) iterations; each iteration is one streaming
+    pass over the edge set + one node-sized bucketed groupby. Label lookup
+    is broadcast under ``broadcast_max`` nodes, hash-join above (the
+    node table is never driver- or worker-resident in the join path — only
+    the broadcast path pulls it, and only below the threshold).
+    """
+    if broadcast_max is None:
+        broadcast_max = BROADCAST_MAX_NODES
+    e_sym = _distinct_edges(edges, src, dst, symmetric=True).materialize()
+    lab = _node_table(e_sym).map_batches(
+        lambda t: t.append_column("label", t["node"]), batch_format="pyarrow"
+    ).materialize()
+    n_nodes = lab.count()
+    use_broadcast = n_nodes < broadcast_max
+
+    for _ in range(max_iters):
+        if use_broadcast:
+            ref = ray.put(_pull_pairs(lab, "node", "label"))
+
+            class Cand:
+                def __init__(self):
+                    self.keys, self.vals = ray.get(ref)
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    lab_u = pc.take(self.vals,
+                                    pc.index_in(t["u"], value_set=self.keys))
+                    out = pa.table({"node": t["v"], "cand": lab_u})
+                    return out.group_by(["node"]).aggregate([("cand", "min")]
+                                                            ).rename_columns(
+                        ["node", "cand"])
+
+            cands = e_sym.map_batches(Cand, batch_format="pyarrow",
+                                      concurrency=2)
+        else:
+            lab_u = lab.map_batches(
+                lambda t: t.rename_columns(["u", "cand"]),
+                batch_format="pyarrow")
+            nparts = max(2, min(32, int(
+                ray.cluster_resources().get("CPU", 4)) // 2))
+            joined = e_sym.join(lab_u, join_type="inner",
+                                num_partitions=nparts, on=("u",))
+            cands = joined.map_batches(
+                lambda t: pa.table({"node": t["v"], "cand": t["cand"]}
+                                   ).group_by(["node"]).aggregate(
+                    [("cand", "min")]).rename_columns(["node", "cand"]),
+                batch_format="pyarrow")
+
+        own = lab.map_batches(
+            lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
+            batch_format="pyarrow")
+        new_lab = _bucketed_min(cands.union(own), "cand").map_batches(
+            lambda t: t.rename_columns(["node", "label"]),
+            batch_format="pyarrow").materialize()
+        # convergence: did any label strictly shrink? (labels only decrease)
+        changed = new_lab.map_batches(
+            lambda t: t.rename_columns(["node", "new"]), batch_format="pyarrow"
+        ).union(
+            lab.map_batches(
+                lambda t: t.rename_columns(["node", "new"]),
+                batch_format="pyarrow")
+        )
+        # distinct (node, label) pairs: unchanged node contributes 1, changed 2
+        n_pairs = dedup_exact(changed, ["node", "new"]).count()
+        lab = new_lab
+        if n_pairs == n_nodes:
+            break
+    return lab.map_batches(
+        lambda t: t.rename_columns(["node", "component"]),
+        batch_format="pyarrow")
+
+
+def pagerank_int(edges, src: str = "src", dst: str = "dst", iters: int = 3,
+                 scale: int = 10 ** 12, broadcast_max: int | None = None):
+    """PageRank with INTEGER arithmetic (d = 0.85 as 85//100, floor
+    division) over the distinct directed edge set — bit-exact across
+    partitionings AND mirrorable in ANSI SQL (unrolled iterations), unlike
+    float PageRank whose summation order diverges.
+
+    r_0(v) = scale;  r_{i+1}(v) = (15*scale)//100 +
+                                  (85 * Σ_{u→v} (r_i(u) // outdeg(u))) // 100
+    Dangling-node mass leaks (standard simplification; documented in the
+    oracle too). Returns (node, pr) with pr int64.
+    """
+    if broadcast_max is None:
+        broadcast_max = BROADCAST_MAX_NODES
+    e_dir = _distinct_edges(edges, src, dst, symmetric=False).materialize()
+    nodes = _node_table(e_dir).materialize()
+    n_nodes = nodes.count()
+    if n_nodes >= broadcast_max:
+        raise NotImplementedError(
+            "pagerank_int join path: swap the (rank, outdeg) broadcast for "
+            "Dataset.join per iteration (connected_components shows the "
+            f"shape); {n_nodes} nodes exceeds broadcast_max={broadcast_max}")
+
+    outdeg = e_dir.map_batches(
+        lambda t: t.group_by(["u"]).aggregate([("v", "count")]
+                                              ).rename_columns(["u", "d"]),
+        batch_format="pyarrow")
+    outdeg = _bucketed_min(  # counts: per-batch partials then bucketed SUM
+        outdeg.map_batches(
+            lambda t: t.rename_columns(["node", "cand"]),
+            batch_format="pyarrow"),
+        "cand",
+    )  # placeholder replaced below — outdeg needs SUM, not MIN
+    # NOTE: per-batch partials of e_dir are already DISTINCT pairs, so each
+    # (u,v) contributes exactly once globally; the bucketed merge must SUM
+    # the per-batch counts:
+    del outdeg
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["u"]).aggregate([("v", "count")])
+        return g.rename_columns(["node", "s"])
+
+    def _bucketed_sum(parts, value_col: str):
+        def add_bucket(tt: pa.Table) -> pa.Table:
+            b = key_buckets(pd.DataFrame({"node": tt["node"].to_pandas()}),
+                            ["node"], NUM_BUCKETS)
+            return tt.append_column("bucket", pa.array(b.values, pa.int32()))
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", sort=True)[value_col].sum().reset_index()
+
+        return parts.map_batches(add_bucket, batch_format="pyarrow").groupby(
+            "bucket").map_groups(merge, batch_format="pandas")
+
+    deg = _bucketed_sum(e_dir.map_batches(_deg_partial,
+                                          batch_format="pyarrow"), "s")
+    deg_ref = ray.put(_pull_pairs(deg.materialize(), "node", "s"))
+    base = (15 * scale) // 100
+
+    rank_df = nodes.to_pandas()
+    rank_df["pr"] = np.int64(scale)
+    for _ in range(iters):
+        rank_ref = ray.put((pa.array(rank_df["node"]),
+                            pa.array(rank_df["pr"], pa.int64())))
+
+        class Contrib:
+            def __init__(self):
+                self.rk, self.rv = ray.get(rank_ref)
+                self.dk, self.dv = ray.get(deg_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                r_u = pc.take(self.rv, pc.index_in(t["u"], value_set=self.rk))
+                d_u = pc.take(pc.cast(self.dv, pa.int64()),
+                              pc.index_in(t["u"], value_set=self.dk))
+                c = pc.divide(r_u, d_u)  # int64 // int64, all positive
+                out = pa.table({"node": t["v"], "s": c})
+                return out.group_by(["node"]).aggregate([("s", "sum")]
+                                                        ).rename_columns(
+                    ["node", "s"])
+
+        sums = e_dir.map_batches(Contrib, batch_format="pyarrow",
+                                 concurrency=2)
+        s_df = _bucketed_sum(sums, "s").to_pandas()
+        rank_df = rank_df[["node"]].merge(s_df, on="node", how="left")
+        s = rank_df["s"].fillna(0).astype("int64")
+        rank_df["pr"] = (base + (85 * s) // 100).astype("int64")
+        rank_df = rank_df[["node", "pr"]]
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"node": pa.array(rank_df["node"]),
+                                   "pr": pa.array(rank_df["pr"], pa.int64())}))
+
+
+def triangle_count(edges, src: str = "src", dst: str = "dst",
+                   broadcast_max: int | None = None) -> pa.Table:
+    """Exact triangle count by degree orientation + wedge check — the
+    shuffle-optimal distributed algorithm (each triangle is counted once, at
+    its lowest-(degree, id) apex; wedge volume is Σ C(outdeg⁺, 2), the
+    theoretical minimum for exact counting).
+
+    Stages: distinct undirected edges → node degrees (partial + bucketed
+    sum) → orient each edge toward the higher (degree, id) endpoint
+    (degree table broadcast under the node threshold) → per-src-bucket
+    vectorized wedge emission (np.triu_indices per adjacency group) →
+    bucketed semi-join of wedges against the oriented edge set. Returns a
+    one-row pyarrow Table {n_triangles}.
+    """
+    if broadcast_max is None:
+        broadcast_max = BROADCAST_MAX_NODES
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t[src], t[dst])
+        b = pc.max_element_wise(t[src], t[dst])
+        out = pa.table({"u": a, "v": b})
+        out = out.filter(pc.invert(pc.equal(out["u"], out["v"])))
+        return out.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+
+    und = dedup_exact(edges.map_batches(norm, batch_format="pyarrow"),
+                      ["u", "v"]).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = pa.table({"node": pa.concat_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()])})
+        g = both.group_by(["node"]).aggregate([("node", "count")])
+        return g.rename_columns(["node", "s"])
+
+    def add_bucket(tt: pa.Table) -> pa.Table:
+        b = key_buckets(pd.DataFrame({"node": tt["node"].to_pandas()}),
+                        ["node"], NUM_BUCKETS)
+        return tt.append_column("bucket", pa.array(b.values, pa.int32()))
+
+    deg = und.map_batches(deg_partial, batch_format="pyarrow").map_batches(
+        add_bucket, batch_format="pyarrow").groupby("bucket").map_groups(
+        lambda g: g.groupby("node", sort=True)["s"].sum().reset_index(),
+        batch_format="pandas").materialize()
+    if deg.count() >= broadcast_max:
+        raise NotImplementedError(
+            "triangle_count join path: orient via two hash joins against "
+            "the degree table instead of a broadcast (name_edges shows the "
+            "two-sided-join shape)")
+    deg_ref = ray.put(_pull_pairs(deg, "node", "s"))
+
+    class Orient:
+        """u→v reoriented so the LOWER (deg, id) endpoint is the source."""
+
+        def __init__(self):
+            self.keys, self.vals = ray.get(deg_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            du = pc.take(self.vals, pc.index_in(t["u"], value_set=self.keys))
+            dv = pc.take(self.vals, pc.index_in(t["v"], value_set=self.keys))
+            # (du, u) < (dv, v): input is normalized u < v, so ties go u→v
+            u_first = pc.or_(pc.less(du, dv), pc.equal(du, dv))
+            return pa.table({
+                "a": pc.if_else(u_first, t["u"], t["v"]),
+                "b": pc.if_else(u_first, t["v"], t["u"]),
+            })
+
+    oriented = und.map_batches(Orient, batch_format="pyarrow",
+                               concurrency=2).materialize()
+
+    class OrientRank:
+        """(deg, id) order rank for sorting oriented adjacency lists."""
+
+        def __init__(self):
+            self.keys, self.vals = ray.get(deg_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            db = pc.take(self.vals, pc.index_in(t["b"], value_set=self.keys))
+            out = t.append_column("db", db)
+            b = key_buckets(pd.DataFrame({"a": t["a"].to_pandas()}), ["a"],
+                            NUM_BUCKETS)
+            return out.append_column("bucket", pa.array(b.values, pa.int32()))
+
+    def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One src-bucket of oriented edges → wedge rows (x, y) where x, y
+        are co-neighbors of some apex, ordered by (deg, id). Pair emission
+        is np.triu_indices per adjacency group (vectorized inner; the outer
+        loop is per NODE, not per row — bucketed like every merge here)."""
+        g = g.sort_values(["a", "db", "b"], kind="stable")
+        xs: list = []
+        ys: list = []
+        for _, grp in g.groupby("a", sort=False):
+            s = len(grp)
+            if s < 2:
+                continue
+            i, j = np.triu_indices(s, k=1)
+            nb = grp["b"].to_numpy()
+            xs.append(nb[i])
+            ys.append(nb[j])
+        if not xs:
+            return pd.DataFrame({"a": [], "b": []})
+        return pd.DataFrame({"a": np.concatenate(xs),
+                             "b": np.concatenate(ys)})
+
+    wedges = oriented.map_batches(OrientRank, batch_format="pyarrow").groupby(
+        "bucket").map_groups(wedges_bucket, batch_format="pandas")
+
+    # semi-join wedges against the oriented edge set, bucketed on (a, b)
+    def tag(is_edge: int):
+        def fn(t: pa.Table) -> pa.Table:
+            out = pa.table({"a": t["a"], "b": t["b"]})
+            if is_edge:
+                out = out.append_column("n", pa.nulls(out.num_rows,
+                                                      pa.int64()))
+            else:  # wedge partials: collapse duplicate wedges per batch
+                out = out.group_by(["a", "b"]).aggregate([("a", "count")])
+                out = out.rename_columns(["a", "b", "n"])
+            b = key_buckets(out.select(["a", "b"]).to_pandas(), ["a", "b"],
+                            NUM_BUCKETS)
+            return out.append_column("bucket", pa.array(b.values, pa.int32()))
+
+        return fn
+
+    tagged = wedges.map_batches(tag(0), batch_format="pyarrow").union(
+        oriented.map_batches(tag(1), batch_format="pyarrow"))
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["n"].isna()
+        edge_set = g[is_edge][["a", "b"]].drop_duplicates()
+        w = g[~is_edge].groupby(["a", "b"], sort=False)["n"].sum().reset_index()
+        hit = w.merge(edge_set, on=["a", "b"], how="inner")
+        return pd.DataFrame({"t": [int(hit["n"].sum())]})
+
+    per_bucket = tagged.groupby("bucket").map_groups(count_bucket,
+                                                     batch_format="pandas")
+    total = int(per_bucket.sum("t") or 0)
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+def khop_hops(edges, seeds: list, k: int, src: str = "src",
+              dst: str = "dst") -> pa.Table:
+    """Min-hop distance (≤ k) from a seed set by frontier-broadcast BFS:
+    each hop filters the edge Dataset with ``pc.is_in`` on the broadcast
+    frontier (a semi-join — edges stream, never shuffle) and the new
+    frontier is the distinct destination set. Frontier/result tables are
+    frontier-sized (≪ nodes for small k); the documented scale path swaps
+    the broadcast for a per-hop hash join when a frontier outgrows the
+    object store. Mirrors the unrolled-SQL oracle exactly: hop sets may
+    revisit nodes, the final groupby takes the min hop. Returns a pyarrow
+    Table (node, hops).
+    """
+    e_dir = _distinct_edges(edges, src, dst, symmetric=False).materialize()
+    acc: list[pa.Table] = []
+    frontier = list(dict.fromkeys(seeds))
+    seed_arr = pa.array(frontier)
+    acc.append(pa.table({"node": seed_arr,
+                         "hops": pa.array([0] * len(frontier), pa.int64())}))
+    for h in range(1, k + 1):
+        ref = ray.put(pa.array(frontier, type=seed_arr.type))
+
+        class Step:
+            def __init__(self):
+                self.f = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                hit = t.filter(pc.is_in(t["u"],
+                                        value_set=pc.cast(self.f,
+                                                          t["u"].type)))
+                return pa.table({"node": hit["v"]}).group_by(
+                    ["node"]).aggregate([])
+
+        nxt = dedup_exact(
+            e_dir.map_batches(Step, batch_format="pyarrow", concurrency=2),
+            ["node"],
+        ).to_pandas()
+        if nxt.empty:
+            break
+        frontier = list(nxt["node"])
+        acc.append(pa.table({"node": pa.array(frontier, type=seed_arr.type),
+                             "hops": pa.array([h] * len(frontier),
+                                              pa.int64())}))
+    allhops = pa.concat_tables(acc)
+    df = allhops.to_pandas().groupby("node", sort=True)["hops"].min(
+    ).reset_index()
+    return pa.table({"node": pa.array(df["node"], seed_arr.type),
+                     "hops": pa.array(df["hops"], pa.int64())})

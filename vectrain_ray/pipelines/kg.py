@@ -230,7 +230,9 @@ def run_kg(
 
     def _write_triples():
         try:
+            t_w = time.time()
             linked.write_parquet(os.path.join(out_dir, "triples"))
+            triples_holder["sec"] = round(time.time() - t_w, 3)
         except BaseException as exc:  # noqa: BLE001
             triples_holder["exc"] = exc
 
@@ -243,10 +245,12 @@ def run_kg(
     # (small, pre-aggregated) result instead of re-running the linker branch
     edges = materialize.edges_from_linked(linked).materialize()
     edges_out = edges.map_batches(materialize.prov_to_struct, batch_format="pyarrow")
+    timings["edges_agg"] = round(time.time() - t0, 3)
     if t_triples is not None:
         t_triples.join()
         if "exc" in triples_holder:
             raise triples_holder["exc"]
+        timings["triples_write"] = triples_holder.get("sec")
     timings["edges"] = round(time.time() - t0, 3)
 
     # --- nodes + degree (join-free: union + one groupby) ------------------

@@ -25,13 +25,18 @@ NUM_BUCKETS = 64
 
 
 def partial_edges(batch: pa.Table) -> pa.Table:
-    """Combiner: linked-triples batch → NARROW partial rows per
-    (src_id, dst_id, pred): one weight row (prov NULL, cnt = triple count)
-    plus ≤ PROV_CAP provenance rows (cnt 0) — no list columns through the
-    shuffle. The per-occurrence aggregation runs in Arrow C++ (prov string
-    build + hash group_by); pandas touches only the COLLAPSED rows for the
-    per-key prov cap (measured: the all-pandas version made `edges` the
-    second-largest phase at 25M turns)."""
+    """Combiner: linked-triples batch → ONE narrow partial row per
+    (src_id, dst_id, pred): cnt = triple count, prov = the batch's first
+    PROV_CAP distinct prov strings packed with \\x1f (prov strings are
+    conv_id|zero-padded-turn — alphanumeric + '|', never \\x1f). Packing
+    replaces the earlier one-row-per-prov shape: a dense key appeared in
+    every batch with ≤ 1+PROV_CAP rows each, so the edge shuffle carried
+    ~3× more rows and ~2× more bytes than needed (measured at 25M turns:
+    14M partial rows → 4.7M packed). Min-k caps stay mergeable: a prov
+    among the global first-k is among its batch's first-k.
+
+    The per-occurrence aggregation runs in Arrow C++ (prov string build +
+    hash group_by); pandas touches only the COLLAPSED rows."""
     keys = ["src_id", "dst_id", "pred"]
     t = pa.table(
         {
@@ -47,21 +52,18 @@ def partial_edges(batch: pa.Table) -> pa.Table:
     )
     grp = t.group_by(keys + ["prov"]).aggregate([("prov", "count")])
     grp = grp.rename_columns(keys + ["prov", "cnt"])
-    w = grp.group_by(keys).aggregate([("cnt", "sum")])
-    w = w.rename_columns(keys + ["cnt"])
 
-    df = grp.select(keys + ["prov"]).to_pandas()  # collapsed rows only
-    pr = (
-        df.sort_values(keys + ["prov"], kind="stable")
-        .groupby(keys, sort=False)
-        .head(PROV_CAP)
-        .copy()
+    df = grp.to_pandas()  # collapsed rows only
+    df = df.sort_values(keys + ["prov"], kind="stable")
+    g = df.groupby(keys, sort=False)
+    out = g["cnt"].sum().to_frame("cnt")
+    pv = df[df["prov"].notna()]  # null conv_id → no provenance entry
+    gp = pv.groupby(keys, sort=False)
+    packed = pv[gp.cumcount() < PROV_CAP].groupby(keys, sort=False)["prov"].agg(
+        "\x1f".join
     )
-    pr["cnt"] = 0
-    wdf = w.to_pandas()
-    wdf["prov"] = None
-    out = pd.concat([wdf[keys + ["prov", "cnt"]], pr[keys + ["prov", "cnt"]]],
-                    ignore_index=True)
+    out["prov"] = packed.reindex(out.index)
+    out = out.reset_index()
     from ..functions.dedup_exact import key_buckets
 
     out["bucket"] = key_buckets(out, keys, NUM_BUCKETS)
@@ -78,12 +80,17 @@ def partial_edges(batch: pa.Table) -> pa.Table:
 
 
 def _finalize_edges_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """One bucket of edge partials → final edges, vectorized: weight = sum of
-    weight rows; provenance = first PROV_CAP distinct prov strings in sorted
-    (= turn) order (min-k is mergeable, so batch-level caps stay correct)."""
+    """One bucket of packed edge partials → final edges, vectorized:
+    weight = sum of partial counts; provenance = first PROV_CAP distinct
+    prov strings in sorted (= turn) order across the unpacked per-batch
+    lists (min-k is mergeable, so batch-level caps stay correct)."""
     keys = ["src_id", "dst_id", "pred"]
     w = g.groupby(keys, sort=True)["cnt"].sum()
-    pv = g.dropna(subset=["prov"])[keys + ["prov"]].drop_duplicates()
+    pv = g.dropna(subset=["prov"])[keys + ["prov"]].copy()
+    pv["prov"] = pv["prov"].str.split("\x1f")
+    pv = pv.explode("prov")
+    pv = pv[pv["prov"].notna() & (pv["prov"] != "")]
+    pv = pv.drop_duplicates(subset=keys + ["prov"])
     pv = pv.sort_values(keys + ["prov"], kind="stable").groupby(
         keys, sort=True
     ).head(PROV_CAP)
@@ -96,17 +103,18 @@ def _finalize_edges_bucket(g: pd.DataFrame) -> pd.DataFrame:
 
 def finalized_to_partial_rows(batch: pa.Table) -> pa.Table:
     """Finalized per-shard edges (src, dst, pred, weight, prov list) → the
-    narrow partial-row shape partial_edges emits, so the resumable runner's
-    phase-4 global merge reuses _finalize_edges_bucket unchanged (min-k prov
-    merge stays correct across shards)."""
+    packed partial-row shape partial_edges emits, so the resumable runner's
+    phase-4 global merge reuses _finalize_edges_bucket unchanged (each
+    shard's prov list is that shard's first-PROV_CAP — min-k merge across
+    shards stays correct)."""
     keys = ["src_id", "dst_id", "pred"]
     df = batch.select(keys + ["weight", "prov"]).to_pandas()
-    w = df[keys + ["weight"]].rename(columns={"weight": "cnt"}).copy()
-    w["prov"] = None
-    pr = df[keys + ["prov"]].explode("prov").dropna(subset=["prov"]).copy()
-    pr["cnt"] = 0
-    out = pd.concat([w[keys + ["prov", "cnt"]], pr[keys + ["prov", "cnt"]]],
-                    ignore_index=True)
+    out = df[keys].copy()
+    # prov arrives as list OR numpy array (parquet round-trip) — len() both
+    out["prov"] = df["prov"].apply(
+        lambda lst: "\x1f".join(lst) if lst is not None and len(lst) else None
+    )
+    out["cnt"] = df["weight"].astype("int64")
     from ..functions.dedup_exact import key_buckets
 
     out["bucket"] = key_buckets(out, keys, NUM_BUCKETS)
