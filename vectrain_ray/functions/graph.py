@@ -46,8 +46,6 @@ def _distinct_edges(edges, src: str, dst: str, symmetric: bool):
     (bucketed dedup) over per-batch-deduped pairs."""
 
     def prep(t: pa.Table) -> pa.Table:
-        u = pc.cast(t[src], pa.string()) if pa.types.is_string(t[src].type) else t[src]
-        v = t[dst]
         out = pa.table({"u": t[src], "v": t[dst]})
         if symmetric:
             out = pa.concat_tables(
@@ -123,22 +121,20 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
 
     for _ in range(max_iters):
         if use_broadcast:
-            ref = ray.put(_pull_pairs(lab, "node", "label"))
+            # node-sized label arrays are captured in the task closure —
+            # Ray ships the serialized fn to the object store ONCE per
+            # map_batches and workers cache the deserialized copy, so this
+            # is the ray.put-broadcast shape without an actor-pool spin-up
+            # per iteration (~1 s each; measured on the dedup task pools)
+            keys_a, vals_a = _pull_pairs(lab, "node", "label")
 
-            class Cand:
-                def __init__(self):
-                    self.keys, self.vals = ray.get(ref)
+            def cand_fn(t: pa.Table, _k=keys_a, _v=vals_a) -> pa.Table:
+                lab_u = pc.take(_v, pc.index_in(t["u"], value_set=_k))
+                out = pa.table({"node": t["v"], "cand": lab_u})
+                return out.group_by(["node"]).aggregate(
+                    [("cand", "min")]).rename_columns(["node", "cand"])
 
-                def __call__(self, t: pa.Table) -> pa.Table:
-                    lab_u = pc.take(self.vals,
-                                    pc.index_in(t["u"], value_set=self.keys))
-                    out = pa.table({"node": t["v"], "cand": lab_u})
-                    return out.group_by(["node"]).aggregate([("cand", "min")]
-                                                            ).rename_columns(
-                        ["node", "cand"])
-
-            cands = e_sym.map_batches(Cand, batch_format="pyarrow",
-                                      concurrency=2)
+            cands = e_sym.map_batches(cand_fn, batch_format="pyarrow")
         else:
             lab_u = lab.map_batches(
                 lambda t: t.rename_columns(["u", "cand"]),
@@ -200,21 +196,8 @@ def pagerank_int(edges, src: str = "src", dst: str = "dst", iters: int = 3,
             "Dataset.join per iteration (connected_components shows the "
             f"shape); {n_nodes} nodes exceeds broadcast_max={broadcast_max}")
 
-    outdeg = e_dir.map_batches(
-        lambda t: t.group_by(["u"]).aggregate([("v", "count")]
-                                              ).rename_columns(["u", "d"]),
-        batch_format="pyarrow")
-    outdeg = _bucketed_min(  # counts: per-batch partials then bucketed SUM
-        outdeg.map_batches(
-            lambda t: t.rename_columns(["node", "cand"]),
-            batch_format="pyarrow"),
-        "cand",
-    )  # placeholder replaced below — outdeg needs SUM, not MIN
-    # NOTE: per-batch partials of e_dir are already DISTINCT pairs, so each
-    # (u,v) contributes exactly once globally; the bucketed merge must SUM
-    # the per-batch counts:
-    del outdeg
-
+    # outdeg: per-batch partial counts over the (globally distinct) pairs,
+    # then a bucketed SUM — each (u,v) contributes exactly once
     def _deg_partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["u"]).aggregate([("v", "count")])
         return g.rename_columns(["node", "s"])
@@ -233,32 +216,26 @@ def pagerank_int(edges, src: str = "src", dst: str = "dst", iters: int = 3,
 
     deg = _bucketed_sum(e_dir.map_batches(_deg_partial,
                                           batch_format="pyarrow"), "s")
-    deg_ref = ray.put(_pull_pairs(deg.materialize(), "node", "s"))
+    dk_a, dv_a = _pull_pairs(deg.materialize(), "node", "s")
+    dv_a = pc.cast(dv_a, pa.int64())
     base = (15 * scale) // 100
 
     rank_df = nodes.to_pandas()
     rank_df["pr"] = np.int64(scale)
     for _ in range(iters):
-        rank_ref = ray.put((pa.array(rank_df["node"]),
-                            pa.array(rank_df["pr"], pa.int64())))
+        rk_a = pa.array(rank_df["node"])
+        rv_a = pa.array(rank_df["pr"], pa.int64())
 
-        class Contrib:
-            def __init__(self):
-                self.rk, self.rv = ray.get(rank_ref)
-                self.dk, self.dv = ray.get(deg_ref)
+        def contrib_fn(t: pa.Table, _rk=rk_a, _rv=rv_a, _dk=dk_a,
+                       _dv=dv_a) -> pa.Table:
+            r_u = pc.take(_rv, pc.index_in(t["u"], value_set=_rk))
+            d_u = pc.take(_dv, pc.index_in(t["u"], value_set=_dk))
+            c = pc.divide(r_u, d_u)  # int64 // int64, all positive → floor
+            out = pa.table({"node": t["v"], "s": c})
+            return out.group_by(["node"]).aggregate(
+                [("s", "sum")]).rename_columns(["node", "s"])
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                r_u = pc.take(self.rv, pc.index_in(t["u"], value_set=self.rk))
-                d_u = pc.take(pc.cast(self.dv, pa.int64()),
-                              pc.index_in(t["u"], value_set=self.dk))
-                c = pc.divide(r_u, d_u)  # int64 // int64, all positive
-                out = pa.table({"node": t["v"], "s": c})
-                return out.group_by(["node"]).aggregate([("s", "sum")]
-                                                        ).rename_columns(
-                    ["node", "s"])
-
-        sums = e_dir.map_batches(Contrib, batch_format="pyarrow",
-                                 concurrency=2)
+        sums = e_dir.map_batches(contrib_fn, batch_format="pyarrow")
         s_df = _bucketed_sum(sums, "s").to_pandas()
         rank_df = rank_df[["node"]].merge(s_df, on="node", how="left")
         s = rank_df["s"].fillna(0).astype("int64")
@@ -318,39 +295,28 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
             "triangle_count join path: orient via two hash joins against "
             "the degree table instead of a broadcast (name_edges shows the "
             "two-sided-join shape)")
-    deg_ref = ray.put(_pull_pairs(deg, "node", "s"))
+    deg_k, deg_v = _pull_pairs(deg, "node", "s")
 
-    class Orient:
+    def orient_fn(t: pa.Table, _k=deg_k, _v=deg_v) -> pa.Table:
         """u→v reoriented so the LOWER (deg, id) endpoint is the source."""
+        du = pc.take(_v, pc.index_in(t["u"], value_set=_k))
+        dv = pc.take(_v, pc.index_in(t["v"], value_set=_k))
+        # (du, u) < (dv, v): input is normalized u < v, so ties go u→v
+        u_first = pc.or_(pc.less(du, dv), pc.equal(du, dv))
+        return pa.table({
+            "a": pc.if_else(u_first, t["u"], t["v"]),
+            "b": pc.if_else(u_first, t["v"], t["u"]),
+        })
 
-        def __init__(self):
-            self.keys, self.vals = ray.get(deg_ref)
+    oriented = und.map_batches(orient_fn, batch_format="pyarrow").materialize()
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            du = pc.take(self.vals, pc.index_in(t["u"], value_set=self.keys))
-            dv = pc.take(self.vals, pc.index_in(t["v"], value_set=self.keys))
-            # (du, u) < (dv, v): input is normalized u < v, so ties go u→v
-            u_first = pc.or_(pc.less(du, dv), pc.equal(du, dv))
-            return pa.table({
-                "a": pc.if_else(u_first, t["u"], t["v"]),
-                "b": pc.if_else(u_first, t["v"], t["u"]),
-            })
-
-    oriented = und.map_batches(Orient, batch_format="pyarrow",
-                               concurrency=2).materialize()
-
-    class OrientRank:
-        """(deg, id) order rank for sorting oriented adjacency lists."""
-
-        def __init__(self):
-            self.keys, self.vals = ray.get(deg_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            db = pc.take(self.vals, pc.index_in(t["b"], value_set=self.keys))
-            out = t.append_column("db", db)
-            b = key_buckets(pd.DataFrame({"a": t["a"].to_pandas()}), ["a"],
-                            NUM_BUCKETS)
-            return out.append_column("bucket", pa.array(b.values, pa.int32()))
+    def orient_rank_fn(t: pa.Table, _k=deg_k, _v=deg_v) -> pa.Table:
+        """Attach (deg, id) order rank for sorting oriented adjacency."""
+        db = pc.take(_v, pc.index_in(t["b"], value_set=_k))
+        out = t.append_column("db", db)
+        b = key_buckets(pd.DataFrame({"a": t["a"].to_pandas()}), ["a"],
+                        NUM_BUCKETS)
+        return out.append_column("bucket", pa.array(b.values, pa.int32()))
 
     def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """One src-bucket of oriented edges → wedge rows (x, y) where x, y
@@ -373,7 +339,7 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         return pd.DataFrame({"a": np.concatenate(xs),
                              "b": np.concatenate(ys)})
 
-    wedges = oriented.map_batches(OrientRank, batch_format="pyarrow").groupby(
+    wedges = oriented.map_batches(orient_rank_fn, batch_format="pyarrow").groupby(
         "bucket").map_groups(wedges_bucket, batch_format="pandas")
 
     # semi-join wedges against the oriented edge set, bucketed on (a, b)
@@ -427,21 +393,15 @@ def khop_hops(edges, seeds: list, k: int, src: str = "src",
     acc.append(pa.table({"node": seed_arr,
                          "hops": pa.array([0] * len(frontier), pa.int64())}))
     for h in range(1, k + 1):
-        ref = ray.put(pa.array(frontier, type=seed_arr.type))
+        f_arr = pa.array(frontier, type=seed_arr.type)
 
-        class Step:
-            def __init__(self):
-                self.f = ray.get(ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                hit = t.filter(pc.is_in(t["u"],
-                                        value_set=pc.cast(self.f,
-                                                          t["u"].type)))
-                return pa.table({"node": hit["v"]}).group_by(
-                    ["node"]).aggregate([])
+        def step_fn(t: pa.Table, _f=f_arr) -> pa.Table:
+            hit = t.filter(pc.is_in(t["u"],
+                                    value_set=pc.cast(_f, t["u"].type)))
+            return pa.table({"node": hit["v"]}).group_by(["node"]).aggregate([])
 
         nxt = dedup_exact(
-            e_dir.map_batches(Step, batch_format="pyarrow", concurrency=2),
+            e_dir.map_batches(step_fn, batch_format="pyarrow"),
             ["node"],
         ).to_pandas()
         if nxt.empty:

@@ -763,6 +763,100 @@ def q_kg_triples(sf_dir: str):
     )
 
 
+# --- graph analytics over derived edge tables (functions/graph.py) --------
+def _cosupply_edges(sf_dir: str):
+    """Directed supplier co-occurrence graph: u → v when v supplied the
+    NEXT line (l_linenumber + 1) of the same order. The synthetic lineitem
+    has duplicate (orderkey, linenumber) keys, so this must mirror the SQL
+    self-join's cross-product semantics exactly — a per-order-bucket
+    vectorized pandas merge (orders are co-located by the bucket groupby;
+    one Python call per BUCKET, never per order)."""
+    from ..functions.dedup_exact import key_buckets
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_suppkey"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = key_buckets(df, ["l_orderkey"], 64)
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[["l_orderkey", "l_linenumber", "l_suppkey"]].copy()
+        a["ln1"] = a["l_linenumber"] + 1
+        m = a.merge(a, left_on=["l_orderkey", "ln1"],
+                    right_on=["l_orderkey", "l_linenumber"],
+                    suffixes=("_u", "_v"))
+        out = pd.DataFrame({"u": m["l_suppkey_u"].astype("int64"),
+                            "v": m["l_suppkey_v"].astype("int64")})
+        return out.drop_duplicates()
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby(
+        "bucket").map_groups(pairs, batch_format="pandas")
+
+
+def _kg_star_edges(sf_dir: str):
+    """Entity graph edges straight from the TPC-H tables (the same
+    customer/supplier–nation topology the full KG pipeline extracts):
+    'cust:K' — 'nat:N' and 'sup:K' — 'nat:N'."""
+
+    def cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                "cust", pc.cast(t["c_custkey"], pa.string()), ":"),
+            "dst": pc.binary_join_element_wise(
+                "nat", pc.cast(t["c_nationkey"], pa.string()), ":"),
+        })
+
+    def sup(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                "sup", pc.cast(t["s_suppkey"], pa.string()), ":"),
+            "dst": pc.binary_join_element_wise(
+                "nat", pc.cast(t["s_nationkey"], pa.string()), ":"),
+        })
+
+    c = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust, batch_format="pyarrow")
+    s = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        sup, batch_format="pyarrow")
+    return c.union(s)
+
+
+def q_kg_components(sf_dir: str):
+    """Connected components of the entity graph by iterative min-label
+    propagation (functions/graph.connected_components — broadcast-or-join
+    label lookup, combiner-before-shuffle per iteration). Oracle: recursive
+    transitive closure + min reachable id."""
+    from ..functions.graph import connected_components
+
+    return connected_components(_kg_star_edges(sf_dir), "src", "dst")
+
+
+def q_pagerank(sf_dir: str):
+    """3-iteration INTEGER PageRank over the co-supply graph — floor
+    arithmetic is bit-exact across partitionings and mirrors the unrolled
+    SQL oracle (float PageRank cannot be oracle-checked: summation order)."""
+    from ..functions.graph import pagerank_int
+
+    return pagerank_int(_cosupply_edges(sf_dir), "u", "v", iters=3)
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count: degree orientation + bucketed wedge semi-join
+    (the shuffle-optimal exact algorithm; wedge volume Σ C(outdeg⁺, 2))."""
+    from ..functions.graph import triangle_count as _tri
+
+    return _tri(_cosupply_edges(sf_dir), "u", "v")
+
+
+def q_khop(sf_dir: str):
+    """Min-hop distance ≤ 3 from supplier 1 by frontier-broadcast BFS
+    (per hop: pc.is_in semi-join over the streaming edge set)."""
+    from ..functions.graph import khop_hops
+
+    return khop_hops(_cosupply_edges(sf_dir), [1], 3, "u", "v")
+
+
 _KG_CACHE: dict[str, dict] = {}
 
 
@@ -891,7 +985,19 @@ QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
+    "kg_components": q_kg_components,
+    "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
+    "khop": q_khop,
 }
+
+# shared CTE text for the co-supply graph oracles (same cross-product join
+# semantics the bucketed pandas merge in _cosupply_edges mirrors)
+_COSUPPLY_RAW = (
+    "SELECT l1.l_suppkey AS u, l2.l_suppkey AS v FROM lineitem l1 "
+    "JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey "
+    "AND l2.l_linenumber = l1.l_linenumber + 1"
+)
 
 _EN_LIST_SQL = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
 
@@ -1220,4 +1326,64 @@ ORACLE_SQL = {
     # every QUERIES entry above has a full value-exact oracle — including
     # dedup_minhash (banding + Jaccard + recursive-CTE clustering),
     # simhash_pairs, embed_neardup (literal hyperplanes) and lang_guess.
+    "kg_components": (
+        "WITH RECURSIVE base AS ("
+        "SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS a, "
+        "'nat:' || CAST(c_nationkey AS VARCHAR) AS b FROM customer "
+        "UNION ALL "
+        "SELECT 'sup:' || CAST(s_suppkey AS VARCHAR), "
+        "'nat:' || CAST(s_nationkey AS VARCHAR) FROM supplier), "
+        "sym AS (SELECT a, b FROM base UNION SELECT b, a FROM base), "
+        "reach AS ("
+        "SELECT a AS n, a AS m FROM sym "
+        "UNION "
+        "SELECT r.n, s.b AS m FROM reach r JOIN sym s ON s.a = r.m) "
+        "SELECT n AS node, min(m) AS component FROM reach GROUP BY n"
+    ),
+    "pagerank": (
+        "WITH raw AS (" + _COSUPPLY_RAW + "), "
+        "e AS (SELECT DISTINCT u, v FROM raw WHERE u <> v), "
+        "nodes AS (SELECT u AS n FROM e UNION SELECT v AS n FROM e), "
+        "od AS (SELECT u AS n, count(*) AS d FROM e GROUP BY u), "
+        "r0 AS (SELECT n, CAST(1000000000000 AS BIGINT) AS r FROM nodes), "
+        "s1 AS (SELECT e.v AS n, SUM(r0.r // od.d) AS c FROM e "
+        "JOIN r0 ON r0.n = e.u JOIN od ON od.n = e.u GROUP BY e.v), "
+        "r1 AS (SELECT nodes.n AS n, 150000000000 + "
+        "(85 * COALESCE(s1.c, 0)) // 100 AS r "
+        "FROM nodes LEFT JOIN s1 ON s1.n = nodes.n), "
+        "s2 AS (SELECT e.v AS n, SUM(r1.r // od.d) AS c FROM e "
+        "JOIN r1 ON r1.n = e.u JOIN od ON od.n = e.u GROUP BY e.v), "
+        "r2 AS (SELECT nodes.n AS n, 150000000000 + "
+        "(85 * COALESCE(s2.c, 0)) // 100 AS r "
+        "FROM nodes LEFT JOIN s2 ON s2.n = nodes.n), "
+        "s3 AS (SELECT e.v AS n, SUM(r2.r // od.d) AS c FROM e "
+        "JOIN r2 ON r2.n = e.u JOIN od ON od.n = e.u GROUP BY e.v), "
+        "r3 AS (SELECT nodes.n AS n, 150000000000 + "
+        "(85 * COALESCE(s3.c, 0)) // 100 AS r "
+        "FROM nodes LEFT JOIN s3 ON s3.n = nodes.n) "
+        "SELECT n AS node, CAST(r AS BIGINT) AS pr FROM r3"
+    ),
+    "triangle_count": (
+        "WITH raw AS (" + _COSUPPLY_RAW + "), "
+        "e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b "
+        "FROM raw WHERE u <> v) "
+        "SELECT count(*) AS n_triangles FROM e e1 "
+        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+    ),
+    "khop": (
+        "WITH raw AS (" + _COSUPPLY_RAW + "), "
+        "e AS (SELECT DISTINCT u, v FROM raw WHERE u <> v), "
+        "f0 AS (SELECT CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS h), "
+        "f1 AS (SELECT DISTINCT e.v AS n, CAST(1 AS BIGINT) AS h "
+        "FROM e JOIN f0 ON e.u = f0.n), "
+        "f2 AS (SELECT DISTINCT e.v AS n, CAST(2 AS BIGINT) AS h "
+        "FROM e JOIN f1 ON e.u = f1.n), "
+        "f3 AS (SELECT DISTINCT e.v AS n, CAST(3 AS BIGINT) AS h "
+        "FROM e JOIN f2 ON e.u = f2.n) "
+        "SELECT n AS node, min(h) AS hops FROM ("
+        "SELECT n, h FROM f0 UNION ALL SELECT n, h FROM f1 "
+        "UNION ALL SELECT n, h FROM f2 UNION ALL SELECT n, h FROM f3) u "
+        "GROUP BY n"
+    ),
 }
