@@ -948,6 +948,284 @@ def q_kg_nodes(sf_dir: str):
     return res["nodes"].select_columns(["canonical_name", "n_mentions", "degree"])
 
 
+# --- widening pass: outer join, unnest, pivot, rollup, ranges, regex -------
+def q_left_join(sf_dir: str):
+    """customer LEFT OUTER JOIN pre-aggregated orders (native Ray hash join,
+    join_type="left_outer"): every customer appears exactly once, zero-filled
+    when they have no orders. The orders side collapses to ≤1 row per custkey
+    via the partial+final combiner BEFORE the join, so the join exchange
+    moves pre-aggregated rows only (complements q_hash_join's inner join on
+    raw rows)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return g.rename_columns(["o_custkey", "p_rev", "p_cnt"])
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(Sum("p_rev", alias_name="revenue"),
+                   Sum("p_cnt", alias_name="n_orders"))
+    )
+    joined = cust.join(per_cust, join_type="left_outer",
+                       num_partitions=_join_partitions(),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": pc.cast(pc.fill_null(t["n_orders"], 0), pa.int64()),
+                "revenue": pc.round(
+                    pc.cast(pc.fill_null(t["revenue"], 0.0), pa.float64()),
+                    ndigits=2,
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_wordcount(sf_dir: str):
+    """Unnest/explode + wordcount: split text on whitespace in Arrow C++
+    (split_pattern_regex — the same RE2 engine DuckDB uses), explode the
+    list column zero-copy (list_flatten), count per batch (combiner), one
+    final groupby over distinct words, then global top-100 with a
+    deterministic tie-break (count desc, word asc)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(t["text"], ""))
+        )
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        words = pc.list_flatten(toks)  # the explode
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.table({"word": words}).group_by("word").aggregate(
+            [("word", "count")]
+        )
+        return g.rename_columns(["word", "p_cnt"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("word")
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+    )
+    return counts.sort(["cnt", "word"], descending=[True, False]).limit(100)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_counts(sf_dir: str):
+    """PIVOT: per-day event counts spread into one column per event type.
+    A per-batch pandas crosstab collapses each batch to ≤ #days rows
+    (combiner), then the final groupby sums the already-pivoted columns —
+    the shuffle moves #days × #types cells, never raw events. The pivot
+    column domain is the operator's declared config (the reference's typed
+    projection declares its field list the same way, qdrant/client.go:38)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.floor("D")
+        ct = pd.crosstab(day, df["event_type"])
+        for et in _EVENT_TYPES:
+            if et not in ct.columns:
+                ct[et] = 0
+        ct = ct[_EVENT_TYPES].astype("int64")
+        ct.columns = [f"n_{c}" for c in _EVENT_TYPES]
+        ct.index.name = "day"
+        return ct.reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("day")
+        .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}") for c in _EVENT_TYPES])
+    )
+
+
+def q_count_distinct(sf_dir: str):
+    """COUNT(DISTINCT) via the two-level pattern: per-batch distinct pairs
+    (combiner inside dedup_exact) → bucketed global dedup of
+    (event_type, user_id) → partial counts → tiny final groupby. The only
+    all-to-all moves pre-deduped narrow pairs."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = dedup_exact(ds, ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "p_cnt"])
+
+    return (
+        pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("p_cnt", alias_name="n_users"))
+    )
+
+
+_PRICE_BANDS = [
+    ("p00_low", 0.0, 125_000.0),
+    ("p01_mid", 125_000.0, 250_000.0),
+    ("p02_high", 250_000.0, 375_000.0),
+    ("p03_top", 375_000.0, float("inf")),
+]
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join: each order matched to the price band with
+    lo <= price < hi. The band table is tiny → held as a broadcast constant;
+    the probe is one vectorized np.searchsorted per batch — a range join
+    with ZERO shuffle (the general pattern for banding / bucketing joins:
+    broadcast the sorted interval bounds, binary-search the probe column)."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    names = np.array([b[0] for b in _PRICE_BANDS], dtype=object)
+    lows = np.array([b[1] for b in _PRICE_BANDS])
+
+    def assign(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lows, price, side="right") - 1
+        band = pa.array(names[idx], pa.string())
+        g = pa.table({"band": band, "price": t["o_totalprice"]}).group_by(
+            "band"
+        ).aggregate([("price", "sum"), ("price", "count")])
+        return g.rename_columns(["band", "p_rev", "p_cnt"])
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=65536)
+        .groupby("band")
+        .aggregate(Sum("p_rev", alias_name="revenue"),
+                   Sum("p_cnt", alias_name="n_orders"))
+    )
+    return out.map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
+
+
+def q_rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): the finest level is a distributed
+    partial+final groupby; the coarser levels re-aggregate the finest result
+    in ONE vectorized task — at any input scale the rollup fan-in sees
+    ≤ |lang|×|source| pre-aggregated rows, so it is fixed-size and
+    driver-free. Integer metrics (doc count, char sum) → exact vs SQL."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+        return g.rename_columns(["lang", "source", "p_chars", "p_cnt"])
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("p_chars", alias_name="sum_chars"),
+                   Sum("p_cnt", alias_name="n_docs"))
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        lvl0 = df[["lang", "source", "n_docs", "sum_chars"]].copy()
+        lvl1 = (
+            df.groupby("lang", as_index=False)[["n_docs", "sum_chars"]]
+            .sum()
+            .assign(source="ALL")
+        )
+        lvl2 = pd.DataFrame(
+            {"lang": ["ALL"], "source": ["ALL"],
+             "n_docs": [df["n_docs"].sum()],
+             "sum_chars": [df["sum_chars"].sum()]}
+        )
+        out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return out[["lang", "source", "n_docs", "sum_chars"]]
+
+    return finest.repartition(1).map_batches(
+        rollup, batch_format="pandas", batch_size=None
+    )
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Standalone n-gram Jaccard similarity: exact 5-char-shingle overlap
+    for each adjacent-doc-id pair (adjacent ids stand in for any candidate
+    pair list, e.g. LSH output — the operator is the pair-keyed bucketed
+    verify). Each doc ships to its ≤2 pairs through ONE bucketed shuffle;
+    per-bucket work touches only each pair's two shingle sets. Integer
+    (n_common, n_union) output → exact vs SQL, no float rounding."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from ..functions.dedup_exact import key_buckets
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        a = pd.DataFrame({"pair_id": df["doc_id"], "role": 0,
+                          "text": df["text"]})
+        b = pd.DataFrame({"pair_id": df["doc_id"] - 1, "role": 1,
+                          "text": df["text"]})
+        out = pd.concat([a, b], ignore_index=True)
+        out = out[out["pair_id"] >= 0].copy()
+        out["bucket"] = key_buckets(out, ["pair_id"], 64)
+        return out
+
+    def _shingles(t) -> set:
+        t = (t or "").lower()
+        if not t:
+            return set()
+        if len(t) < 5:
+            return {t}
+        return {t[i:i + 5] for i in range(len(t) - 4)}
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair_id", "role"], kind="stable")
+        doc_a, doc_b, n_common, n_union = [], [], [], []
+        for pid, gg in g.groupby("pair_id", sort=True):
+            if len(gg) != 2:  # pair missing one side → not a pair
+                continue
+            sa = _shingles(gg["text"].iloc[0])
+            sb = _shingles(gg["text"].iloc[1])
+            doc_a.append(pid)
+            doc_b.append(pid + 1)
+            n_common.append(len(sa & sb))
+            n_union.append(len(sa | sb))
+        return pd.DataFrame(
+            {
+                "doc_a": np.asarray(doc_a, dtype="int64"),
+                "doc_b": np.asarray(doc_b, dtype="int64"),
+                "n_common": np.asarray(n_common, dtype="int64"),
+                "n_union": np.asarray(n_union, dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+    )
+
+
+def q_regex_extract(sf_dir: str):
+    """Vectorized regex field extraction (RE2 extract_regex kernel — no
+    per-row Python) from the JSON-ish props string, then a grouped
+    aggregate: per event_type, row count and sum of the extracted k."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(t["props"], ""),
+                             pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.fill_null(pc.cast(pc.struct_field(m, "k"), pa.int64()), 0)
+        g = pa.table({"event_type": t["event_type"], "k": k}).group_by(
+            "event_type"
+        ).aggregate([("k", "sum"), ("k", "count")])
+        return g.rename_columns(["event_type", "p_k", "p_cnt"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("p_k", alias_name="sum_k"),
+                   Sum("p_cnt", alias_name="n_events"))
+    )
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "id_backfill": q_id_backfill,
@@ -989,6 +1267,14 @@ QUERIES = {
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
     "khop": q_khop,
+    "left_join": q_left_join,
+    "wordcount": q_wordcount,
+    "pivot_counts": q_pivot_counts,
+    "count_distinct": q_count_distinct,
+    "range_join": q_range_join,
+    "rollup_agg": q_rollup_agg,
+    "ngram_jaccard": q_ngram_jaccard,
+    "regex_extract": q_regex_extract,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -1385,5 +1671,76 @@ ORACLE_SQL = {
         "SELECT n, h FROM f0 UNION ALL SELECT n, h FROM f1 "
         "UNION ALL SELECT n, h FROM f2 UNION ALL SELECT n, h FROM f3) u "
         "GROUP BY n"
+    ),
+    "left_join": (
+        "SELECT c.c_custkey, c.c_mktsegment, "
+        "coalesce(o.n_orders, 0) AS n_orders, "
+        "round(coalesce(o.revenue, 0.0), 2) AS revenue "
+        "FROM customer c LEFT JOIN ("
+        "SELECT o_custkey, count(*) AS n_orders, "
+        "sum(o_totalprice) AS revenue FROM orders GROUP BY o_custkey) o "
+        "ON o.o_custkey = c.c_custkey"
+    ),
+    "wordcount": (
+        "WITH toks AS (SELECT unnest(list_filter("
+        "regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+'), "
+        "x -> x <> '')) AS word FROM documents) "
+        "SELECT word, count(*) AS cnt FROM toks GROUP BY word "
+        "ORDER BY cnt DESC, word LIMIT 100"
+    ),
+    "pivot_counts": (
+        "SELECT date_trunc('day', ts) AS day, "
+        + ", ".join(
+            f"count(*) FILTER (WHERE event_type = '{et}') AS n_{et}"
+            for et in _EVENT_TYPES
+        )
+        + " FROM events GROUP BY 1"
+    ),
+    "count_distinct": (
+        "SELECT event_type, count(DISTINCT user_id) AS n_users "
+        "FROM events GROUP BY event_type"
+    ),
+    "range_join": (
+        "WITH bands(band, lo, hi) AS (VALUES "
+        + ", ".join(
+            f"('{n}', {lo!r}, {(1e308 if hi == float('inf') else hi)!r})"
+            for n, lo, hi in _PRICE_BANDS
+        )
+        + ") SELECT b.band, round(sum(o.o_totalprice), 2) AS revenue, "
+        "count(*) AS n_orders FROM orders o JOIN bands b "
+        "ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi GROUP BY b.band"
+    ),
+    "rollup_agg": (
+        "SELECT coalesce(lang, 'ALL') AS lang, "
+        "coalesce(source, 'ALL') AS source, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY ROLLUP(lang, source)"
+    ),
+    "ngram_jaccard": (
+        "WITH docs AS (SELECT doc_id, lower(coalesce(text,'')) AS t "
+        "FROM documents), "
+        "shing AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS s FROM docs, "
+        "LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i) "
+        "WHERE len(t) >= 5 "
+        "UNION SELECT doc_id, t FROM docs WHERE len(t) > 0 AND len(t) < 5), "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1), "
+        "nsh AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id), "
+        "common AS (SELECT p.doc_a, p.doc_b, count(*) AS nc FROM pairs p "
+        "JOIN shing sa ON sa.doc_id = p.doc_a "
+        "JOIN shing sb ON sb.doc_id = p.doc_b AND sb.s = sa.s "
+        "GROUP BY p.doc_a, p.doc_b) "
+        "SELECT p.doc_a, p.doc_b, coalesce(cm.nc, 0) AS n_common, "
+        "coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(cm.nc, 0) "
+        "AS n_union "
+        "FROM pairs p LEFT JOIN nsh na ON na.doc_id = p.doc_a "
+        "LEFT JOIN nsh nb ON nb.doc_id = p.doc_b "
+        "LEFT JOIN common cm ON cm.doc_a = p.doc_a AND cm.doc_b = p.doc_b"
+    ),
+    "regex_extract": (
+        "SELECT event_type, CAST(sum(coalesce(CAST(NULLIF("
+        "regexp_extract(coalesce(props, ''), '\"k\":\\s*(\\d+)', 1), '') "
+        "AS BIGINT), 0)) AS BIGINT) AS sum_k, count(*) AS n_events "
+        "FROM events GROUP BY event_type"
     ),
 }
