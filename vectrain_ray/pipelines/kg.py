@@ -73,6 +73,7 @@ def run_kg(
     link_shards: int | None = None,
     encoder_kind: str = "hashing",
     encoder_kwargs: dict | None = None,
+    encode_overlap: bool | str = "auto",
 ) -> dict:
     """Run the full KG-construction pipeline.
 
@@ -159,8 +160,20 @@ def run_kg(
         except BaseException as exc:  # noqa: BLE001
             encode_holder["exc"] = exc
 
+    # ``encode_overlap``: True runs the encode branch CONCURRENTLY with
+    # mapping→link→edges (hides the phase barriers), False runs it AFTER the
+    # main phases. "auto" picks by regime: on a multi-node cluster the
+    # branches use separate memory buses → overlap is free; on one box the
+    # two streaming executions share the bus, and past its saturation point
+    # overlap inflates every main-thread phase more than it saves (measured
+    # at 25M turns / 32 CPUs: overlapped 147 s vs sequential 59 s — encode
+    # moves ~11 GB of embeddings; while at 8 CPUs / 6.3M turns overlap wins
+    # 47 s vs 67 s). Single-node crossover measured between 8 and 32 CPUs.
+    if encode_overlap == "auto":
+        n_nodes = sum(1 for n in ray.nodes() if n.get("Alive"))
+        encode_overlap = n_nodes > 1 or total_cpus <= 8
     t_encode = None
-    if out_dir and write_outputs:
+    if out_dir and write_outputs and encode_overlap:
         t_encode = threading.Thread(target=_encode_branch)
         t_encode.start()
 
@@ -299,6 +312,9 @@ def run_kg(
 
     if t_encode is not None:
         t_encode.join()
+    elif out_dir and write_outputs:
+        _encode_branch()  # sequential mode: encode after the main phases
+    if out_dir and write_outputs:
         if "exc" in encode_holder:
             raise encode_holder["exc"]
         timings["encode_write"] = encode_holder["sec"]

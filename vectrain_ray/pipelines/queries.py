@@ -949,6 +949,48 @@ def q_kg_nodes(sf_dir: str):
 
 
 # --- widening pass: outer join, unnest, pivot, rollup, ranges, regex -------
+def q_grouped_quantiles(sf_dir: str):
+    """Exact grouped multi-quantile (p25/p50/p90) via the value-count
+    combiner + CDF walk — generalizes q_grouped_median to any quantile list.
+    DuckDB quantile_disc semantics: 1-based rank ceil(q*n), computed here in
+    exact integer arithmetic ((num*n + den - 1) // den) so no float-rank
+    drift vs SQL. Exact at any scale for bounded value domains."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_quantity", "p_cnt"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+    )
+    quantiles = [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)]
+
+    def cdf_walk(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {"l_returnflag": []}
+        rows.update({name: [] for name, _, _ in quantiles})
+        for flag, g in df.groupby("l_returnflag", sort=True):
+            g = g.sort_values("l_quantity", kind="stable")
+            n = int(g["cnt"].sum())
+            cum = g["cnt"].cumsum()
+            rows["l_returnflag"].append(flag)
+            for name, num, den in quantiles:
+                idx = (num * n + den - 1) // den - 1  # 0-based ceil(q*n)-1
+                rows[name].append(
+                    float(g.loc[cum > idx, "l_quantity"].iloc[0])
+                )
+        return pd.DataFrame(rows)
+
+    return merged.repartition(1).map_batches(
+        cdf_walk, batch_format="pandas", batch_size=None
+    )
+
+
+
 def q_left_join(sf_dir: str):
     """customer LEFT OUTER JOIN pre-aggregated orders (native Ray hash join,
     join_type="left_outer"): every customer appears exactly once, zero-filled
@@ -1275,6 +1317,7 @@ QUERIES = {
     "rollup_agg": q_rollup_agg,
     "ngram_jaccard": q_ngram_jaccard,
     "regex_extract": q_regex_extract,
+    "grouped_quantiles": q_grouped_quantiles,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -1742,5 +1785,11 @@ ORACLE_SQL = {
         "regexp_extract(coalesce(props, ''), '\"k\":\\s*(\\d+)', 1), '') "
         "AS BIGINT), 0)) AS BIGINT) AS sum_k, count(*) AS n_events "
         "FROM events GROUP BY event_type"
+    ),
+    "grouped_quantiles": (
+        "SELECT l_returnflag, quantile_disc(l_quantity, 0.25) AS p25, "
+        "quantile_disc(l_quantity, 0.5) AS p50, "
+        "quantile_disc(l_quantity, 0.9) AS p90 "
+        "FROM lineitem GROUP BY l_returnflag"
     ),
 }

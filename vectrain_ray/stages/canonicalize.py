@@ -95,6 +95,22 @@ def partial_surface_counts(batch: pa.Table) -> pa.Table:
                        "bucket"])
 
 
+def recombine_surface_partials(t: pa.Table) -> pa.Table:
+    """Second-level combiner: collapses same-key partial rows ACROSS upstream
+    blocks before the all-to-all. A Zipf-hot surface contributes one partial
+    row per extraction batch; bundling B blocks per recombine task (large
+    ``batch_size`` on this stage) cuts the shuffle's row count up to B× at
+    the cost of one cheap Arrow C++ group_by per bundle — no new shuffle."""
+    g = t.group_by(
+        ["surface_norm", "surface_form", "merge_key", "bucket"]
+    ).aggregate([("cnt", "sum")])
+    g = g.rename_columns(
+        ["surface_norm", "surface_form", "merge_key", "bucket", "cnt"]
+    )
+    return g.select(["surface_norm", "surface_form", "cnt", "merge_key",
+                     "bucket"])
+
+
 def _canonicalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """One merge-key-bucket of partial counts → mapping rows (one per member
     norm), all vectorized: per-norm stats (canonical surface = highest total
@@ -136,7 +152,8 @@ def _canonicalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def build_mapping(mentions_ds, extra_pairs: list[tuple[str, str]] | None = None):
+def build_mapping(mentions_ds, extra_pairs: list[tuple[str, str]] | None = None,
+                  recombine_batch: int | None = 1 << 20):
     """mentions Dataset → mapping Dataset
     (surface_norm, entity_id, canonical_name, n_mentions, aliases).
 
@@ -145,10 +162,17 @@ def build_mapping(mentions_ds, extra_pairs: list[tuple[str, str]] | None = None)
 
     ``extra_pairs``: optional (surface_norm_a, surface_norm_b) near-duplicate
     candidates from a similarity pass; merged via driver-side union-find.
+    ``recombine_batch``: bundle size for the second-level combiner (None
+    disables it).
     """
     partials = mentions_ds.map_batches(
         partial_surface_counts, batch_format="pyarrow", batch_size=65536
     )
+    if recombine_batch:
+        partials = partials.map_batches(
+            recombine_surface_partials, batch_format="pyarrow",
+            batch_size=recombine_batch,
+        )
     mapping = partials.groupby("bucket").map_groups(
         _canonicalize_bucket, batch_format="pandas"
     )

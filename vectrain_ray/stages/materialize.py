@@ -101,6 +101,30 @@ def _finalize_edges_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index()
 
 
+def recombine_edge_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Second-level combiner: merges same-key PACKED partial rows across
+    upstream blocks before the edge all-to-all (a dense edge key appears
+    once per linked batch; bundling B blocks per task cuts shuffle rows up
+    to B×). Counts sum; packed provs merge min-k (first PROV_CAP distinct in
+    sorted order — a prov among the merged first-k is among its source's
+    first-k, so the cap stays mergeable at every level)."""
+    keys = ["src_id", "dst_id", "pred", "bucket"]
+    w = df.groupby(keys, sort=False)["cnt"].sum().to_frame("cnt")
+    pv = df[df["prov"].notna()][keys + ["prov"]].copy()
+    pv["prov"] = pv["prov"].str.split("\x1f")
+    pv = pv.explode("prov")
+    pv = pv[pv["prov"].notna() & (pv["prov"] != "")]
+    pv = pv.drop_duplicates(subset=keys + ["prov"])
+    pv = pv.sort_values(keys + ["prov"], kind="stable")
+    capped = pv[pv.groupby(keys, sort=False).cumcount() < PROV_CAP]
+    packed = capped.groupby(keys, sort=False)["prov"].agg("\x1f".join)
+    w["prov"] = packed.reindex(w.index)
+    out = w.reset_index()
+    out["bucket"] = out["bucket"].astype("int32")
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["src_id", "dst_id", "pred", "prov", "cnt", "bucket"]]
+
+
 def finalized_to_partial_rows(batch: pa.Table) -> pa.Table:
     """Finalized per-shard edges (src, dst, pred, weight, prov list) → the
     packed partial-row shape partial_edges emits, so the resumable runner's
@@ -130,12 +154,24 @@ def finalized_to_partial_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def edges_from_linked(linked_ds):
+def edges_from_linked(linked_ds, recombine_batch: int | None = None):
     """linked triples Dataset → edges Dataset (prov as "conv|t" strings;
-    promote to list<struct> at the final write projection)."""
+    promote to list<struct> at the final write projection).
+    ``recombine_batch``: bundle size for the optional second-level combiner.
+    Default OFF: measured at 25M turns / 32 CPUs it LOSES (edges 15.0 s →
+    18.1 s; 2.2 s → 14.1 s at 1.6M turns) — the packed partial rows are
+    already collapsed enough that the prov-unpack/merge cost plus the
+    operator-fusion parallelism loss exceeds the shuffle savings. The
+    surface-count recombine (canonicalize.recombine_surface_partials) is the
+    opposite case: pure Arrow group_by, wins at every scale."""
     partials = linked_ds.map_batches(
         partial_edges, batch_format="pyarrow", batch_size=131072
     )
+    if recombine_batch:
+        partials = partials.map_batches(
+            recombine_edge_partials, batch_format="pandas",
+            batch_size=recombine_batch,
+        )
     return partials.groupby("bucket").map_groups(
         _finalize_edges_bucket, batch_format="pandas"
     )
