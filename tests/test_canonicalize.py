@@ -83,3 +83,20 @@ def test_mapping_entity_ids_stable_across_runs(small_transcripts):
     a = a.sort_values("surface_norm").reset_index(drop=True)
     b = b.sort_values("surface_norm").reset_index(drop=True)
     assert list(a["entity_id"]) == list(b["entity_id"])
+
+
+def test_recombine_paths_identical():
+    """The second-level surface-count combiner must not change the mapping:
+    recombine on (any bundle size) ≡ recombine off, row for row."""
+    surfs = (["Acme Corp"] * 40 + ["Acme, Corp."] * 25 + ["Beta LLC"] * 10
+             + ["Gamma Inc", "Gamma  Inc", "delta"] * 3)
+
+    def rows(ds):
+        df = ds.to_pandas()
+        df["aliases"] = df["aliases"].apply(tuple)
+        return df.sort_values(["surface_norm"]).reset_index(drop=True)
+
+    base = rows(build_mapping(_mentions(surfs), recombine_batch=None))
+    for rb in (4, 64, 1 << 20):
+        got = rows(build_mapping(_mentions(surfs), recombine_batch=rb))
+        assert got.equals(base), f"recombine_batch={rb} diverged"
