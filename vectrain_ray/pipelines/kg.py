@@ -99,6 +99,20 @@ def run_kg(
     timings: dict[str, float] = {}
     t_start = time.time()
 
+    # opt-in per-phase operator stats (ds.stats()) for profiling: set
+    # VECTRAIN_STATS_DIR to a writable dir and each materialized phase dumps
+    # its executor stats there — the feedback loop for tuning phase shapes
+    stats_dir = os.environ.get("VECTRAIN_STATS_DIR")
+
+    def _dump_stats(name: str, ds_) -> None:
+        if stats_dir:
+            try:
+                os.makedirs(stats_dir, exist_ok=True)
+                with open(os.path.join(stats_dir, f"{name}.txt"), "w") as f:
+                    f.write(ds_.stats())
+            except Exception:  # noqa: BLE001 — profiling must never kill a run
+                pass
+
     if isinstance(transcripts, str):
         ds = rd.read_parquet(transcripts, columns=["conv_id", "turn_idx", "text"])
     else:
@@ -125,6 +139,7 @@ def run_kg(
     # write+read round-trip (the checkpointing variant that DOES write it is
     # pipelines/resume.py).
     extracted = extracted.materialize()
+    _dump_stats("extracted", extracted)
     timings["extract"] = round(time.time() - t_start, 3)
 
     # --- mention branch ---------------------------------------------------
@@ -133,6 +148,26 @@ def run_kg(
     # the reference's RetryPolicy (config.go:43-46) is parsed but never
     # read; here it is actually enforced by Ray actor task retries
     retry_args = {"max_task_retries": max_task_retries} if max_task_retries else {}
+
+    # ``encode_overlap``: True runs the encode branch CONCURRENTLY with
+    # mapping→link→edges (hides the phase barriers), False runs it AFTER the
+    # main phases. "auto" picks by regime: on a multi-node cluster the
+    # branches use separate memory buses → overlap is free; on one box the
+    # two streaming executions share the bus, and past its saturation point
+    # overlap inflates every main-thread phase more than it saves (measured
+    # at 25M turns / 32 CPUs: overlapped 147 s vs sequential 59 s — encode
+    # moves ~11 GB of embeddings; while at 8 CPUs / 6.3M turns overlap wins
+    # 47 s vs 67 s). Single-node crossover measured between 8 and 32 CPUs.
+    # Resolved BEFORE the encoder stage is built: pool sizing depends on it.
+    if encode_overlap == "auto":
+        n_nodes = sum(1 for n in ray.nodes() if n.get("Alive"))
+        encode_overlap = n_nodes > 1 or total_cpus <= 8
+    # NOTE: do NOT widen the encoder pool in sequential mode. Measured at
+    # 25M turns / 32 CPUs (standalone encode branch, min-of-2):
+    # concurrency 8 → 15.5 s, 12 → 29.9 s, 16 → 35.6 s, 30 → 50.8 s.
+    # The hashing+memo encode is cheap; the branch is bound by the
+    # mentions_table feeder tasks + parquet write tasks, and every actor
+    # slot added beyond ~CPUs/4 takes a CPU from exactly those stages.
 
     mentions_emb = mentions.map_batches(
         ENCODERS[encoder_kind],
@@ -160,18 +195,6 @@ def run_kg(
         except BaseException as exc:  # noqa: BLE001
             encode_holder["exc"] = exc
 
-    # ``encode_overlap``: True runs the encode branch CONCURRENTLY with
-    # mapping→link→edges (hides the phase barriers), False runs it AFTER the
-    # main phases. "auto" picks by regime: on a multi-node cluster the
-    # branches use separate memory buses → overlap is free; on one box the
-    # two streaming executions share the bus, and past its saturation point
-    # overlap inflates every main-thread phase more than it saves (measured
-    # at 25M turns / 32 CPUs: overlapped 147 s vs sequential 59 s — encode
-    # moves ~11 GB of embeddings; while at 8 CPUs / 6.3M turns overlap wins
-    # 47 s vs 67 s). Single-node crossover measured between 8 and 32 CPUs.
-    if encode_overlap == "auto":
-        n_nodes = sum(1 for n in ray.nodes() if n.get("Alive"))
-        encode_overlap = n_nodes > 1 or total_cpus <= 8
     t_encode = None
     if out_dir and write_outputs and encode_overlap:
         t_encode = threading.Thread(target=_encode_branch)
@@ -182,6 +205,7 @@ def run_kg(
     # three downstreams (link index, nodes, optional write) → pin it.
     t0 = time.time()
     mapping = canonicalize.build_mapping(mentions).materialize()
+    _dump_stats("mapping", mapping)
     timings["mapping"] = round(time.time() - t0, 3)
     n_entities = mapping.count()
     if link_shards is None:
@@ -230,6 +254,7 @@ def run_kg(
     # `linked` feeds BOTH the triples output and edge aggregation → pin it.
     t0 = time.time()
     linked = linked.materialize()
+    _dump_stats("linked", linked)
     timings["link"] = round(time.time() - t0, 3)
     for a in shard_actors:  # linking done → free the index actors
         ray.kill(a)
@@ -257,6 +282,7 @@ def run_kg(
     # edges is consumed twice (edge table + degree computation) → pin the
     # (small, pre-aggregated) result instead of re-running the linker branch
     edges = materialize.edges_from_linked(linked).materialize()
+    _dump_stats("edges", edges)
     edges_out = edges.map_batches(materialize.prov_to_struct, batch_format="pyarrow")
     timings["edges_agg"] = round(time.time() - t0, 3)
     if t_triples is not None:

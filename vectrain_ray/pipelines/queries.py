@@ -1268,6 +1268,388 @@ def q_regex_extract(sf_dir: str):
     )
 
 
+# --- extended analytics / training-data ops --------------------------------
+def q_semi_join(sf_dir: str):
+    """SEMI join: customers having ≥1 order — the positive twin of
+    q_anti_join. The key side collapses to its distinct key set and ships
+    once (ray.put); the probe side streams through one vectorized pc.is_in
+    per batch. For an unbounded key domain the bucketed dedup_exact +
+    merge path replaces the broadcast (set_intersect shows that shape)."""
+    okeys = pc.unique(
+        pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_custkey"])["o_custkey"].combine_chunks()
+    )
+    ref = ray.put(okeys)
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    class SemiFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ks = pc.cast(self.keys, t["c_custkey"].type)
+            return t.filter(pc.is_in(t["c_custkey"], value_set=ks))
+
+    return ds.map_batches(SemiFilter, batch_format="pyarrow", concurrency=2)
+
+
+def q_histogram(sf_dir: str):
+    """Fixed-width histogram (bin = floor(price / 25000)): per-batch Arrow
+    combiner collapses each batch to ≤ #bins rows, one tiny final groupby —
+    the canonical distributed histogram with a constant-size shuffle."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["o_totalprice"], 25000.0)), pa.int64())
+        g = pa.table({"bin": b}).group_by("bin").aggregate([("bin", "count")])
+        return g.rename_columns(["bin", "p_cnt"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bin")
+        .aggregate(Sum("p_cnt", alias_name="n_orders"))
+    )
+
+
+def q_mode_per_group(sf_dir: str):
+    """Grouped MODE (most frequent event_type per user; ties → lexicographic
+    first): per-batch pair-count combiner → ONE user-bucketed shuffle →
+    vectorized count-sum + argmax per 64-bucket (sort + drop_duplicates,
+    never one Python call per user or per group)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    from ..functions.dedup_exact import key_buckets
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size().reset_index(name="p_cnt")
+        )
+        out["bucket"] = key_buckets(out, ["user_id"], 64)
+        return out
+
+    def argmax_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # sum the per-batch partial counts, then argmax — both vectorized;
+        # a Ray groupby(["user_id","event_type"]).aggregate here is the
+        # high-cardinality-aggregate trap (per-group Python cost: measured
+        # 346 s for 116k groups at sf0.01 in q_cooccurrence's first draft)
+        c = (
+            g.groupby(["user_id", "event_type"], sort=False)["p_cnt"]
+            .sum().reset_index(name="cnt")
+        )
+        c = c.sort_values(["user_id", "cnt", "event_type"],
+                          ascending=[True, False, True], kind="stable")
+        out = c.drop_duplicates("user_id", keep="first").copy()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out[["user_id", "event_type", "cnt"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(argmax_bucket, batch_format="pandas")
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: 10 docs per lang stratum in
+    md5(doc_id) order. Rank-by-hash makes the sample reproducible across
+    runs AND partitionings; the per-batch partial top-10 combiner caps the
+    shuffle at 10·#strata rows per batch (distributed ORDER BY hash
+    LIMIT k per group). The md5 loop is per-row by nature (same as
+    q_fingerprint) but touches only (id, lang) — no payload movement."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hkey"] = [hashlib.md5(str(d).encode()).hexdigest()
+                      for d in df["doc_id"]]
+        df = df.sort_values(["lang", "hkey", "doc_id"], kind="stable")
+        return df.groupby("lang", sort=False).head(10)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hkey", "doc_id"], kind="stable").head(10)
+        return g[["lang", "doc_id"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_dense_rank(sf_dir: str):
+    """DENSE_RANK of each user's events by event time: hash-bucket users,
+    ONE vectorized pandas rank (C path) per bucket."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    from ..functions.dedup_exact import key_buckets
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = key_buckets(df, ["user_id"], 64)
+        return df
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g["rnk"] = (
+            g.groupby("user_id", sort=False)["ts"]
+            .rank(method="dense").astype("int64")
+        )
+        return g[["event_id", "user_id", "rnk"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+def q_lag_delta(sf_dir: str):
+    """LAG-based inter-event gaps per user, in integer microseconds (exact
+    vs SQL — no float time arithmetic): bucketed vectorized diff; per user
+    the gap count, the max gap, and the telescoped span."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    from ..functions.dedup_exact import key_buckets
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = key_buckets(df, ["user_id"], 64)
+        return df
+
+    def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        dt = us.diff().astype("float64")
+        dt[g["user_id"].ne(g["user_id"].shift())] = np.nan  # user boundary
+        agg = (
+            pd.DataFrame({"user_id": g["user_id"].values, "dt": dt.values})
+            .groupby("user_id", sort=False)["dt"]
+            .agg(["count", "max", "sum"])
+        )
+        agg = agg[agg["count"] >= 1]
+        return pd.DataFrame(
+            {
+                "user_id": agg.index,
+                "n_gaps": agg["count"].astype("int64").values,
+                "max_gap_us": agg["max"].astype("int64").values,
+                "span_us": agg["sum"].astype("int64").values,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(gaps_bucket, batch_format="pandas")
+    )
+
+
+def q_cooccurrence(sf_dir: str):
+    """Item co-occurrence (market-basket): part pairs within one order,
+    global top-100. Two bucketed exchanges, both vectorized: (1) orders
+    hash-bucket; each bucket self-merges on the order key (pandas join —
+    the blow-up is bounded by order size²) and emits pair-count partials
+    tagged with a PAIR-key bucket; (2) pair buckets sum their counts and
+    keep a local top-100 (safe: a pair key lives entirely in one bucket,
+    so the global top-100 is within the union of per-bucket top-100s);
+    a fixed ≤64·100-row sort/limit finishes. The first draft's
+    groupby(pair).aggregate(Sum) took 346 s on 116k distinct pairs at
+    sf0.01 — Ray's multi-key aggregate pays per-group Python cost, so
+    high-cardinality aggregation MUST go through bucketed map_groups."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    from ..functions.dedup_exact import key_buckets
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = key_buckets(df, ["l_orderkey"], 64)
+        return df
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]]
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        out = (
+            m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+            .size().reset_index(name="p_cnt")
+        )
+        out = out.rename(
+            columns={"l_partkey_a": "part_a", "l_partkey_b": "part_b"}
+        )
+        out["bucket"] = key_buckets(out, ["part_a", "part_b"], 64)
+        return out
+
+    def top_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.groupby(["part_a", "part_b"], sort=False)["p_cnt"]
+            .sum().reset_index(name="cnt")
+        )
+        c["cnt"] = c["cnt"].astype("int64")
+        c = c.sort_values(["cnt", "part_a", "part_b"],
+                          ascending=[False, True, True], kind="stable")
+        return c.head(100)
+
+    counts = (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(top_bucket, batch_format="pandas")
+    )
+    return counts.sort(["cnt", "part_a", "part_b"],
+                       descending=[True, False, False]).limit(100)
+
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_funnel_counts(sf_dir: str):
+    """3-stage event funnel (view → click → purchase, first-timestamp
+    semantics): users hash-bucket; each bucket computes its users' stage
+    times fully vectorized (3 grouped mins + 2 merges) and emits ONE
+    partial-count row per stage; the fixed-3-row final sums them — funnel
+    analysis with a constant-size shuffle at any input scale."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    from ..functions.dedup_exact import key_buckets
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = key_buckets(df, ["user_id"], 64)
+        return df
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+        cl = g[g["event_type"] == "click"][["user_id", "ts"]].merge(
+            v.rename("t1").reset_index(), on="user_id")
+        c = cl[cl["ts"] >= cl["t1"]].groupby("user_id")["ts"].min()
+        pu = g[g["event_type"] == "purchase"][["user_id", "ts"]].merge(
+            c.rename("t2").reset_index(), on="user_id")
+        p = pu[pu["ts"] >= pu["t2"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame({"stage": _FUNNEL_STAGES,
+                             "p_cnt": [len(v), len(c), len(p)]})
+
+    agg = (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(funnel_bucket, batch_format="pandas")
+        .groupby("stage")
+        .aggregate(Sum("p_cnt", alias_name="n_users"))
+    )
+
+    def ensure_all(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.set_index("stage").reindex(_FUNNEL_STAGES, fill_value=0)
+        return pd.DataFrame({"stage": df.index,
+                             "n_users": df["n_users"].astype("int64").values})
+
+    return agg.repartition(1).map_batches(ensure_all, batch_format="pandas",
+                                          batch_size=None)
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted text index: word → document frequency + first-10 posting
+    doc_ids. Tokenize/explode in Arrow C++ (split_pattern_regex +
+    list_parent_indices), per-batch pair dedup (combiner), ONE bucketed
+    global pair dedup, then per-word partials (count + packed min-10 ids)
+    merged vectorized per word-bucket. Min-k postings are mergeable at
+    every level, so no stage ever holds a full posting list — the scale
+    path for building retrieval indexes over a 100 TB corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from ..functions.dedup_exact import key_buckets
+
+    def pairs(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(t["text"], ""))
+        ).combine_chunks()
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        words = pc.list_flatten(toks)
+        docs = pc.take(t["doc_id"].combine_chunks(),
+                       pc.list_parent_indices(toks))
+        keep = pc.not_equal(words, "")
+        pt = pa.table({"word": words.filter(keep), "doc_id": docs.filter(keep)})
+        return pt.group_by(["word", "doc_id"]).aggregate([])
+
+    pair_ds = dedup_exact(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536),
+        ["word", "doc_id"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["word", "doc_id"], kind="stable")
+        g = df.groupby("word", sort=False)
+        out = g.size().to_frame("p_df")
+        capped = df[g.cumcount() < 10].copy()
+        capped["ds"] = capped["doc_id"].astype(str)
+        out["p_docs"] = capped.groupby("word", sort=False)["ds"].agg(",".join)
+        out = out.reset_index()
+        out["bucket"] = key_buckets(out, ["word"], 64)
+        return out
+
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_tot = g.groupby("word", sort=True)["p_df"].sum()
+        pv = g[["word", "p_docs"]].copy()
+        pv["p_docs"] = pv["p_docs"].str.split(",")
+        pv = pv.explode("p_docs")
+        pv["doc_id"] = pv["p_docs"].astype("int64")
+        pv = pv.sort_values(["word", "doc_id"], kind="stable")
+        capped = pv[pv.groupby("word", sort=False).cumcount() < 10].copy()
+        capped["ds"] = capped["doc_id"].astype(str)
+        # comma-joined string, not list<int64>: a stable cross-engine value
+        # representation for the posting sample (lists hash differently from
+        # pandas vs DuckDB result frames)
+        tops = capped.groupby("word", sort=True)["ds"].agg(",".join)
+        return pd.DataFrame(
+            {
+                "word": df_tot.index,
+                "df": df_tot.astype("int64").values,
+                "top_docs": tops.reindex(df_tot.index).values,
+            }
+        )
+
+    return (
+        pair_ds.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(final_bucket, batch_format="pandas")
+    )
+
+
+def q_cube_agg(sf_dir: str):
+    """GROUP BY CUBE(lang, source): the finest level is a distributed
+    partial+final groupby; all three coarser planes re-aggregate the finest
+    result in ONE fixed-size vectorized task (q_rollup_agg plus the
+    source-only plane)."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+        return g.rename_columns(["lang", "source", "p_chars", "p_cnt"])
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("p_chars", alias_name="sum_chars"),
+                   Sum("p_cnt", alias_name="n_docs"))
+    )
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        lvl0 = df[["lang", "source", "n_docs", "sum_chars"]].copy()
+        by_lang = (
+            df.groupby("lang", as_index=False)[["n_docs", "sum_chars"]]
+            .sum().assign(source="ALL")
+        )
+        by_src = (
+            df.groupby("source", as_index=False)[["n_docs", "sum_chars"]]
+            .sum().assign(lang="ALL")
+        )
+        total = pd.DataFrame(
+            {"lang": ["ALL"], "source": ["ALL"],
+             "n_docs": [df["n_docs"].sum()],
+             "sum_chars": [df["sum_chars"].sum()]}
+        )
+        out = pd.concat([lvl0, by_lang, by_src, total], ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return out[["lang", "source", "n_docs", "sum_chars"]]
+
+    return finest.repartition(1).map_batches(
+        cube, batch_format="pandas", batch_size=None
+    )
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "id_backfill": q_id_backfill,
@@ -1318,6 +1700,16 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "regex_extract": q_regex_extract,
     "grouped_quantiles": q_grouped_quantiles,
+    "semi_join": q_semi_join,
+    "histogram": q_histogram,
+    "mode_per_group": q_mode_per_group,
+    "stratified_sample": q_stratified_sample,
+    "dense_rank": q_dense_rank,
+    "lag_delta": q_lag_delta,
+    "cooccurrence": q_cooccurrence,
+    "funnel_counts": q_funnel_counts,
+    "inverted_index": q_inverted_index,
+    "cube_agg": q_cube_agg,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -1791,5 +2183,74 @@ ORACLE_SQL = {
         "quantile_disc(l_quantity, 0.5) AS p50, "
         "quantile_disc(l_quantity, 0.9) AS p90 "
         "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "semi_join": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    ),
+    "histogram": (
+        "SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin, "
+        "count(*) AS n_orders FROM orders GROUP BY 1"
+    ),
+    "mode_per_group": (
+        "SELECT user_id, event_type, cnt FROM ("
+        "SELECT user_id, event_type, count(*) AS cnt, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY count(*) DESC, event_type) AS rn "
+        "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+    ),
+    "stratified_sample": (
+        "SELECT lang, doc_id FROM ("
+        "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+        "FROM documents) WHERE rn <= 10"
+    ),
+    "dense_rank": (
+        "SELECT event_id, user_id, CAST(dense_rank() OVER ("
+        "PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rnk FROM events"
+    ),
+    "lag_delta": (
+        "WITH d AS (SELECT user_id, epoch_us(ts) - epoch_us(lag(ts) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id)) AS gap FROM events) "
+        "SELECT user_id, count(gap) AS n_gaps, "
+        "CAST(max(gap) AS BIGINT) AS max_gap_us, "
+        "CAST(sum(gap) AS BIGINT) AS span_us "
+        "FROM d WHERE gap IS NOT NULL GROUP BY user_id"
+    ),
+    "cooccurrence": (
+        "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "count(*) AS cnt FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 ORDER BY cnt DESC, part_a, part_b LIMIT 100"
+    ),
+    "funnel_counts": (
+        "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+        "JOIN v ON e.user_id = v.user_id "
+        "WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+        "JOIN c ON e.user_id = c.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id) "
+        "SELECT 'view' AS stage, (SELECT count(*) FROM v) AS n_users "
+        "UNION ALL SELECT 'click', (SELECT count(*) FROM c) "
+        "UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)"
+    ),
+    "inverted_index": (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+'), "
+        "x -> x <> '')) AS word FROM documents), "
+        "pairs AS (SELECT DISTINCT word, doc_id FROM toks), "
+        "ranked AS (SELECT word, doc_id, row_number() OVER ("
+        "PARTITION BY word ORDER BY doc_id) AS rn FROM pairs) "
+        "SELECT word, count(*) AS df, string_agg("
+        "CASE WHEN rn <= 10 THEN CAST(doc_id AS VARCHAR) END, ',' "
+        "ORDER BY doc_id) AS top_docs FROM ranked GROUP BY word"
+    ),
+    "cube_agg": (
+        "SELECT coalesce(lang, 'ALL') AS lang, "
+        "coalesce(source, 'ALL') AS source, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY CUBE(lang, source)"
     ),
 }
