@@ -101,28 +101,33 @@ def _finalize_edges_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index()
 
 
-def recombine_edge_partials(df: pd.DataFrame) -> pd.DataFrame:
+def recombine_edge_partials(t: pa.Table) -> pa.Table:
     """Second-level combiner: merges same-key PACKED partial rows across
     upstream blocks before the edge all-to-all (a dense edge key appears
     once per linked batch; bundling B blocks per task cuts shuffle rows up
-    to B×). Counts sum; packed provs merge min-k (first PROV_CAP distinct in
-    sorted order — a prov among the merged first-k is among its source's
-    first-k, so the cap stays mergeable at every level)."""
+    to B×). Counts sum; packed provs simply CONCATENATE — no unpack, no
+    min-k here: the finalize stage dedups/sorts/caps globally, so a plain
+    \\x1f-join of the per-batch packed lists is lossless, and the entry
+    count per key stays bounded by PROV_CAP × (blocks per bundle). Runs
+    entirely in Arrow C++ (hash group_by + list agg + binary_join); an
+    earlier pandas explode/min-k recombiner cost more than the shuffle it
+    saved (edges 15.0 → 18.1 s at 25M turns), while this one cuts the
+    sort input from per-block partials to ~#distinct keys per bundle."""
     keys = ["src_id", "dst_id", "pred", "bucket"]
-    w = df.groupby(keys, sort=False)["cnt"].sum().to_frame("cnt")
-    pv = df[df["prov"].notna()][keys + ["prov"]].copy()
-    pv["prov"] = pv["prov"].str.split("\x1f")
-    pv = pv.explode("prov")
-    pv = pv[pv["prov"].notna() & (pv["prov"] != "")]
-    pv = pv.drop_duplicates(subset=keys + ["prov"])
-    pv = pv.sort_values(keys + ["prov"], kind="stable")
-    capped = pv[pv.groupby(keys, sort=False).cumcount() < PROV_CAP]
-    packed = capped.groupby(keys, sort=False)["prov"].agg("\x1f".join)
-    w["prov"] = packed.reindex(w.index)
-    out = w.reset_index()
-    out["bucket"] = out["bucket"].astype("int32")
-    out["cnt"] = out["cnt"].astype("int64")
-    return out[["src_id", "dst_id", "pred", "prov", "cnt", "bucket"]]
+    t = t.set_column(t.schema.get_field_index("prov"), "prov",
+                     pc.fill_null(t["prov"], ""))
+    g = t.group_by(keys).aggregate([("cnt", "sum"), ("prov", "list")])
+    g = g.rename_columns(keys + ["cnt", "prov_list"])
+    return pa.table(
+        {
+            "src_id": g["src_id"],
+            "dst_id": g["dst_id"],
+            "pred": g["pred"],
+            "prov": pc.binary_join(g["prov_list"], "\x1f"),
+            "cnt": pc.cast(g["cnt"], pa.int64()),
+            "bucket": pc.cast(g["bucket"], pa.int32()),
+        }
+    )
 
 
 def finalized_to_partial_rows(batch: pa.Table) -> pa.Table:
@@ -154,22 +159,26 @@ def finalized_to_partial_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def edges_from_linked(linked_ds, recombine_batch: int | None = None):
+def edges_from_linked(linked_ds, recombine_batch: int | None = 1 << 17):
     """linked triples Dataset → edges Dataset (prov as "conv|t" strings;
     promote to list<struct> at the final write projection).
-    ``recombine_batch``: bundle size for the optional second-level combiner.
-    Default OFF: measured at 25M turns / 32 CPUs it LOSES (edges 15.0 s →
-    18.1 s; 2.2 s → 14.1 s at 1.6M turns) — the packed partial rows are
-    already collapsed enough that the prov-unpack/merge cost plus the
-    operator-fusion parallelism loss exceeds the shuffle savings. The
-    surface-count recombine (canonicalize.recombine_surface_partials) is the
-    opposite case: pure Arrow group_by, wins at every scale."""
+    ``recombine_batch``: bundle size for the second-level combiner (None
+    disables it). Default 1<<17 since the combiner went concat-only /
+    Arrow-C++: measured min-of-2 at 25M turns / 32 CPUs the 131k bundle
+    gives edges 18.2 → 15.7 s (the bucket sort-shuffle's cost is per-ROW-
+    and-per-BLOCK overhead, so collapsing bundles to ~#distinct keys before
+    the exchange helps) and is cost-neutral at 1.6M turns (2.07 → 2.14 s).
+    Do NOT raise the bundle toward 1<<20: at 1.6M turns one corpus-sized
+    bundle serializes the stage (2.07 → 9.7 s) and at 25M it still trails
+    131k (16.8 s). The earlier pandas min-k recombiner LOST at every size
+    (15.0 → 18.1 s at 25M) because it re-exploded every packed prov list;
+    this one only concatenates packed lists (finalize dedups/caps)."""
     partials = linked_ds.map_batches(
         partial_edges, batch_format="pyarrow", batch_size=131072
     )
     if recombine_batch:
         partials = partials.map_batches(
-            recombine_edge_partials, batch_format="pandas",
+            recombine_edge_partials, batch_format="pyarrow",
             batch_size=recombine_batch,
         )
     return partials.groupby("bucket").map_groups(
