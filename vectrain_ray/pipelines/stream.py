@@ -149,14 +149,22 @@ class StreamDriver:
         return metrics
 
     def run(self, max_iterations: int | None = None,
-            idle_stop_after: int | None = None) -> list[dict]:
+            idle_stop_after: int | None = None,
+            stop_event=None) -> list[dict]:
         """Continuous loop. ``max_iterations`` bounds total polls;
         ``idle_stop_after`` stops after N consecutive empty polls (both for
-        tests/drain — omit both to run forever like the reference loop)."""
+        tests/drain — omit both to run forever like the reference loop).
+        ``stop_event``: a threading.Event the control plane sets to stop
+        GRACEFULLY — checked only BETWEEN micro-batches, so the in-flight
+        batch commits its manifests first (the reference's pipeline.Stop +
+        tail flush, internal/app/pipeline/pipeline.go:193-209; lossless here
+        because every phase is manifest-gated)."""
         history: list[dict] = []
         idle = 0
         it = 0
         while True:
+            if stop_event is not None and stop_event.is_set():
+                return history
             m = self.poll_once()
             history.append(m)
             idle = idle + 1 if m["new_files"] == 0 else 0
@@ -165,7 +173,13 @@ class StreamDriver:
                 return history
             if idle_stop_after is not None and idle >= idle_stop_after:
                 return history
-            time.sleep(self.poll_sec)
+            # wait() instead of sleep(): a stop request interrupts the idle
+            # wait immediately instead of after poll_sec
+            if stop_event is not None:
+                if stop_event.wait(self.poll_sec):
+                    return history
+            else:
+                time.sleep(self.poll_sec)
 
 
 class _SrcFilenameProvider:

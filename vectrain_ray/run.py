@@ -8,6 +8,10 @@ Subcommands (the D6 control-plane surface):
                                       [--max-iterations N] [--idle-stop-after N]
                                       [--poll-sec S]
     python -m vectrain_ray.run status --out-dir OUT
+    python -m vectrain_ray.run serve  --config pipeline.json [--port P]
+                                      [--autostart]   # HTTP control plane
+                                      # (control.py: /api/start /api/stop
+                                      #  /api/health /api/status /metrics)
 
 ``run`` = the reference's /api/start (one bounded pipeline); ``stream`` =
 the unbounded micro-batch loop (the Kafka consume loop; stop with SIGINT or
@@ -104,6 +108,13 @@ def main(argv: list[str] | None = None) -> int:
     p_p.add_argument("--port", type=int, default=8080)
     p_p.add_argument("--queue-cap", type=int, default=1000)
     p_p.add_argument("--status-out-dir", default=None)
+    p_sv = sub.add_parser("serve", help="control-plane HTTP daemon "
+                          "(/api/start /api/stop /api/health /metrics)")
+    p_sv.add_argument("--config", required=True)
+    p_sv.add_argument("--num-cpus", type=int, default=None)
+    p_sv.add_argument("--port", type=int, default=8081)
+    p_sv.add_argument("--autostart", action="store_true",
+                      help="begin the ingest loop immediately")
     args = ap.parse_args(argv)
 
     if args.cmd == "status":  # no Ray session needed
@@ -149,6 +160,26 @@ def main(argv: list[str] | None = None) -> int:
 
     setup_logging(spec.sink.out_dir)
     try:
+        if args.cmd == "serve":
+            import time
+
+            from .control import ControlServer
+
+            srv = ControlServer(spec, port=args.port).start()
+            if args.autostart:
+                srv.start_loop()
+            print(json.dumps({"status": "serving", "host": srv.host,
+                              "port": srv.port,
+                              "running": args.autostart}), flush=True)
+            try:
+                while True:
+                    time.sleep(1)
+            except KeyboardInterrupt:
+                pass
+            finally:
+                srv.stop()  # graceful: in-flight micro-batch commits
+            print(json.dumps({"status": "stopped", "polls": srv.polls}))
+            return 0
         if args.cmd == "stream":
             from .pipelines.stream import StreamDriver
 
