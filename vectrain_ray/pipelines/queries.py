@@ -1650,6 +1650,80 @@ def q_cube_agg(sf_dir: str):
     )
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1:
+    duplicate-token and top-n-gram fractions flag low-quality docs), as
+    EXACT integers per doc: token count, distinct tokens, duplicate tokens,
+    and the count of the most frequent adjacent bigram. Embarrassingly
+    parallel — each doc is one row, so the whole operator is ONE
+    map_batches with zero shuffle at any corpus size; ratios are a trivial
+    downstream projection (integers keep the oracle hash-exact)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.strip().str.lower().str.split()
+        tmp = pd.DataFrame({"doc_id": df["doc_id"], "tok": toks}).explode(
+            "tok")
+        tmp = tmp[tmp["tok"].notna()]
+        g = tmp.groupby("doc_id", sort=False)["tok"]
+        base = pd.DataFrame({"n_tokens": g.size(), "n_distinct": g.nunique()})
+        # adjacent bigrams: explode preserves within-doc order, so a
+        # group-wise shift(-1) pairs each token with its successor
+        tmp["nxt"] = tmp.groupby("doc_id", sort=False)["tok"].shift(-1)
+        bi = tmp[tmp["nxt"].notna()]
+        top = (
+            bi.groupby(["doc_id", "tok", "nxt"], sort=False).size()
+            .groupby("doc_id").max()
+        )
+        base["top_bigram_cnt"] = top.reindex(base.index).fillna(0)
+        base = base.reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": base["doc_id"],
+                "n_tokens": base["n_tokens"].astype("int64"),
+                "n_distinct": base["n_distinct"].astype("int64"),
+                "dup_tokens": (base["n_tokens"] - base["n_distinct"]).astype(
+                    "int64"),
+                "top_bigram_cnt": base["top_bigram_cnt"].astype("int64"),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas", batch_size=65536)
+
+
+def q_read_csv(sf_dir: str):
+    """CSV ingestion (schema-on-read like T1/read_json, for the delimited
+    flat-file sources a reference user would point at this engine):
+    customer round-tripped once to CSV under /tmp, ingested with
+    ray.data.read_csv, typed cast-back pushed to Arrow. Oracle reads the
+    same columns from the parquet view — value-exact."""
+    import hashlib as _hl
+
+    src = os.path.join(sf_dir, "customer.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}:{st.st_mtime_ns}"  # regenerate when the corpus does
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    cdir = f"/tmp/vectrain_csv_{tag}"
+    marker = os.path.join(cdir, "_DONE")
+    cpath = os.path.join(cdir, "customer.csv")
+    cols = ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    if not (os.path.exists(marker) and os.path.exists(cpath)
+            and open(marker).read() == fp):
+        os.makedirs(cdir, exist_ok=True)
+        t = pq.read_table(src, columns=cols)
+        t.to_pandas().to_csv(cpath, index=False)
+        open(marker, "w").write(fp)
+    ds = rd.read_csv(cpath)
+    sch = pq.read_schema(src)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {c: pc.cast(t[c], sch.field(c).type) for c in cols}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "id_backfill": q_id_backfill,
@@ -1710,6 +1784,8 @@ QUERIES = {
     "funnel_counts": q_funnel_counts,
     "inverted_index": q_inverted_index,
     "cube_agg": q_cube_agg,
+    "repetition_stats": q_repetition_stats,
+    "read_csv": q_read_csv,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2252,5 +2328,27 @@ ORACLE_SQL = {
         "coalesce(source, 'ALL') AS source, count(*) AS n_docs, "
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
         "FROM documents GROUP BY CUBE(lang, source)"
+    ),
+    "repetition_stats": (
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex("
+        "trim(lower(coalesce(text,''))), '\\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest(ws) AS word FROM w), "
+        "base AS (SELECT doc_id, count(*) AS n_tokens, "
+        "count(DISTINCT word) AS n_distinct FROM tok GROUP BY doc_id), "
+        "bg AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) "
+        "AS bigram FROM w WHERE len(ws) >= 2), "
+        "bgm AS (SELECT doc_id, max(c) AS top_bigram_cnt FROM ("
+        "SELECT doc_id, bigram, count(*) AS c FROM bg "
+        "GROUP BY doc_id, bigram) GROUP BY doc_id) "
+        "SELECT b.doc_id, b.n_tokens, b.n_distinct, "
+        "b.n_tokens - b.n_distinct AS dup_tokens, "
+        "coalesce(bgm.top_bigram_cnt, 0) AS top_bigram_cnt "
+        "FROM base b LEFT JOIN bgm ON b.doc_id = bgm.doc_id"
+    ),
+    "read_csv": (
+        "SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment "
+        "FROM customer"
     ),
 }
