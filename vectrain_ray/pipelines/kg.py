@@ -151,17 +151,17 @@ def run_kg(
 
     # ``encode_overlap``: True runs the encode branch CONCURRENTLY with
     # mapping→link→edges (hides the phase barriers), False runs it AFTER the
-    # main phases. "auto" picks by regime: on a multi-node cluster the
-    # branches use separate memory buses → overlap is free; on one box the
-    # two streaming executions share the bus, and past its saturation point
-    # overlap inflates every main-thread phase more than it saves (measured
-    # at 25M turns / 32 CPUs: overlapped 147 s vs sequential 59 s — encode
-    # moves ~11 GB of embeddings; while at 8 CPUs / 6.3M turns overlap wins
-    # 47 s vs 67 s). Single-node crossover measured between 8 and 32 CPUs.
-    # Resolved BEFORE the encoder stage is built: pool sizing depends on it.
+    # main phases. "auto" resolves to True: with the mapping/edges phases at
+    # their final round-2 speed the overlap wins in EVERY measured regime —
+    # 25M turns / 32 CPUs one box: 85.3 s overlapped vs 117.7 s sequential
+    # (the encode branch's 41 s hides entirely behind the main phases even
+    # though the shared memory bus inflates edges 26 → 51 s); 6.3M / 8 CPUs:
+    # 47 s vs 67 s; 1.6M / 32 CPUs: neutral within noise. (An earlier
+    # slower-mapping build had sequential winning at 32 CPUs — re-measure if
+    # the phase mix shifts again.) Resolved BEFORE the encoder stage is
+    # built: pool sizing depends on it.
     if encode_overlap == "auto":
-        n_nodes = sum(1 for n in ray.nodes() if n.get("Alive"))
-        encode_overlap = n_nodes > 1 or total_cpus <= 8
+        encode_overlap = True
     # NOTE: do NOT widen the encoder pool in sequential mode. Measured at
     # 25M turns / 32 CPUs (standalone encode branch, min-of-2):
     # concurrency 8 → 15.5 s, 12 → 29.9 s, 16 → 35.6 s, 30 → 50.8 s.
