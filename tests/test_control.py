@@ -89,7 +89,12 @@ def test_start_processes_stop_is_graceful_and_idempotent(server, ray_session):
     text = body.decode()
     assert "vectrain_stream_files_ingested 2" in text
     assert 'vectrain_phase_rows{phase="p1"}' in text
+    assert 'vectrain_phase_rows{phase="p3"}' in text
     assert "vectrain_finalized 1" in text
+    # exposition validity: exactly ONE '# TYPE' line per metric family
+    # (expfmt parsers reject the whole scrape on a second one)
+    type_lines = [ln for ln in text.splitlines() if ln.startswith("# TYPE")]
+    assert len(type_lines) == len(set(type_lines)), type_lines
 
 
 def test_prometheus_lines_empty_state():

@@ -34,7 +34,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 def _prometheus_lines(status_doc: dict) -> str:
     """Committed-state status document → Prometheus exposition text.
     Only counters/gauges derivable from durable state: restart-safe and
-    identical no matter which process serves them."""
+    identical no matter which process serves them. Exposition rule: exactly
+    ONE '# TYPE' line per metric family (expfmt parsers reject a second one
+    and fail the whole scrape), so all samples of a family are grouped
+    under a single header."""
     lines = [
         "# TYPE vectrain_finalized gauge",
         f"vectrain_finalized {int(bool(status_doc.get('finalized')))}",
@@ -44,21 +47,23 @@ def _prometheus_lines(status_doc: dict) -> str:
         if k in stream:
             lines += [f"# TYPE vectrain_stream_{k} counter",
                       f"vectrain_stream_{k} {stream[k]}"]
-    for phase, doc in (status_doc.get("phases") or {}).items():
-        lines += [
-            f"# TYPE vectrain_phase_wall_seconds gauge",
-            'vectrain_phase_wall_seconds{phase="%s"} %s'
-            % (phase, doc.get("total_wall_sec", 0)),
-            f"# TYPE vectrain_phase_rows gauge",
-            'vectrain_phase_rows{phase="%s"} %s'
-            % (phase, doc.get("total_rows", 0)),
-            f"# TYPE vectrain_phase_completed_parts gauge",
-            'vectrain_phase_completed_parts{phase="%s"} %s'
-            % (phase, len(doc.get("completed_parts", []))),
-        ]
-    for tbl, rows in (status_doc.get("output_rows") or {}).items():
-        lines += [f"# TYPE vectrain_output_rows gauge",
-                  'vectrain_output_rows{table="%s"} %s' % (tbl, rows)]
+    phases = status_doc.get("phases") or {}
+    for family, value_of in (
+        ("vectrain_phase_wall_seconds",
+         lambda d: d.get("total_wall_sec", 0)),
+        ("vectrain_phase_rows", lambda d: d.get("total_rows", 0)),
+        ("vectrain_phase_completed_parts",
+         lambda d: len(d.get("completed_parts", []))),
+    ):
+        if phases:
+            lines.append(f"# TYPE {family} gauge")
+            lines += ['%s{phase="%s"} %s' % (family, phase, value_of(doc))
+                      for phase, doc in phases.items()]
+    out_rows = status_doc.get("output_rows") or {}
+    if out_rows:
+        lines.append("# TYPE vectrain_output_rows gauge")
+        lines += ['vectrain_output_rows{table="%s"} %s' % (tbl, rows)
+                  for tbl, rows in out_rows.items()]
     return "\n".join(lines) + "\n"
 
 
@@ -77,6 +82,7 @@ class ControlServer:
         self._lock = threading.Lock()  # handler threads race start/stop
         self.polls = 0
         self.loop_error: str | None = None
+        self._status_cache: tuple[dict, int | None, float] | None = None
         server_self = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -176,10 +182,38 @@ class ControlServer:
         return doc
 
     def status(self) -> dict:
+        """Status doc with a short TTL cache: _status globs the output dir
+        and reads every parquet footer + manifest, which is fine as a
+        one-shot CLI but not per-scrape on a daemon (a 15s Prometheus
+        interval against a 25M-turn out_dir would re-open hundreds of files
+        forever). 5s TTL bounds the cost; a finalized idle out_dir is
+        additionally immutable, so its cached doc is reused until the
+        _FINAL_DONE mtime changes (a new run invalidates it)."""
+        import os
+        import time
+
         from .run import _status
 
+        running = self._running()
+        marker = os.path.join(self.spec.sink.out_dir, "_FINAL_DONE")
+        try:
+            mkey = os.stat(marker).st_mtime_ns
+        except OSError:
+            mkey = None
+        now = time.monotonic()
+        cached = self._status_cache
+        if cached is not None:
+            doc, key, at = cached
+            fresh = (now - at) < 5.0 or (
+                not running and key == mkey and mkey is not None)
+            if fresh and key == mkey:
+                out = dict(doc)
+                out["running"] = running
+                return out
         doc = _status(self.spec.sink.out_dir)
-        doc["running"] = self._running()
+        self._status_cache = (doc, mkey, now)
+        doc = dict(doc)
+        doc["running"] = running
         return doc
 
     # --- lifecycle --------------------------------------------------------

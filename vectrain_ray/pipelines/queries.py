@@ -50,12 +50,15 @@ def _join_partitions() -> int:
     return max(2, min(16, int(ray.cluster_resources().get("CPU", 4)) // 2))
 
 
-def _broadcast_keyset_filter(ds, col: str, keys: pa.Array, keep: bool):
-    """Bucketed-distinct set op: filter distinct ``col`` values of ``ds`` by
-    membership in a broadcast key set (keep=True → INTERSECT, False →
-    EXCEPT). The key set ships once via ray.put."""
+def _broadcast_keyset_filter(ds, col: str, keys: pa.Array, keep: bool,
+                             distinct: bool = True):
+    """Broadcast-membership filter: keep (or drop) rows of ``ds`` whose
+    ``col`` is in the broadcast key set (ships once via ray.put).
+    ``distinct=True`` first collapses ``ds`` to distinct ``col`` values —
+    the set-op shape (INTERSECT / EXCEPT); ``distinct=False`` filters the
+    full rows — the SEMI / ANTI join shape."""
     ref = ray.put(keys)
-    distinct = dedup_exact(ds, [col])
+    probe = dedup_exact(ds, [col]) if distinct else ds
 
     class KeySetFilter:
         def __init__(self):
@@ -68,8 +71,22 @@ def _broadcast_keyset_filter(ds, col: str, keys: pa.Array, keep: bool):
                 mask = pc.invert(mask)
             return t.filter(mask)
 
-    return distinct.map_batches(KeySetFilter, batch_format="pyarrow",
-                                concurrency=2)
+    return probe.map_batches(KeySetFilter, batch_format="pyarrow",
+                             concurrency=2)
+
+
+def _bucketed(ds, keys: list[str], n: int = 64):
+    """Append the process-stable shuffle ``bucket`` column for ``keys`` —
+    the front half of the repo's bucket-then-vectorize pattern (one
+    map_groups call per bucket, never per key)."""
+    from ..functions.dedup_exact import key_buckets
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = key_buckets(df, keys, n)
+        return df
+
+    return ds.map_batches(add_bucket, batch_format="pandas",
+                          batch_size=65536)
 
 
 def _round_cols(cols: dict[str, int]):
@@ -326,11 +343,6 @@ def q_sessionize(sf_dir: str):
     the measured-100×-slower trap; see functions/dedup_exact.py)."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    from ..functions.dedup_exact import key_buckets
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = key_buckets(df, ["user_id"], 64)
-        return df
 
     def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="stable")
@@ -344,7 +356,7 @@ def q_sessionize(sf_dir: str):
         return out.rename(columns={"brk": "n_sessions"})
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        _bucketed(ds, ["user_id"])
         .groupby("bucket")
         .map_groups(sessions_bucket, batch_format="pandas")
     )
@@ -395,11 +407,6 @@ def q_running_total(sf_dir: str):
     exact SQL mirror via count(*) OVER (PARTITION BY ... ORDER BY ...)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    from ..functions.dedup_exact import key_buckets
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = key_buckets(df, ["user_id"], 64)
-        return df
 
     def running_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -414,7 +421,7 @@ def q_running_total(sf_dir: str):
         return out
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        _bucketed(ds, ["user_id"])
         .groupby("bucket")
         .map_groups(running_bucket, batch_format="pandas")
     )
@@ -541,24 +548,13 @@ def q_asof_join(sf_dir: str):
 def q_anti_join(sf_dir: str):
     """Anti join via broadcast key set (ray_guide 'Semi / anti join'):
     customers with no events — the distinct key set is tiny, shipped once."""
-    user_ids = set(
+    user_ids = pc.unique(
         pq.read_table(os.path.join(sf_dir, "events.parquet"),
-                      columns=["user_id"])["user_id"].to_pylist()
+                      columns=["user_id"])["user_id"].combine_chunks()
     )
-    keys_ref = ray.put(sorted(user_ids))
-
-    class AntiJoin:
-        def __init__(self):
-            self.keys = pa.array(ray.get(keys_ref))
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            # Arrow C++ set membership — no per-row Python
-            keys = pc.cast(self.keys, t["c_custkey"].type)
-            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
-            return t.filter(mask)
-
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return ds.map_batches(AntiJoin, batch_format="pyarrow", concurrency=2)
+    return _broadcast_keyset_filter(ds, "c_custkey", user_ids, keep=False,
+                                    distinct=False)
 
 
 def q_topk_per_group(sf_dir: str):
@@ -1155,8 +1151,10 @@ def q_rollup_agg(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # count_all (= SQL count(*)) not count(n_chars): a null n_chars must
+        # still count the row; null group KEYS are kept by Arrow group_by
         g = t.group_by(["lang", "source"]).aggregate(
-            [("n_chars", "sum"), ("n_chars", "count")]
+            [("n_chars", "sum"), ([], "count_all")]
         )
         return g.rename_columns(["lang", "source", "p_chars", "p_cnt"])
 
@@ -1170,7 +1168,8 @@ def q_rollup_agg(sf_dir: str):
     def rollup(df: pd.DataFrame) -> pd.DataFrame:
         lvl0 = df[["lang", "source", "n_docs", "sum_chars"]].copy()
         lvl1 = (
-            df.groupby("lang", as_index=False)[["n_docs", "sum_chars"]]
+            df.groupby("lang", as_index=False, dropna=False)[
+                ["n_docs", "sum_chars"]]
             .sum()
             .assign(source="ALL")
         )
@@ -1279,18 +1278,9 @@ def q_semi_join(sf_dir: str):
         pq.read_table(os.path.join(sf_dir, "orders.parquet"),
                       columns=["o_custkey"])["o_custkey"].combine_chunks()
     )
-    ref = ray.put(okeys)
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-
-    class SemiFilter:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ks = pc.cast(self.keys, t["c_custkey"].type)
-            return t.filter(pc.is_in(t["c_custkey"], value_set=ks))
-
-    return ds.map_batches(SemiFilter, batch_format="pyarrow", concurrency=2)
+    return _broadcast_keyset_filter(ds, "c_custkey", okeys, keep=True,
+                                    distinct=False)
 
 
 def q_histogram(sf_dir: str):
@@ -1381,11 +1371,6 @@ def q_dense_rank(sf_dir: str):
     """DENSE_RANK of each user's events by event time: hash-bucket users,
     ONE vectorized pandas rank (C path) per bucket."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    from ..functions.dedup_exact import key_buckets
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = key_buckets(df, ["user_id"], 64)
-        return df
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -1396,7 +1381,7 @@ def q_dense_rank(sf_dir: str):
         return g[["event_id", "user_id", "rnk"]]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        _bucketed(ds, ["user_id"])
         .groupby("bucket")
         .map_groups(rank_bucket, batch_format="pandas")
     )
@@ -1407,11 +1392,6 @@ def q_lag_delta(sf_dir: str):
     vs SQL — no float time arithmetic): bucketed vectorized diff; per user
     the gap count, the max gap, and the telescoped span."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    from ..functions.dedup_exact import key_buckets
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = key_buckets(df, ["user_id"], 64)
-        return df
 
     def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -1434,7 +1414,7 @@ def q_lag_delta(sf_dir: str):
         )
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        _bucketed(ds, ["user_id"])
         .groupby("bucket")
         .map_groups(gaps_bucket, batch_format="pandas")
     )
@@ -1454,10 +1434,6 @@ def q_cooccurrence(sf_dir: str):
     high-cardinality aggregation MUST go through bucketed map_groups."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     from ..functions.dedup_exact import key_buckets
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = key_buckets(df, ["l_orderkey"], 64)
-        return df
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g[["l_orderkey", "l_partkey"]]
@@ -1484,7 +1460,7 @@ def q_cooccurrence(sf_dir: str):
         return c.head(100)
 
     counts = (
-        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        _bucketed(ds, ["l_orderkey"])
         .groupby("bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
         .groupby("bucket")
@@ -1504,11 +1480,6 @@ def q_funnel_counts(sf_dir: str):
     partial-count row per stage; the fixed-3-row final sums them — funnel
     analysis with a constant-size shuffle at any input scale."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
-    from ..functions.dedup_exact import key_buckets
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = key_buckets(df, ["user_id"], 64)
-        return df
 
     def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
         v = g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
@@ -1522,7 +1493,7 @@ def q_funnel_counts(sf_dir: str):
                              "p_cnt": [len(v), len(c), len(p)]})
 
     agg = (
-        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        _bucketed(ds, ["user_id"])
         .groupby("bucket")
         .map_groups(funnel_bucket, batch_format="pandas")
         .groupby("stage")
@@ -1613,8 +1584,10 @@ def q_cube_agg(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # count_all (= SQL count(*)) not count(n_chars): a null n_chars must
+        # still count the row; null group KEYS are kept by Arrow group_by
         g = t.group_by(["lang", "source"]).aggregate(
-            [("n_chars", "sum"), ("n_chars", "count")]
+            [("n_chars", "sum"), ([], "count_all")]
         )
         return g.rename_columns(["lang", "source", "p_chars", "p_cnt"])
 
@@ -1628,12 +1601,12 @@ def q_cube_agg(sf_dir: str):
     def cube(df: pd.DataFrame) -> pd.DataFrame:
         lvl0 = df[["lang", "source", "n_docs", "sum_chars"]].copy()
         by_lang = (
-            df.groupby("lang", as_index=False)[["n_docs", "sum_chars"]]
-            .sum().assign(source="ALL")
+            df.groupby("lang", as_index=False, dropna=False)[
+                ["n_docs", "sum_chars"]].sum().assign(source="ALL")
         )
         by_src = (
-            df.groupby("source", as_index=False)[["n_docs", "sum_chars"]]
-            .sum().assign(lang="ALL")
+            df.groupby("source", as_index=False, dropna=False)[
+                ["n_docs", "sum_chars"]].sum().assign(lang="ALL")
         )
         total = pd.DataFrame(
             {"lang": ["ALL"], "source": ["ALL"],
@@ -1660,11 +1633,20 @@ def q_repetition_stats(sf_dir: str):
     downstream projection (integers keep the oracle hash-exact)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.strip().str.lower().str.split()
-        tmp = pd.DataFrame({"doc_id": df["doc_id"], "tok": toks}).explode(
-            "tok")
-        tmp = tmp[tmp["tok"].notna()]
+    def stats(t: pa.Table) -> pd.DataFrame:
+        # tokenize with the SAME RE2 kernel family as the SQL oracle
+        # (ASCII \s+): pandas str.split() splits on UNICODE whitespace and
+        # would diverge on e.g. NBSP in a multilingual corpus
+        trimmed = pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(t["text"], ""))
+        ).combine_chunks()
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        words = pc.list_flatten(toks)  # order-preserving within each doc
+        docs = pc.take(t["doc_id"].combine_chunks(),
+                       pc.list_parent_indices(toks))
+        keep = pc.not_equal(words, "")
+        tmp = pd.DataFrame({"doc_id": docs.filter(keep).to_pandas(),
+                            "tok": words.filter(keep).to_pandas()})
         g = tmp.groupby("doc_id", sort=False)["tok"]
         base = pd.DataFrame({"n_tokens": g.size(), "n_distinct": g.nunique()})
         # adjacent bigrams: explode preserves within-doc order, so a
@@ -1688,7 +1670,7 @@ def q_repetition_stats(sf_dir: str):
             }
         )
 
-    return ds.map_batches(stats, batch_format="pandas", batch_size=65536)
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=65536)
 
 
 def q_read_csv(sf_dir: str):
@@ -2222,8 +2204,10 @@ ORACLE_SQL = {
         "ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi GROUP BY b.band"
     ),
     "rollup_agg": (
-        "SELECT coalesce(lang, 'ALL') AS lang, "
-        "coalesce(source, 'ALL') AS source, count(*) AS n_docs, "
+        "SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END "
+        "AS lang, "
+        "CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END "
+        "AS source, count(*) AS n_docs, "
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
         "FROM documents GROUP BY ROLLUP(lang, source)"
     ),
@@ -2324,8 +2308,10 @@ ORACLE_SQL = {
         "ORDER BY doc_id) AS top_docs FROM ranked GROUP BY word"
     ),
     "cube_agg": (
-        "SELECT coalesce(lang, 'ALL') AS lang, "
-        "coalesce(source, 'ALL') AS source, count(*) AS n_docs, "
+        "SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END "
+        "AS lang, "
+        "CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END "
+        "AS source, count(*) AS n_docs, "
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
         "FROM documents GROUP BY CUBE(lang, source)"
     ),
