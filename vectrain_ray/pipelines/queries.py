@@ -1673,6 +1673,79 @@ def q_repetition_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=65536)
 
 
+def q_ntile(sf_dir: str):
+    """NTILE(4) of each user's events by (ts, event_id) — the partitioned
+    quartile window fn. Exact NTILE semantics (bucket sizes differ by ≤1,
+    larger buckets first), computed vectorized per user-bucket from the
+    ordered row index: with n rows, k tiles, q = n // k, r = n % k, row i
+    (0-based) is in tile i // (q+1) + 1 while i < r·(q+1), else
+    r + (i - r·(q+1)) // q + 1."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def ntile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = 4
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        grp = g.groupby("user_id", sort=False)
+        i = grp.cumcount().to_numpy()
+        n = grp["user_id"].transform("size").to_numpy()
+        q, r = n // k, n % k
+        cut = r * (q + 1)
+        big = i < cut
+        tile = np.where(
+            big,
+            i // np.maximum(q + 1, 1) + 1,
+            r + np.where(q > 0, (i - cut) // np.maximum(q, 1), 0) + 1,
+        )
+        out = g[["event_id", "user_id"]].copy()
+        out["tile"] = tile.astype("int64")
+        return out
+
+    return (
+        _bucketed(ds, ["user_id"])
+        .groupby("bucket")
+        .map_groups(ntile_bucket, batch_format="pandas")
+    )
+
+
+def q_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per user over the full partition frame:
+    each user's first and last event_type by (ts, event_id) — a per-batch
+    partial keeps only each batch's first/last row
+    per user (2 rows max), so the shuffle carries ≤ 2·users·batches rows
+    and the final merge is vectorized per user-bucket."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False)
+        keep = df[(g.cumcount() == 0)
+                  | (g.cumcount() == g["user_id"].transform("size") - 1)]
+        return keep[["event_id", "user_id", "event_type", "ts"]]
+
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        grp = g.groupby("user_id", sort=False)
+        first = g[grp.cumcount() == 0].set_index("user_id")
+        last = g[grp.cumcount() == grp["user_id"].transform("size") - 1
+                 ].set_index("user_id")
+        return pd.DataFrame(
+            {
+                "user_id": first.index,
+                "first_type": first["event_type"].values,
+                "last_type": last["event_type"].reindex(first.index).values,
+            }
+        )
+
+    return (
+        _bucketed(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["user_id"],
+        )
+        .groupby("bucket")
+        .map_groups(final_bucket, batch_format="pandas")
+    )
+
+
 def q_read_csv(sf_dir: str):
     """CSV ingestion (schema-on-read like T1/read_json, for the delimited
     flat-file sources a reference user would point at this engine):
@@ -1768,6 +1841,8 @@ QUERIES = {
     "cube_agg": q_cube_agg,
     "repetition_stats": q_repetition_stats,
     "read_csv": q_read_csv,
+    "ntile": q_ntile,
+    "first_last": q_first_last,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2336,5 +2411,17 @@ ORACLE_SQL = {
     "read_csv": (
         "SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment "
         "FROM customer"
+    ),
+    "ntile": (
+        "SELECT event_id, user_id, CAST(ntile(4) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS tile "
+        "FROM events"
+    ),
+    "first_last": (
+        "SELECT DISTINCT user_id, first_value(event_type) OVER w "
+        "AS first_type, last_value(event_type) OVER w AS last_type "
+        "FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND UNBOUNDED FOLLOWING)"
     ),
 }
