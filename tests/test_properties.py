@@ -112,3 +112,22 @@ def test_encoder_deterministic_property(texts):
     # permutation-equivariant
     rev = encode_texts(texts[::-1], dim=16)
     np.testing.assert_array_equal(rev[::-1], a)
+
+
+@given(st.integers(1, 200), st.integers(1, 12))
+def test_ntile_assign_matches_row_by_row_definition(n, k):
+    """SQL NTILE: sizes differ by at most 1, larger tiles first, tiles
+    emitted in order — the vectorized formula must equal the naive fill."""
+    import numpy as np
+
+    from vectrain_ray.pipelines.queries import ntile_assign
+
+    q, r = divmod(n, k)
+    naive = []
+    for tile in range(1, k + 1):
+        size = q + 1 if tile <= r else q
+        naive.extend([tile] * size)
+    got = ntile_assign(np.arange(n), np.full(n, n), k)
+    assert got.tolist() == naive
+    if n >= k:  # every tile non-empty once there are enough rows
+        assert set(naive) == set(range(1, k + 1))

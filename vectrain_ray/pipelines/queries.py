@@ -1673,6 +1673,24 @@ def q_repetition_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=65536)
 
 
+def ntile_assign(i, n, k: int):
+    """Vectorized SQL NTILE: 0-based row index ``i`` within an ordered
+    partition of size ``n`` → 1-based tile of ``k`` (tile sizes differ by
+    at most 1, larger tiles first — with q = n // k and r = n % k, the
+    first r tiles have q+1 rows). Property-tested against the row-by-row
+    definition in tests/test_properties.py."""
+    i = np.asarray(i)
+    n = np.asarray(n)
+    q, r = n // k, n % k
+    cut = r * (q + 1)
+    tile = np.where(
+        i < cut,
+        i // np.maximum(q + 1, 1) + 1,
+        r + np.where(q > 0, (i - cut) // np.maximum(q, 1), 0) + 1,
+    )
+    return tile.astype("int64")
+
+
 def q_ntile(sf_dir: str):
     """NTILE(4) of each user's events by (ts, event_id) — the partitioned
     quartile window fn. Exact NTILE semantics (bucket sizes differ by ≤1,
@@ -1683,21 +1701,12 @@ def q_ntile(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def ntile_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        k = 4
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         grp = g.groupby("user_id", sort=False)
         i = grp.cumcount().to_numpy()
         n = grp["user_id"].transform("size").to_numpy()
-        q, r = n // k, n % k
-        cut = r * (q + 1)
-        big = i < cut
-        tile = np.where(
-            big,
-            i // np.maximum(q + 1, 1) + 1,
-            r + np.where(q > 0, (i - cut) // np.maximum(q, 1), 0) + 1,
-        )
         out = g[["event_id", "user_id"]].copy()
-        out["tile"] = tile.astype("int64")
+        out["tile"] = ntile_assign(i, n, 4)
         return out
 
     return (
