@@ -123,6 +123,9 @@ def run_bench() -> dict:
         ("dedup_minhash", Q.q_dedup_minhash),
         ("ann_topk", Q.q_ann_topk),
         ("kg_triples_sf", Q.q_kg_triples),
+        ("inverted_index", Q.q_inverted_index),
+        ("repetition_stats", Q.q_repetition_stats),
+        ("cooccurrence", Q.q_cooccurrence),
     ]
     for name, fn in secondary:
         t0 = time.time()
