@@ -115,11 +115,83 @@ def main(argv: list[str] | None = None) -> int:
     p_sv.add_argument("--port", type=int, default=8081)
     p_sv.add_argument("--autostart", action="store_true",
                       help="begin the ingest loop immediately")
+    p_qr = sub.add_parser("query", help="run a registered operator pipeline "
+                          "over a testdata dir")
+    p_qr.add_argument("--name", default=None,
+                      help="operator name (omit with --list)")
+    p_qr.add_argument("--list", action="store_true",
+                      help="list registered operators and exit")
+    p_qr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_qr.add_argument("--out", default=None,
+                      help="write result parquet here instead of printing")
+    p_qr.add_argument("--limit", type=int, default=20,
+                      help="rows to print when not writing")
+    p_qr.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.cmd == "status":  # no Ray session needed
         print(json.dumps(_status(args.out_dir)))
         return 0
+
+    if args.cmd == "query":
+        from .pipelines.queries import QUERIES
+
+        if args.list or not args.name:
+            print(json.dumps({"operators": sorted(QUERIES)}))
+            return 0
+        if args.name not in QUERIES:
+            print(json.dumps({"error": f"unknown operator {args.name!r}",
+                              "operators": sorted(QUERIES)}))
+            return 2
+
+        import ray
+
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
+        from .tuning import apply_data_context
+
+        apply_data_context()
+        try:
+            res = QUERIES[args.name](args.sf_dir)
+            import pandas as pd
+            import pyarrow as pa
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                if args.out:
+                    res.write_parquet(args.out)
+                    print(json.dumps({"status": "ok", "name": args.name,
+                                      "rows": res.count(), "out": args.out}))
+                    return 0
+                df = res.limit(args.limit).to_pandas()
+                n = res.count()
+            else:
+                df = (res.to_pandas() if isinstance(res, pa.Table)
+                      else pd.DataFrame(res))
+                n = len(df)
+                if args.out:
+                    import pyarrow.parquet as _pq
+
+                    import os as _os
+
+                    _os.makedirs(args.out, exist_ok=True)
+                    _pq.write_table(pa.Table.from_pandas(df),
+                                    _os.path.join(args.out, "result.parquet"))
+                    print(json.dumps({"status": "ok", "name": args.name,
+                                      "rows": n, "out": args.out}))
+                    return 0
+                df = df.head(args.limit)
+            print(json.dumps({"status": "ok", "name": args.name, "rows": n,
+                              "head": json.loads(
+                                  df.to_json(orient="records",
+                                             date_format="iso"))}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
 
     if args.cmd == "push":  # no Ray session needed (ingest is decoupled)
         import time
