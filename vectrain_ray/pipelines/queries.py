@@ -1755,6 +1755,47 @@ def q_first_last(sf_dir: str):
     )
 
 
+_KMV_K = 256
+
+
+def q_approx_distinct(sf_dir: str):
+    """Approximate COUNT(DISTINCT o_custkey) via a KMV (k-minimum-values)
+    sketch (Bar-Yossef et al. 2002) — the sketch family behind
+    approx_count_distinct, chosen over HLL because its estimate is EXACTLY
+    reproducible in SQL: est = (k-1)·2³² // h_k with h_k the k-th smallest
+    32-bit md5 prefix of the distinct keys (integer division keeps the
+    oracle hash-exact; falls back to the exact distinct count below k).
+    Distributed shape: each batch emits its ≤k smallest distinct hashes
+    (min-k is mergeable at every level, like the inverted-index postings),
+    so the fan-in is ≤ k rows per batch regardless of input size."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    k = _KMV_K
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t["o_custkey"].combine_chunks())
+        hs = np.unique(np.array(
+            [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+             for v in keys.to_pylist()], dtype=np.int64))
+        return pa.table({"h32": pa.array(hs[:k], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        hs = np.unique(np.asarray(t["h32"]))
+        if len(hs) >= k:
+            kth = int(hs[k - 1])
+            est = (k - 1) * (1 << 32) // kth
+        else:
+            kth, est = None, len(hs)
+        return pa.table({"k_used": pa.array([k], pa.int64()),
+                         "kth_min": pa.array([kth], pa.int64()),
+                         "est_distinct": pa.array([est], pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def q_read_csv(sf_dir: str):
     """CSV ingestion (schema-on-read like T1/read_json, for the delimited
     flat-file sources a reference user would point at this engine):
@@ -1852,6 +1893,7 @@ QUERIES = {
     "read_csv": q_read_csv,
     "ntile": q_ntile,
     "first_last": q_first_last,
+    "approx_distinct": q_approx_distinct,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2432,5 +2474,17 @@ ORACLE_SQL = {
         "FROM events WINDOW w AS (PARTITION BY user_id "
         "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
         "AND UNBOUNDED FOLLOWING)"
+    ),
+    "approx_distinct": (
+        "WITH h AS (SELECT DISTINCT ('0x' || substr(md5("
+        "CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h32 FROM orders), "
+        "r AS (SELECT h32, row_number() OVER (ORDER BY h32) AS rn FROM h), "
+        "n AS (SELECT count(*) AS nd FROM h) "
+        "SELECT 256 AS k_used, "
+        "CASE WHEN nd >= 256 THEN (SELECT h32 FROM r WHERE rn = 256) "
+        "ELSE NULL END AS kth_min, "
+        "CASE WHEN nd >= 256 THEN "
+        "255 * 4294967296 // (SELECT h32 FROM r WHERE rn = 256) "
+        "ELSE nd END AS est_distinct FROM n"
     ),
 }
