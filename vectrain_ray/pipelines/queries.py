@@ -1796,6 +1796,72 @@ def q_approx_distinct(sf_dir: str):
     )
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-activity week (the cohort),
+    counted per week-offset they were active again — the standard
+    product-analytics retention matrix, all integer-exact. Users hash-bucket
+    once; each bucket computes its users' cohort week and distinct active
+    weeks fully vectorized and emits pre-counted (cohort, offset) partials,
+    so the final groupby sees ≤ weeks² rows per bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        week = us // (7 * 86400 * 1_000_000)
+        d = pd.DataFrame({"user_id": g["user_id"].values, "week": week.values})
+        d = d.drop_duplicates()
+        first = d.groupby("user_id", sort=False)["week"].transform("min")
+        pairs = pd.DataFrame(
+            {"cohort_week": first, "week_offset": d["week"] - first}
+        )
+        out = (
+            pairs.groupby(["cohort_week", "week_offset"], sort=False)
+            .size().reset_index(name="p_users")
+        )
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        # ≤ weeks² distinct (cohort, offset) pairs total — one vectorized
+        # task, NOT a Ray multi-key aggregate (the per-group-Python trap)
+        out = (
+            df.groupby(["cohort_week", "week_offset"], sort=True)["p_users"]
+            .sum().reset_index(name="n_users")
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return (
+        _bucketed(ds, ["user_id"])
+        .groupby("bucket")
+        .map_groups(cohort_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def q_percent_rank(sf_dir: str):
+    """PERCENT_RANK of each user's events by (ts, event_id), emitted as the
+    integer pair (rank-1, n-1) instead of the float ratio — float division
+    order would break hash-exactness vs SQL; the ratio is a trivial
+    downstream projection. One vectorized cumcount per user-bucket."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def pr_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        grp = g.groupby("user_id", sort=False)
+        out = g[["event_id", "user_id"]].copy()
+        out["rank_minus_1"] = grp.cumcount().astype("int64")
+        out["n_minus_1"] = (
+            grp["user_id"].transform("size") - 1).astype("int64")
+        return out
+
+    return (
+        _bucketed(ds, ["user_id"])
+        .groupby("bucket")
+        .map_groups(pr_bucket, batch_format="pandas")
+    )
+
+
 def q_read_csv(sf_dir: str):
     """CSV ingestion (schema-on-read like T1/read_json, for the delimited
     flat-file sources a reference user would point at this engine):
@@ -1894,6 +1960,8 @@ QUERIES = {
     "ntile": q_ntile,
     "first_last": q_first_last,
     "approx_distinct": q_approx_distinct,
+    "retention": q_retention,
+    "percent_rank": q_percent_rank,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2486,5 +2554,20 @@ ORACLE_SQL = {
         "CASE WHEN nd >= 256 THEN "
         "255 * 4294967296 // (SELECT h32 FROM r WHERE rn = 256) "
         "ELSE nd END AS est_distinct FROM n"
+    ),
+    "retention": (
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "epoch_us(ts) // 604800000000 AS week FROM events), "
+        "c AS (SELECT user_id, min(week) AS cw FROM d GROUP BY user_id) "
+        "SELECT c.cw AS cohort_week, d.week - c.cw AS week_offset, "
+        "count(*) AS n_users FROM d JOIN c ON d.user_id = c.user_id "
+        "GROUP BY 1, 2"
+    ),
+    "percent_rank": (
+        "SELECT event_id, user_id, CAST(rank() OVER w - 1 AS BIGINT) "
+        "AS rank_minus_1, CAST(count(*) OVER ("
+        "PARTITION BY user_id) - 1 AS BIGINT) AS n_minus_1 "
+        "FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id)"
     ),
 }
