@@ -3,10 +3,14 @@
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
-REPO = "/root/repo"
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def _run(*argv):
@@ -26,9 +30,10 @@ def test_query_list_and_unknown_name_no_ray():
     assert "unknown operator" in json.loads(out)["error"]
 
 
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
 def test_query_runs_operator_end_to_end(tmp_path):
     rc, out = _run("query", "--name", "histogram",
-                   "--sf-dir", "/root/testdata/sf0.001",
+                   "--sf-dir", SF_DIR,
                    "--num-cpus", "4", "--limit", "5")
     assert rc == 0, out
     doc = json.loads(out)
@@ -38,7 +43,7 @@ def test_query_runs_operator_end_to_end(tmp_path):
 
     out_dir = str(tmp_path / "res")
     rc, out = _run("query", "--name", "histogram",
-                   "--sf-dir", "/root/testdata/sf0.001",
+                   "--sf-dir", SF_DIR,
                    "--num-cpus", "4", "--out", out_dir)
     assert rc == 0, out
     import glob

@@ -155,35 +155,17 @@ def main(argv: list[str] | None = None) -> int:
 
         apply_data_context()
         try:
-            res = QUERIES[args.name](args.sf_dir)
-            import pandas as pd
-            import pyarrow as pa
-            import ray.data as rd
-
-            if isinstance(res, rd.Dataset):
-                if args.out:
-                    res.write_parquet(args.out)
-                    print(json.dumps({"status": "ok", "name": args.name,
-                                      "rows": res.count(), "out": args.out}))
-                    return 0
-                df = res.limit(args.limit).to_pandas()
-                n = res.count()
-            else:
-                df = (res.to_pandas() if isinstance(res, pa.Table)
-                      else pd.DataFrame(res))
-                n = len(df)
-                if args.out:
-                    import pyarrow.parquet as _pq
-
-                    import os as _os
-
-                    _os.makedirs(args.out, exist_ok=True)
-                    _pq.write_table(pa.Table.from_pandas(df),
-                                    _os.path.join(args.out, "result.parquet"))
-                    print(json.dumps({"status": "ok", "name": args.name,
-                                      "rows": n, "out": args.out}))
-                    return 0
-                df = df.head(args.limit)
+            # every registered operator returns a ray.data.Dataset; pin it
+            # ONCE — lazy Datasets re-execute per consumer, so count() after
+            # write/limit would otherwise run the whole pipeline twice
+            res = QUERIES[args.name](args.sf_dir).materialize()
+            n = res.count()
+            if args.out:
+                res.write_parquet(args.out)
+                print(json.dumps({"status": "ok", "name": args.name,
+                                  "rows": n, "out": args.out}))
+                return 0
+            df = res.limit(args.limit).to_pandas()
             print(json.dumps({"status": "ok", "name": args.name, "rows": n,
                               "head": json.loads(
                                   df.to_json(orient="records",
