@@ -1862,6 +1862,50 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_multimodal_meta(sf_dir: str):
+    """Multimodal-column plumbing under the driver gate with an EXACT
+    oracle: documents.text becomes an opaque ``binary`` payload column
+    (the functions/multimodal.py MEDIA_SCHEMA idiom — UTF-8 bytes here;
+    images/audio are the same shape with undecodable bytes), then an
+    actor-pool metadata stage extracts integer stats per payload: byte
+    length and a 32-bit md5 prefix. Both are functions of the raw BYTES,
+    so DuckDB mirrors them exactly (octet_length(encode(text)), md5) for
+    ANY text; small batch_size because binary rows are wide — the same
+    sizing rule the real image/audio decoders document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "payload": pc.cast(pc.fill_null(t["text"], ""), pa.binary())}
+        )
+
+    class MetaExtract:
+        """Per-actor state (the hasher constructor) initialized once, like
+        the model-loading decoders; __call__ handles one Arrow batch."""
+
+        def __init__(self):
+            self.md5 = hashlib.md5
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pays = t["payload"].to_pylist()
+            h32 = [int(self.md5(p).hexdigest()[:8], 16) for p in pays]
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_bytes": pc.cast(pc.binary_length(t["payload"]),
+                                       pa.int64()),
+                    "h32": pa.array(h32, pa.int64()),
+                }
+            )
+
+    return (
+        ds.map_batches(to_payload, batch_format="pyarrow", batch_size=4096)
+        .map_batches(MetaExtract, batch_format="pyarrow", batch_size=1024,
+                     concurrency=2)
+    )
+
+
 def q_read_csv(sf_dir: str):
     """CSV ingestion (schema-on-read like T1/read_json, for the delimited
     flat-file sources a reference user would point at this engine):
@@ -1962,6 +2006,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "retention": q_retention,
     "percent_rank": q_percent_rank,
+    "multimodal_meta": q_multimodal_meta,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2569,5 +2614,11 @@ ORACLE_SQL = {
         "PARTITION BY user_id) - 1 AS BIGINT) AS n_minus_1 "
         "FROM events WINDOW w AS (PARTITION BY user_id "
         "ORDER BY ts, event_id)"
+    ),
+    "multimodal_meta": (
+        "SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) "
+        "AS BIGINT) AS n_bytes, "
+        "('0x' || substr(md5(coalesce(text, '')), 1, 8))::BIGINT AS h32 "
+        "FROM documents"
     ),
 }
