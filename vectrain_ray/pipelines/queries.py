@@ -1862,6 +1862,51 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_multi_join(sf_dir: str):
+    """Chained mixed-strategy join (TPC-H Q5 shape): revenue per nation =
+    orders ⋈ customer ⋈ nation. Strategy per edge chosen by side size —
+    nation (25 rows) broadcasts into the customer scan as a vectorized
+    pandas .map; the orders⋈customer edge is a genuine two-large-sides
+    Ray hash join; a partial+final aggregate finishes. The planner rule a
+    user applies at 100 TB: broadcast every dimension-sized side, shuffle
+    only fact⋈fact edges."""
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nref = ray.put(dict(zip(nat["n_nationkey"].to_pylist(),
+                            nat["n_name"].to_pylist())))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    class AddNation:
+        def __init__(self):
+            self.names = ray.get(nref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df["n_name"] = df["c_nationkey"].map(self.names)
+            return df[["c_custkey", "n_name"]]
+
+    cust_n = cust.map_batches(AddNation, batch_format="pandas",
+                              concurrency=2)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.join(cust_n, join_type="inner",
+                         num_partitions=_join_partitions(),
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_name").aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["n_name", "p_rev", "p_cnt"])
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("p_rev", alias_name="revenue"),
+                   Sum("p_cnt", alias_name="n_orders"))
+    )
+    return out.map_batches(_round_cols({"revenue": 2}),
+                           batch_format="pyarrow")
+
+
 def q_multimodal_meta(sf_dir: str):
     """Multimodal-column plumbing under the driver gate with an EXACT
     oracle: documents.text becomes an opaque ``binary`` payload column
@@ -2007,6 +2052,7 @@ QUERIES = {
     "retention": q_retention,
     "percent_rank": q_percent_rank,
     "multimodal_meta": q_multimodal_meta,
+    "multi_join": q_multi_join,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2620,5 +2666,11 @@ ORACLE_SQL = {
         "AS BIGINT) AS n_bytes, "
         "('0x' || substr(md5(coalesce(text, '')), 1, 8))::BIGINT AS h32 "
         "FROM documents"
+    ),
+    "multi_join": (
+        "SELECT n_name, round(sum(o_totalprice), 2) AS revenue, "
+        "count(*) AS n_orders FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
     ),
 }
