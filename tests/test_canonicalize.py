@@ -100,3 +100,39 @@ def test_recombine_paths_identical():
     for rb in (4, 64, 1 << 20):
         got = rows(build_mapping(_mentions(surfs), recombine_batch=rb))
         assert got.equals(base), f"recombine_batch={rb} diverged"
+
+
+def test_mapping_from_partials_equals_direct():
+    """build_mapping_from_partials over per-shard partials ≡ build_mapping
+    over the union of mentions — the streaming mapping-rebuild path."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vectrain_ray.stages.canonicalize import (
+        build_mapping,
+        build_mapping_from_partials,
+        surface_partials,
+    )
+
+    surfaces = (["Acme Corp"] * 5 + ["acme corp."] * 3 + ["Widget Inc"] * 4
+                + ["Bob Smith"] * 2 + ["widget inc"] * 1)
+    half = len(surfaces) // 2
+
+    def ds_of(rows):
+        return rd.from_arrow(pa.table({"surface_form": pa.array(rows)}))
+
+    direct = build_mapping(ds_of(surfaces)).to_pandas()
+    # build shard partials as materialized frames, then union — the stored
+    # per-shard artifact layout of pipelines/resume.py phase 1.5
+    p1 = surface_partials(ds_of(surfaces[:half])).to_pandas()
+    p2 = surface_partials(ds_of(surfaces[half:])).to_pandas()
+    union = rd.from_pandas(pd.concat([p1, p2], ignore_index=True))
+    via_partials = build_mapping_from_partials(union).to_pandas()
+
+    def canon(df):
+        df = df.copy()
+        df["aliases"] = df["aliases"].apply(tuple)
+        return df.sort_values("surface_norm").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(direct), canon(via_partials))

@@ -161,3 +161,46 @@ def test_crash_after_ingest_before_pipeline_recovers(tmp_path):
 
     # and now it IS up to date
     assert drv.poll_once()["ran_pipeline"] is False
+
+
+def test_trickle_append_relinks_only_touched_parts(tmp_path):
+    """The O(delta) streaming property: after a small append, phase 3 re-runs
+    ONLY the shards whose own inputs changed — untouched shards keep their
+    committed outputs across the mapping rebuild (their links are a pure
+    function of their input when no fuzzy departure was recorded;
+    stages/link.count_fuzzy_departures) — and the result still equals the
+    one-shot run."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from vectrain_ray.synth import generate_transcripts
+
+    landing = str(tmp_path / "landing")
+    write_transcripts(landing, num_convs=24, turns_per_conv=6, seed=33,
+                      num_files=3)
+    out = str(tmp_path / "out")
+    drv = StreamDriver(landing, out, num_parts=4, poll_sec=0.01)
+    m1 = drv.poll_once()
+    assert m1["ran_pipeline"] and m1["skipped_p3"] == 0
+
+    # trickle: ONE new conversation (renamed to avoid colliding with the
+    # seed-shared conv-%06d ids) → at most one shard's inputs change
+    t = generate_transcripts(num_convs=1, turns_per_conv=6, seed=77,
+                             empty_frac=0.0, dup_frac=0.0)
+    df = t.to_pandas()
+    df["conv_id"] = df["conv_id"].str.replace("conv-", "convZ-")
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(landing, "zz_late.parquet"))
+
+    m2 = drv.poll_once()
+    assert m2["ran_pipeline"] and m2["new_files"] == 1
+    # ≥3 of 4 shards untouched by one conv → their p1 AND p3 both skip
+    assert m2["skipped_p1"] >= 3, m2
+    assert m2["skipped_p3"] >= 3, m2
+
+    # exactness: equals the one-shot run over the same landing dir
+    out_once = str(tmp_path / "out_once")
+    run_kg_resumable(landing, out_once, num_parts=4)
+    for tbl in ("edges", "nodes", "triples", "mentions"):
+        a, b = _read_sorted(out, tbl), _read_sorted(out_once, tbl)
+        pd.testing.assert_frame_equal(a, b), tbl

@@ -4,11 +4,14 @@ Phases (each phase unit is idempotent + manifest-gated):
 
   0. shard      transcripts → shards/part=K/ by crc_bucket(conv_id, P)
                 (conversation never splits; one-time layout shuffle)
-  1. extract    per shard: filter+extract → extracted/part=K/   [manifest]
-  2. canonical  global over extracted mentions (tiny after partial-agg):
+  1. extract    per shard: filter+extract → extracted/part=K/ + the shard's
+                surface-count partials surface_partials/part=K/ [manifest]
+  2. canonical  global mapping rebuilt FROM THE STORED PARTIALS (mergeable
+                sums → O(distinct surfaces), never re-reads mentions):
                 mapping/ + link index                           [marker]
   3. link       per shard: triples → linked triples/part=K/ +
-                edge partial aggregates edge_partials/part=K/   [manifest]
+                edge partial aggregates edge_partials/part=K/   [manifest,
+                records n_fuzzy = link.count_fuzzy_departures]
   4. finalize   global: edge partials → edges/, mapping+degree → nodes/
                                                                 [marker]
 
@@ -17,9 +20,17 @@ outputs are overwritten whenever their manifest is missing/stale, manifests
 commit last (state/manifest.py), and every id is a stable hash. Per-shard
 manifests carry row counts + wall time = the per-partition lineage/metrics.
 
+Streaming appends are O(delta): a mapping rebuild invalidates phase 3 ONLY
+for shards with recorded fuzzy departures — a shard with n_fuzzy == 0 emits
+ids that are a pure per-surface hash (exact hits and new-id fallbacks agree
+by construction; see count_fuzzy_departures), so its committed output is
+provably unchanged by data arriving elsewhere. Incremental ≡ one-shot stays
+exact (test_stream.test_trickle_append_relinks_only_touched_parts).
+
 At 100 TB: P = O(cluster size × few); phases 1/3 are embarrassingly parallel
 per shard (each shard itself a streaming Ray Data pipeline); phases 2/4 only
-touch pre-aggregated small tables.
+touch pre-aggregated small tables — and per-poll cost tracks the delta, not
+the corpus.
 """
 
 from __future__ import annotations
@@ -60,7 +71,7 @@ from ..state.manifest import (
 
 _LOG = logging.getLogger("vectrain_ray.resume")
 
-TABLES_P1 = ["extracted"]
+TABLES_P1 = ["extracted", "surface_partials"]
 TABLES_P3 = ["triples", "mentions", "edge_partials"]
 
 
@@ -126,6 +137,15 @@ def run_kg_resumable(
             filter_nonempty_text, batch_format="pyarrow", batch_size=batch_size
         ).map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
         ext.write_parquet(ext_dir)
+        # phase-1.5 artifact: the shard's surface-count partials. Mergeable
+        # sums, so phase 2 rebuilds the GLOBAL mapping from every shard's
+        # partials in O(distinct surfaces) — a streaming append re-reads
+        # the new shards' mentions only, never the whole corpus.
+        sp_dir = partition_output_dir(out_dir, "surface_partials", part)
+        canonicalize.surface_partials(
+            rd.read_parquet(sorted(glob.glob(os.path.join(ext_dir, "*.parquet"))))
+            .map_batches(mentions_table, batch_format="pyarrow")
+        ).write_parquet(sp_dir)
         import pyarrow.parquet as pq
 
         n = sum(pq.read_metadata(f).num_rows
@@ -149,8 +169,9 @@ def run_kg_resumable(
 
     mapping_dir = os.path.join(out_dir, "mapping")
     mapping_marker = os.path.join(mapping_dir, "_DONE")
-    ext_all = sorted(glob.glob(os.path.join(out_dir, "extracted", "part=*", "*.parquet")))
-    ext_fp = _fingerprint(ext_all)
+    sp_all = sorted(glob.glob(os.path.join(
+        out_dir, "surface_partials", "part=*", "*.parquet")))
+    ext_fp = _fingerprint(sp_all)
     marker_ok = False
     if os.path.exists(mapping_marker):
         try:
@@ -158,18 +179,29 @@ def run_kg_resumable(
         except OSError:
             marker_ok = False
     if not marker_ok:
-        ds = rd.read_parquet(ext_all)
-        mentions = ds.map_batches(mentions_table, batch_format="pyarrow")
-        mapping = canonicalize.build_mapping(mentions)
+        # O(distinct surfaces): the global mapping is rebuilt from the
+        # per-shard count partials, not by re-reading every mention
+        mapping = canonicalize.build_mapping_from_partials(
+            rd.read_parquet(sp_all))
         import shutil
 
         if os.path.exists(mapping_dir):
             shutil.rmtree(mapping_dir)
         mapping.write_parquet(mapping_dir)
         open(mapping_marker, "w").write(ext_fp)
-        if os.path.exists(man3.dir):
-            shutil.rmtree(man3.dir)
-        man3 = PartitionManifest(os.path.join(out_dir, "p3_link"))
+        # The mapping changed — but a shard's phase-3 output is a PURE
+        # function of its own extracted input unless some of its links went
+        # through the fuzzy-cosine path (stages/link.count_fuzzy_departures:
+        # exact hits and new-id fallbacks both equal the stable per-surface
+        # hash, and the linker emits ids only). Invalidate ONLY shards with
+        # recorded fuzzy departures (or pre-upgrade manifests lacking the
+        # counter); everything else keeps its committed outputs, so a
+        # streaming append relinks O(delta) shards, not O(corpus) —
+        # incremental ≡ one-shot is preserved exactly (test_stream).
+        for done_part in man3.completed_parts():
+            meta = man3.load(done_part) or {}
+            if meta.get("n_fuzzy") != 0:
+                man3.invalidate(done_part)
     shard_actors: list = []
     if link_shards:
         # sharded index artifact lives next to the mapping; rebuilt whenever
@@ -242,10 +274,17 @@ def run_kg_resumable(
 
         import pyarrow.parquet as pq
 
-        n_tr = sum(pq.read_metadata(f).num_rows
-                   for f in glob.glob(os.path.join(tr_dir, "*.parquet")))
+        tr_files = sorted(glob.glob(os.path.join(tr_dir, "*.parquet")))
+        n_tr = sum(pq.read_metadata(f).num_rows for f in tr_files)
+        from ..stages.link import count_fuzzy_departures
+
+        n_fuzzy = count_fuzzy_departures(
+            pq.read_table(tr_files, columns=["subj", "obj", "subj_id",
+                                             "obj_id"]).to_pandas()
+        ) if tr_files else 0
         man3.commit(part, ext_files,
-                    {"triples_out": n_tr, "wall_sec": round(time.time() - t0, 3)})
+                    {"triples_out": n_tr, "n_fuzzy": n_fuzzy,
+                     "wall_sec": round(time.time() - t0, 3)})
         log_event(_LOG, f"p3 link part={part} committed", phase="p3",
                   part=part, triples_out=n_tr,
                   wall_sec=round(time.time() - t0, 3))

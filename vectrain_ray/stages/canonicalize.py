@@ -181,6 +181,38 @@ def build_mapping(mentions_ds, extra_pairs: list[tuple[str, str]] | None = None,
     return mapping
 
 
+def surface_partials(mentions_ds, collapse_batch: int = 1 << 20):
+    """mentions Dataset → per-shard surface-count partials
+    (surface_norm, surface_form, cnt, merge_key, bucket) — the resumable
+    pipeline's phase-1.5 artifact. Counts are mergeable, so the GLOBAL
+    mapping can later be rebuilt from every shard's partials
+    (build_mapping_from_partials) in O(distinct surfaces) instead of
+    re-reading every mention: the streaming-append path's mapping rebuild
+    cost stops scaling with corpus size. ``collapse_batch`` bundles the
+    per-batch partials through one Arrow group_by so the stored artifact
+    is ≈ one row per distinct (norm, form) per shard."""
+    return mentions_ds.map_batches(
+        partial_surface_counts, batch_format="pyarrow", batch_size=65536
+    ).map_batches(
+        recombine_surface_partials, batch_format="pyarrow",
+        batch_size=collapse_batch,
+    )
+
+
+def build_mapping_from_partials(partials_ds,
+                                extra_pairs: list[tuple[str, str]] | None = None):
+    """Stored surface partials (any number of shards) → mapping Dataset,
+    byte-identical to build_mapping over the union of the shards' mentions
+    (equivalence-tested): sums are associative and _canonicalize_bucket
+    sees the same per-bucket totals either way."""
+    mapping = partials_ds.groupby("bucket").map_groups(
+        _canonicalize_bucket, batch_format="pandas"
+    )
+    if extra_pairs:
+        mapping = _apply_union_find(mapping, extra_pairs)
+    return mapping
+
+
 def _apply_union_find(mapping_ds, pairs: list[tuple[str, str]]):
     """Merge entity clusters connected by ``pairs`` (norm↔norm).
 

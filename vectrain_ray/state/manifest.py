@@ -66,6 +66,15 @@ class PartitionManifest:
         p = self._path(part)
         return json.load(open(p)) if os.path.exists(p) else None
 
+    def invalidate(self, part: int) -> None:
+        """Force re-processing of one partition (its outputs stay on disk
+        until the re-run's clear_partition_outputs — crash-safe either way,
+        since only the manifest gates doneness)."""
+        try:
+            os.remove(self._path(part))
+        except FileNotFoundError:
+            pass
+
     def completed_parts(self) -> list[int]:
         out = []
         for f in sorted(os.listdir(self.dir)):
