@@ -1862,6 +1862,62 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_validate(sf_dir: str):
+    """Data-validation operator (the pre-run sanity gate a training-data
+    pipeline needs): integer violation counts per rule over orders —
+    null keys, non-positive prices, and referential orphans (o_custkey
+    with no customer row; broadcast key set + vectorized is_in, the
+    semi-join shape). Per-batch Arrow combiner emits one 4-column partial
+    row; the final sum is constant-size at any input scale."""
+    ckeys = pc.unique(
+        pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey"])["c_custkey"].combine_chunks()
+    )
+    ref = ray.put(ckeys)
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    class Validate:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ks = pc.cast(self.keys, t["o_custkey"].type)
+            null_key = pc.is_null(t["o_custkey"])
+            orphan = pc.and_(pc.invert(null_key),
+                             pc.invert(pc.is_in(t["o_custkey"],
+                                                value_set=ks)))
+            bad_price = pc.less_equal(pc.fill_null(t["o_totalprice"], 0.0),
+                                      0.0)
+            return pa.table(
+                {
+                    "p_rows": pa.array([t.num_rows], pa.int64()),
+                    "p_null_key": pa.array(
+                        [pc.sum(null_key).as_py() or 0], pa.int64()),
+                    "p_orphan": pa.array(
+                        [pc.sum(orphan).as_py() or 0], pa.int64()),
+                    "p_bad_price": pa.array(
+                        [pc.sum(bad_price).as_py() or 0], pa.int64()),
+                }
+            )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_rows": [int(df["p_rows"].sum())],
+                "n_null_key": [int(df["p_null_key"].sum())],
+                "n_orphans": [int(df["p_orphan"].sum())],
+                "n_bad_price": [int(df["p_bad_price"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(Validate, batch_format="pyarrow", batch_size=65536,
+                       concurrency=2)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
 def q_multi_join(sf_dir: str):
     """Chained mixed-strategy join (TPC-H Q5 shape): revenue per nation =
     orders ⋈ customer ⋈ nation. Strategy per edge chosen by side size —
@@ -2053,6 +2109,7 @@ QUERIES = {
     "percent_rank": q_percent_rank,
     "multimodal_meta": q_multimodal_meta,
     "multi_join": q_multi_join,
+    "validate": q_validate,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2672,5 +2729,15 @@ ORACLE_SQL = {
         "count(*) AS n_orders FROM orders "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "validate": (
+        "SELECT count(*) AS n_rows, "
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_null_key, "
+        "CAST(sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_orphans, "
+        "CAST(sum(CASE WHEN coalesce(o_totalprice, 0) <= 0 THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS n_bad_price FROM orders"
     ),
 }
