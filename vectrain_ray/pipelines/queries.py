@@ -1862,6 +1862,41 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_group_concat(sf_dir: str):
+    """GROUP_CONCAT / string_agg: each user's distinct event types, sorted
+    and comma-joined. Per-batch pair-dedup combiner caps the shuffle at
+    (users × types) rows per batch; ONE vectorized join per user-bucket.
+    Mergeable because set-union is: batch-level distinct pairs union to the
+    global distinct set before any string is built."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        return g
+
+    from ..functions.dedup_exact import key_buckets
+
+    def concat_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        g = g.sort_values(["user_id", "event_type"], kind="stable")
+        out = (
+            g.groupby("user_id", sort=False)["event_type"]
+            .agg(",".join).reset_index(name="types")
+        )
+        return out
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = key_buckets(df, ["user_id"], 64)
+        return df
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(concat_bucket, batch_format="pandas")
+    )
+
+
 def q_validate(sf_dir: str):
     """Data-validation operator (the pre-run sanity gate a training-data
     pipeline needs): integer violation counts per rule over orders —
@@ -2110,6 +2145,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multi_join": q_multi_join,
     "validate": q_validate,
+    "group_concat": q_group_concat,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2739,5 +2775,9 @@ ORACLE_SQL = {
         "AS BIGINT) AS n_orphans, "
         "CAST(sum(CASE WHEN coalesce(o_totalprice, 0) <= 0 THEN 1 "
         "ELSE 0 END) AS BIGINT) AS n_bad_price FROM orders"
+    ),
+    "group_concat": (
+        "SELECT user_id, string_agg(DISTINCT event_type, ',' "
+        "ORDER BY event_type) AS types FROM events GROUP BY user_id"
     ),
 }
