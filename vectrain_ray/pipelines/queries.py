@@ -1874,8 +1874,6 @@ def q_group_concat(sf_dir: str):
         g = t.group_by(["user_id", "event_type"]).aggregate([])
         return g
 
-    from ..functions.dedup_exact import key_buckets
-
     def concat_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["user_id", "event_type"])
         g = g.sort_values(["user_id", "event_type"], kind="stable")
@@ -1885,13 +1883,12 @@ def q_group_concat(sf_dir: str):
         )
         return out
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = key_buckets(df, ["user_id"], 64)
-        return df
-
     return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .map_batches(add_bucket, batch_format="pandas")
+        _bucketed(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+            ["user_id"],
+        )
         .groupby("bucket")
         .map_groups(concat_bucket, batch_format="pandas")
     )
