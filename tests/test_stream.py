@@ -204,3 +204,44 @@ def test_trickle_append_relinks_only_touched_parts(tmp_path):
     for tbl in ("edges", "nodes", "triples", "mentions"):
         a, b = _read_sorted(out, tbl), _read_sorted(out_once, tbl)
         pd.testing.assert_frame_equal(a, b), tbl
+
+
+def test_cross_poll_duplicate_resend_stays_exact(tmp_path):
+    """A later landing file re-sends an EXISTING (conv, turn) with different
+    text: the dedup winner (min text) can flip, surfaces can vanish from
+    the corpus, the mapping shrinks — yet only the touched shard re-runs
+    and the result still equals the one-shot run over both files."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    landing = str(tmp_path / "landing")
+    write_transcripts(landing, num_convs=12, turns_per_conv=5, seed=13,
+                      num_files=2)
+    out = str(tmp_path / "out")
+    drv = StreamDriver(landing, out, num_parts=4, poll_sec=0.01)
+    m1 = drv.poll_once()
+    assert m1["ran_pipeline"]
+
+    # duplicate re-send of conv-000003 turn 0 with a lexicographically
+    # SMALLER text containing a brand-new surface → min-text winner flips
+    dup = pa.table({
+        "conv_id": pa.array(["conv-000003"]),
+        "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["user"]),
+        "text": pa.array(["Aaa Zzyx Corp announced a merger."]),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+    })
+    _pq.write_table(dup, os.path.join(landing, "zz_resend.parquet"))
+    m2 = drv.poll_once()
+    assert m2["ran_pipeline"] and m2["new_files"] == 1
+    assert m2["skipped_p1"] >= 3, m2  # one conv → ≤1 shard re-extracts
+
+    out_once = str(tmp_path / "out_once")
+    run_kg_resumable(landing, out_once, num_parts=4)
+    for tbl in ("edges", "nodes", "triples", "mentions"):
+        a, b = _read_sorted(out, tbl), _read_sorted(out_once, tbl)
+        pd.testing.assert_frame_equal(a, b), tbl
+    # the flipped winner's surface must be in the final graph
+    nodes = _read_sorted(out, "nodes")
+    assert nodes["canonical_name"].str.contains("Zzyx").any()
