@@ -1862,6 +1862,17 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_union(sf_dir: str):
+    """SQL UNION (distinct) via ``Dataset.union`` + the bucketed exact
+    dedup: the tagged nation/region name projections concatenate block-wise
+    (no shuffle) and distinct-ness costs one hash-bucketed exchange."""
+    a = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"name": t["n_name"]}), batch_format="pyarrow")
+    b = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow")
+    return dedup_exact(a.union(b), ["name"])
+
+
 def q_group_concat(sf_dir: str):
     """GROUP_CONCAT / string_agg: each user's distinct event types, sorted
     and comma-joined. Per-batch pair-dedup combiner caps the shuffle at
@@ -2143,6 +2154,7 @@ QUERIES = {
     "multi_join": q_multi_join,
     "validate": q_validate,
     "group_concat": q_group_concat,
+    "union": q_union,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2776,5 +2788,9 @@ ORACLE_SQL = {
     "group_concat": (
         "SELECT user_id, string_agg(DISTINCT event_type, ',' "
         "ORDER BY event_type) AS types FROM events GROUP BY user_id"
+    ),
+    "union": (
+        "SELECT n_name AS name FROM nation "
+        "UNION SELECT r_name AS name FROM region"
     ),
 }
