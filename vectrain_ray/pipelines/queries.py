@@ -1862,6 +1862,35 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_latest_per_key(sf_dir: str):
+    """Log compaction / CDC upsert semantics: the LATEST record per key
+    (user's last event by (ts, event_id) — the keep-newest twin of
+    dedup_exact's keep-first). Per-batch partial keeps each batch's latest
+    row per user (max is mergeable), so the shuffle carries ≤ one row per
+    user per batch; one vectorized argmax per user-bucket finishes."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        return df[df.groupby("user_id", sort=False).cumcount(
+            ascending=False) == 0]
+
+    def latest_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out = g[g.groupby("user_id", sort=False).cumcount(
+            ascending=False) == 0]
+        return out[["user_id", "event_id", "event_type"]]
+
+    return (
+        _bucketed(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["user_id"],
+        )
+        .groupby("bucket")
+        .map_groups(latest_bucket, batch_format="pandas")
+    )
+
+
 def q_union(sf_dir: str):
     """SQL UNION (distinct) via ``Dataset.union`` + the bucketed exact
     dedup: the tagged nation/region name projections concatenate block-wise
@@ -2155,6 +2184,7 @@ QUERIES = {
     "validate": q_validate,
     "group_concat": q_group_concat,
     "union": q_union,
+    "latest_per_key": q_latest_per_key,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2792,5 +2822,11 @@ ORACLE_SQL = {
     "union": (
         "SELECT n_name AS name FROM nation "
         "UNION SELECT r_name AS name FROM region"
+    ),
+    "latest_per_key": (
+        "SELECT user_id, event_id, event_type FROM ("
+        "SELECT user_id, event_id, event_type, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) WHERE rn = 1"
     ),
 }
