@@ -1862,6 +1862,45 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_except_all(sf_dir: str):
+    """EXCEPT ALL (bag difference, multiset semantics): customer nation
+    keys minus supplier nation keys with multiplicity — each side collapses
+    to per-batch (key, count) partials, ONE key-bucketed exchange merges
+    both sides' counts vectorized, and rows surviving with multiplicity
+    m > 0 are emitted as (key, m). Never materializes either side's rows."""
+    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: pa.table({"k": t["c_nationkey"]}), batch_format="pyarrow")
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: pa.table({"k": t["s_nationkey"]}), batch_format="pyarrow")
+
+    def counted(sign: int):
+        def fn(t: pa.Table) -> pa.Table:
+            g = t.group_by("k").aggregate([([], "count_all")])
+            g = g.rename_columns(["k", "c"])
+            return pa.table({"k": g["k"],
+                             "c": pc.multiply(pc.cast(g["c"], pa.int64()),
+                                              sign)})
+        return fn
+
+    both = (
+        c.map_batches(counted(1), batch_format="pyarrow", batch_size=65536)
+        .union(s.map_batches(counted(-1), batch_format="pyarrow",
+                             batch_size=65536))
+    )
+
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("k", sort=False)["c"].sum()
+        m = m[m > 0]
+        return pd.DataFrame({"k": m.index,
+                             "multiplicity": m.astype("int64").values})
+
+    return (
+        _bucketed(both, ["k"])
+        .groupby("bucket")
+        .map_groups(diff_bucket, batch_format="pandas")
+    )
+
+
 def q_latest_per_key(sf_dir: str):
     """Log compaction / CDC upsert semantics: the LATEST record per key
     (user's last event by (ts, event_id) — the keep-newest twin of
@@ -2185,6 +2224,7 @@ QUERIES = {
     "group_concat": q_group_concat,
     "union": q_union,
     "latest_per_key": q_latest_per_key,
+    "except_all": q_except_all,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2828,5 +2868,10 @@ ORACLE_SQL = {
         "SELECT user_id, event_id, event_type, row_number() OVER ("
         "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
         "FROM events) WHERE rn = 1"
+    ),
+    "except_all": (
+        "WITH d AS (SELECT c_nationkey AS k FROM customer "
+        "EXCEPT ALL SELECT s_nationkey AS k FROM supplier) "
+        "SELECT k, count(*) AS multiplicity FROM d GROUP BY k"
     ),
 }
