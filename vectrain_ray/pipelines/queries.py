@@ -1862,6 +1862,44 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_session_stats(sf_dir: str):
+    """Session DURATION stats (the usual follow-up to sessionize): per user
+    the session count, total active µs and longest session µs, with the
+    same 30-minute gap rule. One user-bucketed shuffle, then everything
+    vectorized per bucket (cumsum session ids → grouped min/max → telescoped
+    integer durations; exact vs SQL — no float time math)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def stats_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = new_user | (us.diff() > gap_us)
+        sid = brk.cumsum()  # globally increasing → unique per (user, session)
+        d = pd.DataFrame({"user_id": g["user_id"].values, "us": us.values,
+                          "sid": sid.values})
+        per = d.groupby("sid", sort=False).agg(
+            user_id=("user_id", "first"), lo=("us", "min"), hi=("us", "max"))
+        per["dur"] = per["hi"] - per["lo"]
+        out = per.groupby("user_id", sort=False)["dur"].agg(
+            ["count", "sum", "max"])
+        return pd.DataFrame(
+            {
+                "user_id": out.index,
+                "n_sessions": out["count"].astype("int64").values,
+                "total_dur_us": out["sum"].astype("int64").values,
+                "max_dur_us": out["max"].astype("int64").values,
+            }
+        )
+
+    return (
+        _bucketed(ds, ["user_id"])
+        .groupby("bucket")
+        .map_groups(stats_bucket, batch_format="pandas")
+    )
+
+
 def q_except_all(sf_dir: str):
     """EXCEPT ALL (bag difference, multiset semantics): customer nation
     keys minus supplier nation keys with multiplicity — each side collapses
@@ -2225,6 +2263,7 @@ QUERIES = {
     "union": q_union,
     "latest_per_key": q_latest_per_key,
     "except_all": q_except_all,
+    "session_stats": q_session_stats,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2873,5 +2912,18 @@ ORACLE_SQL = {
         "WITH d AS (SELECT c_nationkey AS k FROM customer "
         "EXCEPT ALL SELECT s_nationkey AS k FROM supplier) "
         "SELECT k, count(*) AS multiplicity FROM d GROUP BY k"
+    ),
+    "session_stats": (
+        "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+        "AS brk FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+        "d AS (SELECT user_id, sid, epoch_us(max(ts)) - epoch_us(min(ts)) "
+        "AS dur FROM s GROUP BY user_id, sid) "
+        "SELECT user_id, count(*) AS n_sessions, "
+        "CAST(sum(dur) AS BIGINT) AS total_dur_us, "
+        "CAST(max(dur) AS BIGINT) AS max_dur_us FROM d GROUP BY user_id"
     ),
 }
