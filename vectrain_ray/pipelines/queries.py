@@ -1862,6 +1862,90 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_intersect_all(sf_dir: str):
+    """INTERSECT ALL (bag intersection): per key min(count_left,
+    count_right) where both sides occur. Each side collapses to per-batch
+    (key, side, count) partials; ONE key-bucketed merge computes the
+    vectorized per-key min. The multiset twin of q_except_all."""
+    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: pa.table({"k": t["c_nationkey"]}), batch_format="pyarrow")
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: pa.table({"k": t["s_nationkey"]}), batch_format="pyarrow")
+
+    def counted(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            g = t.group_by("k").aggregate([([], "count_all")])
+            g = g.rename_columns(["k", "c"])
+            return pa.table({"k": g["k"], "c": pc.cast(g["c"], pa.int64()),
+                             "side": pa.array([side] * g.num_rows)})
+        return fn
+
+    both = (
+        c.map_batches(counted("l"), batch_format="pyarrow", batch_size=65536)
+        .union(s.map_batches(counted("r"), batch_format="pyarrow",
+                             batch_size=65536))
+    )
+
+    def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.groupby(["k", "side"], sort=False)["c"].sum()
+            .unstack("side", fill_value=0)
+        )
+        if "l" not in m.columns:
+            m["l"] = 0
+        if "r" not in m.columns:
+            m["r"] = 0
+        mult = m[["l", "r"]].min(axis=1)
+        mult = mult[mult > 0]
+        return pd.DataFrame({"k": mult.index,
+                             "multiplicity": mult.astype("int64").values})
+
+    return (
+        _bucketed(both, ["k"])
+        .groupby("bucket")
+        .map_groups(min_bucket, batch_format="pandas")
+    )
+
+
+def q_dup_rate(sf_dir: str):
+    """Corpus duplicate-rate report (the first number a training-data run
+    checks): per source, total docs and docs whose exact text (md5) occurs
+    more than once corpus-wide. Fingerprints dedup-count through ONE
+    hash-bucketed exchange; the per-source totals are a constant-size
+    final. Integer counts keep the oracle exact — the ratio is a trivial
+    projection."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["fp"] = [hashlib.md5((t or "").encode()).hexdigest()
+                    for t in df["text"]]
+        return df[["doc_id", "source", "fp"]]
+
+    def dup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # a fingerprint lives entirely in one bucket → corpus-wide counts
+        cnt = g.groupby("fp", sort=False)["fp"].transform("size")
+        g = g.assign(is_dup=(cnt > 1).astype("int64"))
+        out = (
+            g.groupby("source", sort=False)
+            .agg(p_docs=("doc_id", "size"), p_dups=("is_dup", "sum"))
+            .reset_index()
+        )
+        return out
+
+    return (
+        _bucketed(
+            ds.map_batches(fp, batch_format="pandas", batch_size=65536),
+            ["fp"],
+        )
+        .groupby("bucket")
+        .map_groups(dup_bucket, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("p_docs", alias_name="n_docs"),
+                   Sum("p_dups", alias_name="n_dup_docs"))
+    )
+
+
 def q_session_stats(sf_dir: str):
     """Session DURATION stats (the usual follow-up to sessionize): per user
     the session count, total active µs and longest session µs, with the
@@ -2264,6 +2348,8 @@ QUERIES = {
     "latest_per_key": q_latest_per_key,
     "except_all": q_except_all,
     "session_stats": q_session_stats,
+    "intersect_all": q_intersect_all,
+    "dup_rate": q_dup_rate,
 }
 
 # shared CTE text for the co-supply graph oracles (same cross-product join
@@ -2925,5 +3011,18 @@ ORACLE_SQL = {
         "SELECT user_id, count(*) AS n_sessions, "
         "CAST(sum(dur) AS BIGINT) AS total_dur_us, "
         "CAST(max(dur) AS BIGINT) AS max_dur_us FROM d GROUP BY user_id"
+    ),
+    "intersect_all": (
+        "WITH d AS (SELECT c_nationkey AS k FROM customer "
+        "INTERSECT ALL SELECT s_nationkey AS k FROM supplier) "
+        "SELECT k, count(*) AS multiplicity FROM d GROUP BY k"
+    ),
+    "dup_rate": (
+        "WITH f AS (SELECT doc_id, source, md5(coalesce(text, '')) AS fp "
+        "FROM documents), "
+        "c AS (SELECT fp, count(*) AS n FROM f GROUP BY fp) "
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup_docs FROM f JOIN c ON f.fp = c.fp GROUP BY source"
     ),
 }
