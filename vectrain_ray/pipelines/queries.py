@@ -1862,6 +1862,87 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_time_to_convert(sf_dir: str):
+    """Time-to-conversion: per user the integer µs from first view to the
+    first purchase at-or-after it (users with both only) — the funnel's
+    latency companion. Per-user-bucket vectorized (two grouped mins + one
+    merge); exact vs SQL because all arithmetic is integer µs."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def ttc_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame({"user_id": g["user_id"].values,
+                          "event_type": g["event_type"].values,
+                          "us": us.values})
+        v = (d[d["event_type"] == "view"].groupby("user_id")["us"].min()
+             .rename("t_view"))
+        pu = d[d["event_type"] == "purchase"][["user_id", "us"]].merge(
+            v.reset_index(), on="user_id")
+        pu = pu[pu["us"] >= pu["t_view"]]
+        first_p = pu.groupby("user_id").agg(t_view=("t_view", "first"),
+                                            t_buy=("us", "min"))
+        return pd.DataFrame(
+            {
+                "user_id": first_p.index,
+                "ttc_us": (first_p["t_buy"] - first_p["t_view"]).astype(
+                    "int64").values,
+            }
+        )
+
+    return (
+        _bucketed(ds, ["user_id"])
+        .groupby("bucket")
+        .map_groups(ttc_bucket, batch_format="pandas")
+    )
+
+
+def q_bigram_top(sf_dir: str):
+    """Corpus-wide top-20 adjacent word bigrams (language-model data prep):
+    Arrow tokenize, vectorized within-doc shift pairing, per-batch count
+    combiner, then a bigram-bucketed vectorized sum with per-bucket local
+    top-20 (a bigram lives wholly in one bucket, so the global top-20 is
+    inside the union) and a fixed ≤64·20-row final sort — NOT a Ray
+    groupby.aggregate over the full bigram vocabulary (the
+    high-cardinality-aggregate trap, see q_cooccurrence)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(t["text"], ""))
+        ).combine_chunks()
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        words = pc.list_flatten(toks).to_pandas()
+        parents = pc.list_parent_indices(toks).to_pandas()
+        d = pd.DataFrame({"w": words, "p": parents})
+        d = d[d["w"] != ""]
+        d["nxt"] = d["w"].shift(-1)
+        d["pn"] = d["p"].shift(-1)
+        d = d[(d["p"] == d["pn"]) & d["nxt"].notna()]
+        c = (d["w"] + " " + d["nxt"]).value_counts()
+        return pa.table({"bigram": pa.array(c.index, pa.string()),
+                         "p_cnt": pa.array(c.values, pa.int64())})
+
+    def top_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("bigram", sort=False)["p_cnt"].sum().reset_index(
+            name="cnt")
+        c["cnt"] = c["cnt"].astype("int64")
+        c = c.sort_values(["cnt", "bigram"], ascending=[False, True],
+                          kind="stable")
+        return c.head(20)
+
+    return (
+        _bucketed(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+            ["bigram"],
+        )
+        .groupby("bucket")
+        .map_groups(top_bucket, batch_format="pandas")
+        .sort(["cnt", "bigram"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def q_intersect_all(sf_dir: str):
     """INTERSECT ALL (bag intersection): per key min(count_left,
     count_right) where both sides occur. Each side collapses to per-batch
@@ -2348,6 +2429,8 @@ QUERIES = {
     "latest_per_key": q_latest_per_key,
     "except_all": q_except_all,
     "session_stats": q_session_stats,
+    "time_to_convert": q_time_to_convert,
+    "bigram_top": q_bigram_top,
     "intersect_all": q_intersect_all,
     "dup_rate": q_dup_rate,
 }
@@ -3016,6 +3099,25 @@ ORACLE_SQL = {
         "WITH d AS (SELECT c_nationkey AS k FROM customer "
         "INTERSECT ALL SELECT s_nationkey AS k FROM supplier) "
         "SELECT k, count(*) AS multiplicity FROM d GROUP BY k"
+    ),
+    "time_to_convert": (
+        "WITH v AS (SELECT user_id, min(ts) AS t_view FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "p AS (SELECT e.user_id, min(e.ts) AS t_buy FROM events e "
+        "JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'purchase' "
+        "AND e.ts >= v.t_view GROUP BY e.user_id) "
+        "SELECT p.user_id, epoch_us(p.t_buy) - epoch_us(v.t_view) "
+        "AS ttc_us FROM p JOIN v ON p.user_id = v.user_id"
+    ),
+    "bigram_top": (
+        "WITH w AS (SELECT list_filter(regexp_split_to_array("
+        "trim(lower(coalesce(text,''))), '\\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "bg AS (SELECT unnest(list_transform(generate_series(1, "
+        "len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w "
+        "WHERE len(ws) >= 2) "
+        "SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram "
+        "ORDER BY cnt DESC, bigram LIMIT 20"
     ),
     "dup_rate": (
         "WITH f AS (SELECT doc_id, source, md5(coalesce(text, '')) AS fp "
