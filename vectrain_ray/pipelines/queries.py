@@ -1862,6 +1862,40 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_daily_series(sf_dir: str):
+    """Gap-filled daily event series (reporting needs EVERY calendar day,
+    zero-count days included): per-batch day-count partials → tiny groupby
+    → ONE fixed-size final task that reindexes over the full min..max day
+    range. The dense calendar is bounded (days, not rows), so densification
+    never belongs in the distributed part."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").dt.floor("D")
+        out = day.value_counts().rename_axis("day").reset_index(
+            name="p_cnt")
+        return out
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("day")
+        .aggregate(Sum("p_cnt", alias_name="n_events"))
+    )
+
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = pd.to_datetime(df["day"])
+        full = pd.date_range(df["day"].min(), df["day"].max(), freq="D")
+        out = (
+            df.set_index("day")["n_events"].reindex(full, fill_value=0)
+            .rename_axis("day").reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return agg.repartition(1).map_batches(densify, batch_format="pandas",
+                                          batch_size=None)
+
+
 def q_time_to_convert(sf_dir: str):
     """Time-to-conversion: per user the integer µs from first view to the
     first purchase at-or-after it (users with both only) — the funnel's
@@ -2430,6 +2464,7 @@ QUERIES = {
     "except_all": q_except_all,
     "session_stats": q_session_stats,
     "time_to_convert": q_time_to_convert,
+    "daily_series": q_daily_series,
     "bigram_top": q_bigram_top,
     "intersect_all": q_intersect_all,
     "dup_rate": q_dup_rate,
@@ -3099,6 +3134,14 @@ ORACLE_SQL = {
         "WITH d AS (SELECT c_nationkey AS k FROM customer "
         "INTERSECT ALL SELECT s_nationkey AS k FROM supplier) "
         "SELECT k, count(*) AS multiplicity FROM d GROUP BY k"
+    ),
+    "daily_series": (
+        "WITH c AS (SELECT date_trunc('day', ts) AS day, count(*) AS n "
+        "FROM events GROUP BY 1), "
+        "r AS (SELECT unnest(generate_series((SELECT min(day) FROM c), "
+        "(SELECT max(day) FROM c), INTERVAL 1 DAY)) AS day) "
+        "SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events "
+        "FROM r LEFT JOIN c ON r.day = c.day"
     ),
     "time_to_convert": (
         "WITH v AS (SELECT user_id, min(ts) AS t_view FROM events "
