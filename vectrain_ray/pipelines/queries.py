@@ -1862,6 +1862,40 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_rolling_count(sf_dir: str):
+    """Per-row rolling window count (feature engineering's bread and
+    butter): for every event, how many of the same user's events fall in
+    [ts − 1h, ts] — SQL's RANGE INTERVAL 1 HOUR PRECEDING AND CURRENT ROW.
+    One user-bucketed shuffle; inside a bucket the per-user ranges become
+    ONE vectorized searchsorted pair by offsetting each user's timestamps
+    onto a disjoint segment of the int64 line (stride > the corpus time
+    span + window, so windows can never cross users) — no per-user Python
+    loop at any cardinality."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    win_us = 3_600_000_000
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        span = int(us.max() - us.min()) + 2 * win_us + 1
+        key = codes.astype("int64") * span + (us - us.min())
+        lo = np.searchsorted(key, key - win_us, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].values,
+                "cnt_1h": (hi - lo).astype("int64"),
+            }
+        )
+
+    return (
+        _bucketed(ds, ["user_id"])
+        .groupby("bucket")
+        .map_groups(roll_bucket, batch_format="pandas")
+    )
+
+
 def q_daily_series(sf_dir: str):
     """Gap-filled daily event series (reporting needs EVERY calendar day,
     zero-count days included): per-batch day-count partials → tiny groupby
@@ -2465,6 +2499,7 @@ QUERIES = {
     "session_stats": q_session_stats,
     "time_to_convert": q_time_to_convert,
     "daily_series": q_daily_series,
+    "rolling_count": q_rolling_count,
     "bigram_top": q_bigram_top,
     "intersect_all": q_intersect_all,
     "dup_rate": q_dup_rate,
@@ -3134,6 +3169,11 @@ ORACLE_SQL = {
         "WITH d AS (SELECT c_nationkey AS k FROM customer "
         "INTERSECT ALL SELECT s_nationkey AS k FROM supplier) "
         "SELECT k, count(*) AS multiplicity FROM d GROUP BY k"
+    ),
+    "rolling_count": (
+        "SELECT event_id, CAST(count(*) OVER (PARTITION BY user_id "
+        "ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING "
+        "AND CURRENT ROW) AS BIGINT) AS cnt_1h FROM events"
     ),
     "daily_series": (
         "WITH c AS (SELECT date_trunc('day', ts) AS day, count(*) AS n "
