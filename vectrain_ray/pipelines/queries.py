@@ -1862,6 +1862,93 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+_PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def q_profile(sf_dir: str):
+    """Table profiling (the at-a-glance report a pipeline runs before
+    training): per column the row count, null count and a KMV
+    distinct-count estimate (same integer-exact sketch as
+    q_approx_distinct, k=256). One narrow partial stream carries both the
+    per-batch counters and the per-batch k-minimum hashes (tagged rows in
+    one table), so the final task sees ≤ (k+1)·cols rows per batch."""
+    ds = _read(sf_dir, "lineitem", _PROFILE_COLS)
+    k = _KMV_K
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols, h32s, rows, nulls = [], [], [], []
+        for c in _PROFILE_COLS:
+            a = t[c]
+            cols.append(c)
+            h32s.append(-1)  # counter row sentinel
+            rows.append(t.num_rows)
+            nulls.append(pc.sum(pc.is_null(a)).as_py() or 0)
+            vals = pc.unique(pc.drop_null(a.combine_chunks()))
+            hs = np.unique(np.array(
+                [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+                 for v in vals.to_pylist()], dtype=np.int64))[:k]
+            cols.extend([c] * len(hs))
+            h32s.extend(hs.tolist())
+            rows.extend([0] * len(hs))
+            nulls.extend([0] * len(hs))
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "h32": pa.array(h32s, pa.int64()),
+                "p_rows": pa.array(rows, pa.int64()),
+                "p_nulls": pa.array(nulls, pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for c in _PROFILE_COLS:
+            sub = df[df["col"] == c]
+            hs = np.unique(sub.loc[sub["h32"] >= 0, "h32"].to_numpy())
+            if len(hs) >= k:
+                est = (k - 1) * (1 << 32) // int(hs[k - 1])
+            else:
+                est = len(hs)
+            out.append(
+                {
+                    "col": c,
+                    "n_rows": int(sub["p_rows"].sum()),
+                    "n_nulls": int(sub["p_nulls"].sum()),
+                    "est_distinct": int(est),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def q_weekday_hour(sf_dir: str):
+    """Activity heatmap: event counts by (ISO weekday, hour) — the fixed
+    7×24-cell reporting aggregate. Per-batch Arrow combiner collapses to
+    ≤168 rows, so the exchange is constant-size at any input scale."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]")
+        out = (
+            pd.DataFrame({"dow": t.dt.isocalendar().day.astype("int64"),
+                          "hour": t.dt.hour.astype("int64")})
+            .groupby(["dow", "hour"], sort=False)
+            .size().reset_index(name="p_cnt")
+        )
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("p_cnt", alias_name="n_events"))
+    )
+
+
 def q_rolling_count(sf_dir: str):
     """Per-row rolling window count (feature engineering's bread and
     butter): for every event, how many of the same user's events fall in
@@ -2500,6 +2587,8 @@ QUERIES = {
     "time_to_convert": q_time_to_convert,
     "daily_series": q_daily_series,
     "rolling_count": q_rolling_count,
+    "weekday_hour": q_weekday_hour,
+    "profile": q_profile,
     "bigram_top": q_bigram_top,
     "intersect_all": q_intersect_all,
     "dup_rate": q_dup_rate,
@@ -3169,6 +3258,11 @@ ORACLE_SQL = {
         "WITH d AS (SELECT c_nationkey AS k FROM customer "
         "INTERSECT ALL SELECT s_nationkey AS k FROM supplier) "
         "SELECT k, count(*) AS multiplicity FROM d GROUP BY k"
+    ),
+    "profile": "WITH h_l_orderkey AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h32 FROM lineitem WHERE l_orderkey IS NOT NULL), r_l_orderkey AS (SELECT h32, row_number() OVER (ORDER BY h32) AS rn FROM h_l_orderkey), n_l_orderkey AS (SELECT count(*) AS nd FROM h_l_orderkey), h_l_partkey AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h32 FROM lineitem WHERE l_partkey IS NOT NULL), r_l_partkey AS (SELECT h32, row_number() OVER (ORDER BY h32) AS rn FROM h_l_partkey), n_l_partkey AS (SELECT count(*) AS nd FROM h_l_partkey), h_l_suppkey AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT AS h32 FROM lineitem WHERE l_suppkey IS NOT NULL), r_l_suppkey AS (SELECT h32, row_number() OVER (ORDER BY h32) AS rn FROM h_l_suppkey), n_l_suppkey AS (SELECT count(*) AS nd FROM h_l_suppkey) SELECT 'l_orderkey' AS col, (SELECT count(*) FROM lineitem) AS n_rows, CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT) AS n_nulls, CAST(CASE WHEN (SELECT nd FROM n_l_orderkey) >= 256 THEN 255 * 4294967296 // (SELECT h32 FROM r_l_orderkey WHERE rn = 256) ELSE (SELECT nd FROM n_l_orderkey) END AS BIGINT) AS est_distinct UNION ALL SELECT 'l_partkey' AS col, (SELECT count(*) FROM lineitem) AS n_rows, CAST((SELECT count(*) FROM lineitem WHERE l_partkey IS NULL) AS BIGINT) AS n_nulls, CAST(CASE WHEN (SELECT nd FROM n_l_partkey) >= 256 THEN 255 * 4294967296 // (SELECT h32 FROM r_l_partkey WHERE rn = 256) ELSE (SELECT nd FROM n_l_partkey) END AS BIGINT) AS est_distinct UNION ALL SELECT 'l_suppkey' AS col, (SELECT count(*) FROM lineitem) AS n_rows, CAST((SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL) AS BIGINT) AS n_nulls, CAST(CASE WHEN (SELECT nd FROM n_l_suppkey) >= 256 THEN 255 * 4294967296 // (SELECT h32 FROM r_l_suppkey WHERE rn = 256) ELSE (SELECT nd FROM n_l_suppkey) END AS BIGINT) AS est_distinct",
+    "weekday_hour": (
+        "SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour, "
+        "count(*) AS n_events FROM events GROUP BY 1, 2"
     ),
     "rolling_count": (
         "SELECT event_id, CAST(count(*) OVER (PARTITION BY user_id "
