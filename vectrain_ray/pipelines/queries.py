@@ -1862,6 +1862,59 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_pair_similarity(sf_dir: str):
+    """ALL-PAIRS user similarity over a bounded categorical feature space
+    (event-type sets) WITHOUT materializing user pairs: users collapse to
+    their distinct type set (bucketed, like group_concat), the sets
+    collapse to a histogram (≤ 2^|types| rows), and the final fixed-size
+    task emits one row per unordered SET pair with exact integer Jaccard
+    components and the pair multiplicity (n·m across sets, n·(n−1)/2
+    within). O(users) shuffle for an O(users²) answer — the scale pattern
+    for pairwise stats over low-cardinality features."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    def sets_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        g = g.sort_values(["user_id", "event_type"], kind="stable")
+        s = (
+            g.groupby("user_id", sort=False)["event_type"]
+            .agg(",".join).reset_index(name="tset")
+        )
+        return s.groupby("tset", sort=False).size().reset_index(name="p_n")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby("tset", sort=True)["p_n"].sum()
+        rows = []
+        sets = list(h.index)
+        for i, a in enumerate(sets):
+            sa = set(a.split(","))
+            for b in sets[i:]:
+                sb = set(b.split(","))
+                n = int(h[a]) * (int(h[a]) - 1) // 2 if a == b \
+                    else int(h[a]) * int(h[b])
+                rows.append((a, b, len(sa & sb), len(sa | sb), n))
+        out = pd.DataFrame(rows, columns=["set_a", "set_b", "n_common",
+                                          "n_union", "n_pairs"])
+        for c in ("n_common", "n_union", "n_pairs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        _bucketed(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+            ["user_id"],
+        )
+        .groupby("bucket")
+        .map_groups(sets_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(pairs, batch_format="pandas", batch_size=None)
+    )
+
+
 _PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
 
 
@@ -2588,6 +2641,7 @@ QUERIES = {
     "daily_series": q_daily_series,
     "rolling_count": q_rolling_count,
     "weekday_hour": q_weekday_hour,
+    "pair_similarity": q_pair_similarity,
     "profile": q_profile,
     "bigram_top": q_bigram_top,
     "intersect_all": q_intersect_all,
@@ -3259,6 +3313,7 @@ ORACLE_SQL = {
         "INTERSECT ALL SELECT s_nationkey AS k FROM supplier) "
         "SELECT k, count(*) AS multiplicity FROM d GROUP BY k"
     ),
+    "pair_similarity": "WITH s AS (SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS tset FROM events GROUP BY user_id), h AS (SELECT tset, count(*) AS n FROM s GROUP BY tset) SELECT a.tset AS set_a, b.tset AS set_b, CAST(len(list_intersect(string_split(a.tset, ','), string_split(b.tset, ','))) AS BIGINT) AS n_common, CAST(len(list_distinct(list_concat(string_split(a.tset, ','), string_split(b.tset, ',')))) AS BIGINT) AS n_union, CAST(CASE WHEN a.tset = b.tset THEN a.n * (a.n - 1) // 2 ELSE a.n * b.n END AS BIGINT) AS n_pairs FROM h a JOIN h b ON a.tset <= b.tset",
     "profile": "WITH h_l_orderkey AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h32 FROM lineitem WHERE l_orderkey IS NOT NULL), r_l_orderkey AS (SELECT h32, row_number() OVER (ORDER BY h32) AS rn FROM h_l_orderkey), n_l_orderkey AS (SELECT count(*) AS nd FROM h_l_orderkey), h_l_partkey AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h32 FROM lineitem WHERE l_partkey IS NOT NULL), r_l_partkey AS (SELECT h32, row_number() OVER (ORDER BY h32) AS rn FROM h_l_partkey), n_l_partkey AS (SELECT count(*) AS nd FROM h_l_partkey), h_l_suppkey AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT AS h32 FROM lineitem WHERE l_suppkey IS NOT NULL), r_l_suppkey AS (SELECT h32, row_number() OVER (ORDER BY h32) AS rn FROM h_l_suppkey), n_l_suppkey AS (SELECT count(*) AS nd FROM h_l_suppkey) SELECT 'l_orderkey' AS col, (SELECT count(*) FROM lineitem) AS n_rows, CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT) AS n_nulls, CAST(CASE WHEN (SELECT nd FROM n_l_orderkey) >= 256 THEN 255 * 4294967296 // (SELECT h32 FROM r_l_orderkey WHERE rn = 256) ELSE (SELECT nd FROM n_l_orderkey) END AS BIGINT) AS est_distinct UNION ALL SELECT 'l_partkey' AS col, (SELECT count(*) FROM lineitem) AS n_rows, CAST((SELECT count(*) FROM lineitem WHERE l_partkey IS NULL) AS BIGINT) AS n_nulls, CAST(CASE WHEN (SELECT nd FROM n_l_partkey) >= 256 THEN 255 * 4294967296 // (SELECT h32 FROM r_l_partkey WHERE rn = 256) ELSE (SELECT nd FROM n_l_partkey) END AS BIGINT) AS est_distinct UNION ALL SELECT 'l_suppkey' AS col, (SELECT count(*) FROM lineitem) AS n_rows, CAST((SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL) AS BIGINT) AS n_nulls, CAST(CASE WHEN (SELECT nd FROM n_l_suppkey) >= 256 THEN 255 * 4294967296 // (SELECT h32 FROM r_l_suppkey WHERE rn = 256) ELSE (SELECT nd FROM n_l_suppkey) END AS BIGINT) AS est_distinct",
     "weekday_hour": (
         "SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour, "
