@@ -70,3 +70,28 @@ def test_stale_fingerprint_forces_reprocess(transcripts_path, tmp_path):
 
     man = PartitionManifest(os.path.join(out, "p1_extract"))
     assert not man.is_done(0, shard_files)
+
+
+def test_pre_partials_out_dir_is_backfilled(transcripts_path, tmp_path):
+    """Upgrade path: an out_dir written before the surface_partials artifact
+    existed (simulated by deleting partials + mapping marker while p1
+    manifests stay valid) must be backfilled — the mapping is rebuilt from
+    ALL shards, never a silently truncated subset — and converge to the
+    same bytes."""
+    import shutil
+
+    out = str(tmp_path / "old_layout")
+    run_kg_resumable(transcripts_path, out, num_parts=4)
+    before = {t: _load(out, t) for t in ("nodes", "edges", "triples")}
+
+    shutil.rmtree(os.path.join(out, "surface_partials"))
+    os.remove(os.path.join(out, "mapping", "_DONE"))
+
+    m = run_kg_resumable(transcripts_path, out, num_parts=4)
+    assert m["skipped_p1"] == len(m["p1_parts"])  # p1 itself untouched
+    # partials were backfilled for every extracted shard
+    for part in m["p1_parts"]:
+        assert glob.glob(os.path.join(out, "surface_partials",
+                                      f"part={part}", "*.parquet")), part
+    for t in ("nodes", "edges", "triples"):
+        pd.testing.assert_frame_equal(before[t], _load(out, t)), t

@@ -1877,6 +1877,9 @@ def q_pair_similarity(sf_dir: str):
         return t.group_by(["user_id", "event_type"]).aggregate([])
 
     def sets_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # same distinct-set construction as q_group_concat, but collapsed
+        # straight to a per-bucket SET HISTOGRAM — at scale the histogram
+        # (≤2^|types| rows/bucket) must leave the bucket, not per-user rows
         g = g.drop_duplicates(["user_id", "event_type"])
         g = g.sort_values(["user_id", "event_type"], kind="stable")
         s = (
@@ -2019,15 +2022,22 @@ def q_rolling_count(sf_dir: str):
         us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         codes, _ = pd.factorize(g["user_id"], sort=False)
         span = int(us.max() - us.min()) + 2 * win_us + 1
-        key = codes.astype("int64") * span + (us - us.min())
-        lo = np.searchsorted(key, key - win_us, side="left")
-        hi = np.searchsorted(key, key, side="right")
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"].values,
-                "cnt_1h": (hi - lo).astype("int64"),
-            }
-        )
+        # codes*span must stay inside int64 — with a huge user-count ×
+        # time-span product, process the bucket in user-code slices (each
+        # still one vectorized searchsorted pair; the loop is over slices,
+        # never users). rows are sorted by user, so slices are contiguous.
+        users_per_slice = max(1, (1 << 62) // span)
+        outs = []
+        rel = us - us.min()
+        for base in range(0, int(codes.max()) + 1, users_per_slice):
+            m = (codes >= base) & (codes < base + users_per_slice)
+            key = (codes[m] - base).astype("int64") * span + rel[m]
+            lo = np.searchsorted(key, key - win_us, side="left")
+            hi = np.searchsorted(key, key, side="right")
+            outs.append(pd.DataFrame(
+                {"event_id": g["event_id"].values[m],
+                 "cnt_1h": (hi - lo).astype("int64")}))
+        return pd.concat(outs, ignore_index=True)
 
     return (
         _bucketed(ds, ["user_id"])
@@ -2151,29 +2161,38 @@ def q_bigram_top(sf_dir: str):
     )
 
 
+def _nationkey_counts(sf_dir: str, tag_col: str | None, tag: str,
+                      sign: int = 1):
+    """Shared side-builder for the multiset set-ops: a one-column nation-key
+    projection collapsed to per-batch (k, c[, side]) count partials. ``sign``
+    scales counts (EXCEPT ALL's signed merge); ``tag_col`` adds a constant
+    side label (INTERSECT ALL's two-sided min)."""
+    table, col = (("customer", "c_nationkey") if tag == "l"
+                  else ("supplier", "s_nationkey"))
+    ds = _read(sf_dir, table, [col]).map_batches(
+        lambda t, c=col: pa.table({"k": t[c]}), batch_format="pyarrow")
+
+    def counted(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([([], "count_all")])
+        g = g.rename_columns(["k", "c"])
+        cols = {"k": g["k"],
+                "c": pc.multiply(pc.cast(g["c"], pa.int64()), sign)}
+        if tag_col:
+            # explicit type: an EMPTY batch would otherwise infer null and
+            # break the union's schema
+            cols[tag_col] = pa.array([tag] * g.num_rows, pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(counted, batch_format="pyarrow", batch_size=65536)
+
+
 def q_intersect_all(sf_dir: str):
     """INTERSECT ALL (bag intersection): per key min(count_left,
     count_right) where both sides occur. Each side collapses to per-batch
     (key, side, count) partials; ONE key-bucketed merge computes the
     vectorized per-key min. The multiset twin of q_except_all."""
-    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
-        lambda t: pa.table({"k": t["c_nationkey"]}), batch_format="pyarrow")
-    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
-        lambda t: pa.table({"k": t["s_nationkey"]}), batch_format="pyarrow")
-
-    def counted(side: str):
-        def fn(t: pa.Table) -> pa.Table:
-            g = t.group_by("k").aggregate([([], "count_all")])
-            g = g.rename_columns(["k", "c"])
-            return pa.table({"k": g["k"], "c": pc.cast(g["c"], pa.int64()),
-                             "side": pa.array([side] * g.num_rows)})
-        return fn
-
-    both = (
-        c.map_batches(counted("l"), batch_format="pyarrow", batch_size=65536)
-        .union(s.map_batches(counted("r"), batch_format="pyarrow",
-                             batch_size=65536))
-    )
+    both = _nationkey_counts(sf_dir, "side", "l").union(
+        _nationkey_counts(sf_dir, "side", "r"))
 
     def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
         m = (
@@ -2279,25 +2298,8 @@ def q_except_all(sf_dir: str):
     to per-batch (key, count) partials, ONE key-bucketed exchange merges
     both sides' counts vectorized, and rows surviving with multiplicity
     m > 0 are emitted as (key, m). Never materializes either side's rows."""
-    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
-        lambda t: pa.table({"k": t["c_nationkey"]}), batch_format="pyarrow")
-    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
-        lambda t: pa.table({"k": t["s_nationkey"]}), batch_format="pyarrow")
-
-    def counted(sign: int):
-        def fn(t: pa.Table) -> pa.Table:
-            g = t.group_by("k").aggregate([([], "count_all")])
-            g = g.rename_columns(["k", "c"])
-            return pa.table({"k": g["k"],
-                             "c": pc.multiply(pc.cast(g["c"], pa.int64()),
-                                              sign)})
-        return fn
-
-    both = (
-        c.map_batches(counted(1), batch_format="pyarrow", batch_size=65536)
-        .union(s.map_batches(counted(-1), batch_format="pyarrow",
-                             batch_size=65536))
-    )
+    both = _nationkey_counts(sf_dir, None, "l", sign=1).union(
+        _nationkey_counts(sf_dir, None, "r", sign=-1))
 
     def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("k", sort=False)["c"].sum()

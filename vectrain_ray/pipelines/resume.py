@@ -11,7 +11,7 @@ Phases (each phase unit is idempotent + manifest-gated):
                 mapping/ + link index                           [marker]
   3. link       per shard: triples → linked triples/part=K/ +
                 edge partial aggregates edge_partials/part=K/   [manifest,
-                records n_fuzzy = link.count_fuzzy_departures]
+                records n_unsafe = link.count_unsafe_links]
   4. finalize   global: edge partials → edges/, mapping+degree → nodes/
                                                                 [marker]
 
@@ -21,11 +21,13 @@ commit last (state/manifest.py), and every id is a stable hash. Per-shard
 manifests carry row counts + wall time = the per-partition lineage/metrics.
 
 Streaming appends are O(delta): a mapping rebuild invalidates phase 3 ONLY
-for shards with recorded fuzzy departures — a shard with n_fuzzy == 0 emits
-ids that are a pure per-surface hash (exact hits and new-id fallbacks agree
-by construction; see count_fuzzy_departures), so its committed output is
-provably unchanged by data arriving elsewhere. Incremental ≡ one-shot stays
-exact (test_stream.test_trickle_append_relinks_only_touched_parts).
+for shards with mapping-DEPENDENT links — a shard with n_unsafe == 0 had
+every surface resolve as an exact dict hit whose id is the pure per-surface
+hash (see link.count_unsafe_links for the full soundness argument, which
+also covers why any dict MISS — even a fallback that emitted the pure id —
+forces a relink), so its committed output is provably unchanged by data
+arriving elsewhere. Incremental ≡ one-shot stays exact
+(test_stream.test_trickle_append_relinks_only_touched_parts).
 
 At 100 TB: P = O(cluster size × few); phases 1/3 are embarrassingly parallel
 per shard (each shard itself a streaming Ray Data pipeline); phases 2/4 only
@@ -97,6 +99,41 @@ def _shard_files(shards: str, part: int) -> list[str]:
     return sorted(glob.glob(os.path.join(shards, f"part={part}", "*.parquet")))
 
 
+def _write_surface_partials(out_dir: str, part: int) -> None:
+    """(Re)build one shard's surface-count partials from its committed
+    extracted output. Tolerates an all-filtered shard (zero extracted
+    files): the partials dir is simply absent, and phase 2 treats missing
+    partials for an extracted-empty shard as zero mentions."""
+    ext_files = sorted(glob.glob(os.path.join(
+        out_dir, "extracted", f"part={part}", "*.parquet")))
+    sp_dir = partition_output_dir(out_dir, "surface_partials", part)
+    if not ext_files:
+        return
+    canonicalize.surface_partials(
+        rd.read_parquet(ext_files)
+        .map_batches(mentions_table, batch_format="pyarrow")
+    ).write_parquet(sp_dir)
+
+
+def _backfill_surface_partials(out_dir: str, num_parts: int) -> int:
+    """Upgrade path: output dirs written BEFORE the partials artifact
+    existed have valid p1 manifests (so phase 1 skips) but no
+    surface_partials — rebuilding the mapping from partials alone would
+    then silently drop those shards' entities. Backfill any shard that has
+    extracted output but no partials (one-time cost per migrated shard)."""
+    n = 0
+    for part in range(num_parts):
+        ext = glob.glob(os.path.join(out_dir, "extracted", f"part={part}",
+                                     "*.parquet"))
+        sp = glob.glob(os.path.join(out_dir, "surface_partials",
+                                    f"part={part}", "*.parquet"))
+        if ext and not sp:
+            clear_partition_outputs(out_dir, ["surface_partials"], part)
+            _write_surface_partials(out_dir, part)
+            n += 1
+    return n
+
+
 def run_kg_resumable(
     input_path: str,
     out_dir: str,
@@ -141,11 +178,7 @@ def run_kg_resumable(
         # sums, so phase 2 rebuilds the GLOBAL mapping from every shard's
         # partials in O(distinct surfaces) — a streaming append re-reads
         # the new shards' mentions only, never the whole corpus.
-        sp_dir = partition_output_dir(out_dir, "surface_partials", part)
-        canonicalize.surface_partials(
-            rd.read_parquet(sorted(glob.glob(os.path.join(ext_dir, "*.parquet"))))
-            .map_batches(mentions_table, batch_format="pyarrow")
-        ).write_parquet(sp_dir)
+        _write_surface_partials(out_dir, part)
         import pyarrow.parquet as pq
 
         n = sum(pq.read_metadata(f).num_rows
@@ -167,6 +200,7 @@ def run_kg_resumable(
     # extracted files did not change.
     from ..state.manifest import _fingerprint
 
+    _backfill_surface_partials(out_dir, num_parts)  # pre-partials out_dirs
     mapping_dir = os.path.join(out_dir, "mapping")
     mapping_marker = os.path.join(mapping_dir, "_DONE")
     sp_all = sorted(glob.glob(os.path.join(
@@ -180,28 +214,37 @@ def run_kg_resumable(
             marker_ok = False
     if not marker_ok:
         # O(distinct surfaces): the global mapping is rebuilt from the
-        # per-shard count partials, not by re-reading every mention
-        mapping = canonicalize.build_mapping_from_partials(
-            rd.read_parquet(sp_all))
+        # per-shard count partials, not by re-reading every mention.
+        # An all-empty corpus (every turn filtered) has no partials at all:
+        # build the mapping from a zero-row partials table.
+        if sp_all:
+            partials_ds = rd.read_parquet(sp_all)
+        else:
+            partials_ds = canonicalize.surface_partials(rd.from_arrow(
+                pa.table({"surface_form": pa.array([], pa.string())})))
+        mapping = canonicalize.build_mapping_from_partials(partials_ds)
         import shutil
 
         if os.path.exists(mapping_dir):
             shutil.rmtree(mapping_dir)
         mapping.write_parquet(mapping_dir)
-        open(mapping_marker, "w").write(ext_fp)
         # The mapping changed — but a shard's phase-3 output is a PURE
-        # function of its own extracted input unless some of its links went
-        # through the fuzzy-cosine path (stages/link.count_fuzzy_departures:
-        # exact hits and new-id fallbacks both equal the stable per-surface
-        # hash, and the linker emits ids only). Invalidate ONLY shards with
-        # recorded fuzzy departures (or pre-upgrade manifests lacking the
-        # counter); everything else keeps its committed outputs, so a
-        # streaming append relinks O(delta) shards, not O(corpus) —
-        # incremental ≡ one-shot is preserved exactly (test_stream).
+        # function of its own extracted input unless some surface resolved
+        # through the mapping-dependent path: a fuzzy-cosine DEPARTURE from
+        # the per-surface stable hash, or any dict MISS at all (a miss's
+        # below-threshold fallback yields the pure id, yet whether it stays
+        # below threshold depends on what entities exist — a later append
+        # can flip it). Invalidate shards whose manifest records
+        # n_unsafe > 0 (or pre-upgrade manifests lacking the counter);
+        # everything else keeps its committed outputs, so a streaming
+        # append relinks O(delta) shards, not O(corpus) — incremental ≡
+        # one-shot is preserved exactly (test_stream). The marker commits
+        # LAST: a crash before it re-runs this whole block on resume.
         for done_part in man3.completed_parts():
             meta = man3.load(done_part) or {}
-            if meta.get("n_fuzzy") != 0:
+            if meta.get("n_unsafe") != 0:
                 man3.invalidate(done_part)
+        open(mapping_marker, "w").write(ext_fp)
     shard_actors: list = []
     if link_shards:
         # sharded index artifact lives next to the mapping; rebuilt whenever
@@ -223,6 +266,7 @@ def run_kg_resumable(
         linker_cls = EntityLinker
         linker_kwargs = {"index_ref": index_ref, "dim": dim}
 
+    mapping_norms = None  # lazily loaded for the n_unsafe skip criterion
     # ---- phase 3: per-shard linking + mention encoding + edge partials --
     for part in range(num_parts):
         ext_files = sorted(
@@ -276,14 +320,19 @@ def run_kg_resumable(
 
         tr_files = sorted(glob.glob(os.path.join(tr_dir, "*.parquet")))
         n_tr = sum(pq.read_metadata(f).num_rows for f in tr_files)
-        from ..stages.link import count_fuzzy_departures
+        from ..stages.link import count_unsafe_links
 
-        n_fuzzy = count_fuzzy_departures(
+        if mapping_norms is None:  # load once per run, reused across parts
+            mapping_norms = set(
+                pq.read_table(mapping_dir, columns=["surface_norm"])
+                ["surface_norm"].to_pylist())
+        n_unsafe = count_unsafe_links(
             pq.read_table(tr_files, columns=["subj", "obj", "subj_id",
-                                             "obj_id"]).to_pandas()
+                                             "obj_id"]).to_pandas(),
+            mapping_norms,
         ) if tr_files else 0
         man3.commit(part, ext_files,
-                    {"triples_out": n_tr, "n_fuzzy": n_fuzzy,
+                    {"triples_out": n_tr, "n_unsafe": n_unsafe,
                      "wall_sec": round(time.time() - t0, 3)})
         log_event(_LOG, f"p3 link part={part} committed", phase="p3",
                   part=part, triples_out=n_tr,

@@ -298,6 +298,46 @@ class ShardedEntityLinker:
         return batch
 
 
+def count_unsafe_links(df, mapping_norms, cols=("subj", "obj")) -> int:
+    """Number of DISTINCT surfaces in a linked-triples frame whose link
+    outcome DEPENDS on the mapping contents — the sound invalidation
+    criterion for pipelines/resume.py's selective phase-3 skip. Two ways a
+    surface is mapping-dependent:
+
+      * its id departs from the pure per-surface hash (the fuzzy-cosine
+        path matched a different entity), or
+      * its norm is ABSENT from the mapping: even when the below-threshold
+        fallback emitted the pure id, whether it STAYS below threshold
+        depends on which entities exist — an append elsewhere can flip the
+        one-shot answer, so the shard must relink on mapping change.
+
+    Exact-dict hits are safe by construction: the mapping's entity_id IS
+    ``stable_id("ent", canonical_merge_key(norm))``, identical under any
+    future mapping that still contains the norm — and a norm present once
+    stays present (the mapping covers every current mention norm).
+    ``mapping_norms``: a set-like of the mapping's surface_norm values
+    (driver-sized up to ~10^7 entities; push the membership test down to a
+    distributed pc.is_in over the mapping parquet beyond that)."""
+    n = 0
+    memo: dict = {}
+    for col in cols:
+        idc = f"{col}_id"
+        if col not in df.columns or idc not in df.columns:
+            continue
+        sub = df[[col, idc]].dropna(subset=[col]).drop_duplicates()
+        for s, i in zip(sub[col], sub[idc]):
+            hit = memo.get(s)
+            if hit is None:
+                norm = rules.normalize_surface(s)
+                pid = rules.stable_id("ent", rules.canonical_merge_key(norm))
+                hit = (pid, norm in mapping_norms)
+                memo[s] = hit
+            pid, mapped = hit
+            if pid != i or not mapped:
+                n += 1
+    return n
+
+
 def count_fuzzy_departures(df, cols=("subj", "obj")) -> int:
     """Number of DISTINCT surfaces in a linked-triples frame whose assigned
     id departs from the pure per-surface function
