@@ -167,8 +167,8 @@ def test_trickle_append_relinks_only_touched_parts(tmp_path):
     """The O(delta) streaming property: after a small append, phase 3 re-runs
     ONLY the shards whose own inputs changed — untouched shards keep their
     committed outputs across the mapping rebuild (their links are a pure
-    function of their input when no fuzzy departure was recorded;
-    stages/link.count_fuzzy_departures) — and the result still equals the
+    function of their input when every surface resolved as a safe exact
+    hit; stages/link.count_unsafe_links) — and the result still equals the
     one-shot run."""
     import pyarrow as pa
     import pyarrow.parquet as _pq

@@ -336,36 +336,3 @@ def count_unsafe_links(df, mapping_norms, cols=("subj", "obj")) -> int:
             if pid != i or not mapped:
                 n += 1
     return n
-
-
-def count_fuzzy_departures(df, cols=("subj", "obj")) -> int:
-    """Number of DISTINCT surfaces in a linked-triples frame whose assigned
-    id departs from the pure per-surface function
-    ``stable_id("ent", canonical_merge_key(normalize_surface(s)))``.
-
-    Why this matters: the exact-dict hit and the new-entity fallback BOTH
-    produce exactly that pure id (the mapping's entity_id is the stable
-    hash of the norm's own merge key), so a departure can only come from
-    the fuzzy-cosine path matching a DIFFERENT entity — the only
-    mapping-dependent outcome the linker has (it emits ids only, never the
-    count-dependent canonical names). A shard whose linked output shows
-    ZERO departures is therefore a pure function of its own extracted
-    input: appends elsewhere can never change it, and the resumable
-    pipeline may keep its phase-3 outputs across mapping rebuilds
-    (pipelines/resume.py) without breaking incremental ≡ one-shot."""
-    n = 0
-    memo: dict = {}
-    for col in cols:
-        idc = f"{col}_id"
-        if col not in df.columns or idc not in df.columns:
-            continue
-        sub = df[[col, idc]].dropna(subset=[col]).drop_duplicates()
-        for s, i in zip(sub[col], sub[idc]):
-            pid = memo.get(s)
-            if pid is None:
-                pid = rules.stable_id(
-                    "ent", rules.canonical_merge_key(rules.normalize_surface(s)))
-                memo[s] = pid
-            if pid != i:
-                n += 1
-    return n
