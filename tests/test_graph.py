@@ -65,6 +65,24 @@ def test_pagerank_int_matches_pure_python():
     assert dict(zip(got["node"], got["pr"])) == r
 
 
+def test_pagerank_join_path_matches_broadcast():
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 2), (2, 5)]
+    b = pagerank_int(_edges(pairs, pa.int64()), iters=3).to_pandas(
+    ).sort_values("node").reset_index(drop=True)
+    j = pagerank_int(_edges(pairs, pa.int64()), iters=3,
+                     broadcast_max=1).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, j)
+
+
+def test_triangle_join_path_matches_broadcast():
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    g = k4 + [("d", "e"), ("e", "f"), ("f", "d"), ("p", "q")]
+    assert triangle_count(_edges(g))["n_triangles"][0].as_py() == 5
+    assert triangle_count(_edges(g),
+                          broadcast_max=1)["n_triangles"][0].as_py() == 5
+
+
 def test_khop_min_hops():
     # 1→2→3→4→5 and shortcut 1→4
     pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]

@@ -34,9 +34,10 @@ import ray
 from .dedup_exact import dedup_exact, key_buckets
 
 NUM_BUCKETS = 64
-# above this many nodes, per-iteration label/rank lookups switch from a
-# ray.put broadcast to a hash join (and khop raises — its frontier-set
-# variant is the documented small-frontier fast path)
+# above this many nodes, per-iteration label/rank/degree lookups switch from
+# a ray.put broadcast to a hash join (components, pagerank and triangles all
+# implement both paths; khop's frontier broadcast is inherently
+# frontier-sized, not node-sized)
 BROADCAST_MAX_NODES = 2_000_000
 
 
@@ -78,6 +79,35 @@ def _pull_pairs(ds, kcol: str, vcol: str):
     ONLY called under BROADCAST_MAX_NODES (the caller's policy gate)."""
     df = ds.to_pandas()
     return pa.array(df[kcol]), pa.array(df[vcol])
+
+
+def _bucketed_sum(parts, value_col: str):
+    """(node, value) partial rows → one row per node with the summed value:
+    bucket on node, vectorized pandas sum within each bucket."""
+
+    def add_bucket(tt: pa.Table) -> pa.Table:
+        b = key_buckets(pd.DataFrame({"node": tt["node"].to_pandas()}),
+                        ["node"], NUM_BUCKETS)
+        return tt.append_column("bucket", pa.array(b.values, pa.int32()))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=True)[value_col].sum().reset_index()
+
+    return parts.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "bucket").map_groups(merge, batch_format="pandas")
+
+
+def _out_degrees(e_dir):
+    """distinct directed (u, v) → (node, s) out-degree Dataset: per-batch
+    partial counts (each globally-distinct pair contributes exactly once),
+    then one node-sized bucketed sum."""
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["u"]).aggregate([("v", "count")])
+        return g.rename_columns(["node", "s"])
+
+    return _bucketed_sum(e_dir.map_batches(_deg_partial,
+                                           batch_format="pyarrow"), "s")
 
 
 def _bucketed_min(parts, value_col: str):
@@ -183,7 +213,9 @@ def pagerank_int(edges, src: str = "src", dst: str = "dst", iters: int = 3,
     r_0(v) = scale;  r_{i+1}(v) = (15*scale)//100 +
                                   (85 * Σ_{u→v} (r_i(u) // outdeg(u))) // 100
     Dangling-node mass leaks (standard simplification; documented in the
-    oracle too). Returns (node, pr) with pr int64.
+    oracle too). Returns (node, pr) with pr int64. Rank lookups broadcast
+    under ``broadcast_max`` nodes; above it every iteration is a hash join
+    (_pagerank_int_join) with bit-identical output.
     """
     if broadcast_max is None:
         broadcast_max = BROADCAST_MAX_NODES
@@ -191,32 +223,9 @@ def pagerank_int(edges, src: str = "src", dst: str = "dst", iters: int = 3,
     nodes = _node_table(e_dir).materialize()
     n_nodes = nodes.count()
     if n_nodes >= broadcast_max:
-        raise NotImplementedError(
-            "pagerank_int join path: swap the (rank, outdeg) broadcast for "
-            "Dataset.join per iteration (connected_components shows the "
-            f"shape); {n_nodes} nodes exceeds broadcast_max={broadcast_max}")
+        return _pagerank_int_join(e_dir, nodes, iters, scale)
 
-    # outdeg: per-batch partial counts over the (globally distinct) pairs,
-    # then a bucketed SUM — each (u,v) contributes exactly once
-    def _deg_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["u"]).aggregate([("v", "count")])
-        return g.rename_columns(["node", "s"])
-
-    def _bucketed_sum(parts, value_col: str):
-        def add_bucket(tt: pa.Table) -> pa.Table:
-            b = key_buckets(pd.DataFrame({"node": tt["node"].to_pandas()}),
-                            ["node"], NUM_BUCKETS)
-            return tt.append_column("bucket", pa.array(b.values, pa.int32()))
-
-        def merge(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby("node", sort=True)[value_col].sum().reset_index()
-
-        return parts.map_batches(add_bucket, batch_format="pyarrow").groupby(
-            "bucket").map_groups(merge, batch_format="pandas")
-
-    deg = _bucketed_sum(e_dir.map_batches(_deg_partial,
-                                          batch_format="pyarrow"), "s")
-    dk_a, dv_a = _pull_pairs(deg.materialize(), "node", "s")
+    dk_a, dv_a = _pull_pairs(_out_degrees(e_dir).materialize(), "node", "s")
     dv_a = pc.cast(dv_a, pa.int64())
     base = (15 * scale) // 100
 
@@ -248,6 +257,66 @@ def pagerank_int(edges, src: str = "src", dst: str = "dst", iters: int = 3,
                                    "pr": pa.array(rank_df["pr"], pa.int64())}))
 
 
+def _pagerank_int_join(e_dir, nodes, iters: int, scale: int):
+    """Join-path PageRank for node tables beyond the broadcast threshold:
+    the SAME integer recurrence, with every per-iteration rank lookup a hash
+    join instead of a ray.put broadcast — bit-identical output
+    (tests/test_graph.py asserts equality against the broadcast path).
+
+    The out-degree attach is static across iterations, so it happens ONCE
+    ((u, v) ⨝ outdeg → (u, v, du), materialized); each iteration then costs
+    one hash join (edges ⨝ rank on u), a per-batch contribution combiner,
+    and one node-sized bucketed sum. The rank/degree/node tables are only
+    ever partitioned Datasets — nothing node-sized touches the driver or a
+    single worker."""
+    import ray.data as rd
+
+    base = (15 * scale) // 100
+    if nodes.count() == 0:  # no edges → no nodes (and join crashes on empty)
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "pr": pa.array([], pa.int64())}))
+    nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    deg_u = _out_degrees(e_dir).map_batches(
+        lambda t: pa.table({"u": t["node"],
+                            "du": pc.cast(t["s"], pa.int64())}),
+        batch_format="pyarrow")
+    e_deg = e_dir.join(deg_u, join_type="inner", num_partitions=nparts,
+                       on=("u",)).materialize()
+    rank = nodes.map_batches(
+        lambda t: pa.table({"u": t["node"],
+                            "pr": pa.array(np.full(t.num_rows, scale,
+                                                   dtype=np.int64))}),
+        batch_format="pyarrow").materialize()
+    # every node appears in the per-iteration sum with an explicit 0 partial
+    # (in-degree-0 nodes would otherwise drop out of the contribution rows)
+    zeros = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "s": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+
+    def contrib(t: pa.Table) -> pa.Table:
+        c = pc.divide(t["pr"], t["du"])  # int64 / int64, positive → floor
+        out = pa.table({"node": t["v"], "s": c})
+        return out.group_by(["node"]).aggregate(
+            [("s", "sum")]).rename_columns(["node", "s"])
+
+    def to_rank(t: pa.Table) -> pa.Table:
+        pr = pc.add(base, pc.divide(pc.multiply(
+            pc.cast(t["s"], pa.int64()), 85), 100))
+        return pa.table({"u": t["node"], "pr": pc.cast(pr, pa.int64())})
+
+    for _ in range(iters):
+        joined = e_deg.join(rank, join_type="inner",
+                            num_partitions=nparts, on=("u",))
+        sums = joined.map_batches(contrib, batch_format="pyarrow")
+        rank = _bucketed_sum(sums.union(zeros), "s").map_batches(
+            to_rank, batch_format="pyarrow").materialize()
+
+    return rank.map_batches(
+        lambda t: pa.table({"node": t["u"], "pr": t["pr"]}),
+        batch_format="pyarrow")
+
+
 def triangle_count(edges, src: str = "src", dst: str = "dst",
                    broadcast_max: int | None = None) -> pa.Table:
     """Exact triangle count by degree orientation + wedge check — the
@@ -274,6 +343,8 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
 
     und = dedup_exact(edges.map_batches(norm, batch_format="pyarrow"),
                       ["u", "v"]).materialize()
+    if und.count() == 0:  # no edges → 0 triangles (join path crashes empty)
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
 
     def deg_partial(t: pa.Table) -> pa.Table:
         both = pa.table({"node": pa.concat_arrays(
@@ -290,33 +361,69 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         add_bucket, batch_format="pyarrow").groupby("bucket").map_groups(
         lambda g: g.groupby("node", sort=True)["s"].sum().reset_index(),
         batch_format="pandas").materialize()
-    if deg.count() >= broadcast_max:
-        raise NotImplementedError(
-            "triangle_count join path: orient via two hash joins against "
-            "the degree table instead of a broadcast (name_edges shows the "
-            "two-sided-join shape)")
-    deg_k, deg_v = _pull_pairs(deg, "node", "s")
-
-    def orient_fn(t: pa.Table, _k=deg_k, _v=deg_v) -> pa.Table:
-        """u→v reoriented so the LOWER (deg, id) endpoint is the source."""
-        du = pc.take(_v, pc.index_in(t["u"], value_set=_k))
-        dv = pc.take(_v, pc.index_in(t["v"], value_set=_k))
-        # (du, u) < (dv, v): input is normalized u < v, so ties go u→v
-        u_first = pc.or_(pc.less(du, dv), pc.equal(du, dv))
-        return pa.table({
-            "a": pc.if_else(u_first, t["u"], t["v"]),
-            "b": pc.if_else(u_first, t["v"], t["u"]),
-        })
-
-    oriented = und.map_batches(orient_fn, batch_format="pyarrow").materialize()
-
-    def orient_rank_fn(t: pa.Table, _k=deg_k, _v=deg_v) -> pa.Table:
-        """Attach (deg, id) order rank for sorting oriented adjacency."""
-        db = pc.take(_v, pc.index_in(t["b"], value_set=_k))
-        out = t.append_column("db", db)
+    def _add_a_bucket(t: pa.Table) -> pa.Table:
         b = key_buckets(pd.DataFrame({"a": t["a"].to_pandas()}), ["a"],
                         NUM_BUCKETS)
-        return out.append_column("bucket", pa.array(b.values, pa.int32()))
+        return t.append_column("bucket", pa.array(b.values, pa.int32()))
+
+    if deg.count() >= broadcast_max:
+        # join path: orient via two hash joins against the degree Dataset —
+        # the node-sized degree table never leaves the partitioned exchange
+        # (tests assert bit-equality with the broadcast path)
+        nparts = max(2, min(32, int(
+            ray.cluster_resources().get("CPU", 4)) // 2))
+        deg_su = deg.map_batches(
+            lambda t: pa.table({"u": t["node"],
+                                "du": pc.cast(t["s"], pa.int64())}),
+            batch_format="pyarrow")
+        deg_sv = deg.map_batches(
+            lambda t: pa.table({"v": t["node"],
+                                "dv": pc.cast(t["s"], pa.int64())}),
+            batch_format="pyarrow")
+        j = und.join(deg_su, join_type="inner", num_partitions=nparts,
+                     on=("u",)).join(deg_sv, join_type="inner",
+                                     num_partitions=nparts, on=("v",))
+
+        def orient_join(t: pa.Table) -> pa.Table:
+            # (du, u) < (dv, v): input is normalized u < v, so ties go u→v
+            u_first = pc.or_(pc.less(t["du"], t["dv"]),
+                             pc.equal(t["du"], t["dv"]))
+            return pa.table({
+                "a": pc.if_else(u_first, t["u"], t["v"]),
+                "b": pc.if_else(u_first, t["v"], t["u"]),
+                "db": pc.if_else(u_first, t["dv"], t["du"]),
+            })
+
+        oriented_db = j.map_batches(orient_join,
+                                    batch_format="pyarrow").materialize()
+        oriented = oriented_db.map_batches(lambda t: t.select(["a", "b"]),
+                                           batch_format="pyarrow")
+        ranked = oriented_db.map_batches(_add_a_bucket,
+                                         batch_format="pyarrow")
+    else:
+        deg_k, deg_v = _pull_pairs(deg, "node", "s")
+
+        def orient_fn(t: pa.Table, _k=deg_k, _v=deg_v) -> pa.Table:
+            """u→v reoriented so the LOWER (deg, id) endpoint is the source."""
+            du = pc.take(_v, pc.index_in(t["u"], value_set=_k))
+            dv = pc.take(_v, pc.index_in(t["v"], value_set=_k))
+            # (du, u) < (dv, v): input is normalized u < v, so ties go u→v
+            u_first = pc.or_(pc.less(du, dv), pc.equal(du, dv))
+            return pa.table({
+                "a": pc.if_else(u_first, t["u"], t["v"]),
+                "b": pc.if_else(u_first, t["v"], t["u"]),
+            })
+
+        oriented = und.map_batches(orient_fn,
+                                   batch_format="pyarrow").materialize()
+
+        def orient_rank_fn(t: pa.Table, _k=deg_k, _v=deg_v) -> pa.Table:
+            """Attach (deg, id) order rank for sorting oriented adjacency."""
+            db = pc.cast(pc.take(_v, pc.index_in(t["b"], value_set=_k)),
+                         pa.int64())
+            return _add_a_bucket(t.append_column("db", db))
+
+        ranked = oriented.map_batches(orient_rank_fn, batch_format="pyarrow")
 
     def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """One src-bucket of oriented edges → wedge rows (x, y) where x, y
@@ -339,8 +446,8 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         return pd.DataFrame({"a": np.concatenate(xs),
                              "b": np.concatenate(ys)})
 
-    wedges = oriented.map_batches(orient_rank_fn, batch_format="pyarrow").groupby(
-        "bucket").map_groups(wedges_bucket, batch_format="pandas")
+    wedges = ranked.groupby("bucket").map_groups(wedges_bucket,
+                                                 batch_format="pandas")
 
     # semi-join wedges against the oriented edge set, bucketed on (a, b)
     def tag(is_edge: int):
