@@ -62,6 +62,26 @@ def test_minhash_clusters_near_dups():
     assert got[3] == (3, True) and got[4] == (4, True)
 
 
+def test_minhash_distributed_cluster_path_matches_broadcast():
+    """driver_pairs_max=0 forces the connected-components assignment path;
+    its rows must equal the driver union-find path exactly (both dtypes)."""
+    import pandas as pd
+
+    for docs in (_docs(), None):
+        if docs is None:  # string-id corpus
+            base = "the quick brown fox jumps over the lazy dog " * 6
+            docs = rd.from_arrow(pa.table({
+                "doc_id": pa.array([f"d{i}" for i in range(5)]),
+                "text": pa.array([base, base + "!", base + "?",
+                                  "unrelated text one", "other text two"]),
+            }))
+        b = dedup_minhash(docs).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        d = dedup_minhash(docs, driver_pairs_max=0).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(b, d)
+
+
 def test_minhash_candidates_deterministic():
     a = sorted((r["id_a"], r["id_b"])
                for r in minhash_candidate_pairs(_docs()).take_all())

@@ -431,17 +431,62 @@ def cluster_pairs(pairs_rows, id_col_a: str = "id_a", id_col_b: str = "id_b"):
     return out
 
 
+def _assign_clusters_distributed(ds, verified_pairs, id_col: str):
+    """Scale path for near-dup cluster assignment when the verified pair
+    list outgrows the driver: min-label connected components over the pair
+    Dataset (functions/graph.py — distributed label propagation; component
+    id = min member id, exactly cluster_pairs' rule), then ONE id-bucketed
+    merge attaches component ids to the corpus id column. Docs in no pair
+    keep themselves. Output rows are identical to the broadcast path
+    (tests force driver_pairs_max=0 and compare)."""
+    from .dedup_exact import key_buckets
+    from .graph import connected_components
+
+    comp = connected_components(verified_pairs, src="id_a", dst="id_b")
+
+    def ids_rows(t: pa.Table) -> pa.Table:
+        arr = _as_array(t[id_col])
+        return pa.table({"id": arr, "cl": pa.nulls(len(arr), arr.type)})
+
+    def comp_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["node"], "cl": t["component"]})
+
+    unioned = ds.select_columns([id_col]).map_batches(
+        ids_rows, batch_format="pyarrow"
+    ).union(comp.map_batches(comp_rows, batch_format="pyarrow"))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = key_buckets(pd.DataFrame({"id": t["id"].to_pandas()}), ["id"],
+                        64)
+        return t.append_column("bucket", pa.array(b.values, pa.int32()))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["cl"].isna()][["id"]].drop_duplicates()
+        comp_g = g[g["cl"].notna()][["id", "cl"]].drop_duplicates()
+        m = base.merge(comp_g, on="id", how="left")
+        cl = m["cl"].where(m["cl"].notna(), m["id"]).astype(m["id"].dtype)
+        return pd.DataFrame({id_col: m["id"], "cluster_id": cl,
+                             "is_keeper": (m["id"] == cl)})
+
+    return unioned.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "bucket").map_groups(merge, batch_format="pandas")
+
+
 def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",
                   threshold: float = 0.8, num_perm: int = 64, bands: int = 8,
-                  shingle_k: int = 5, concurrency: int = 2):
+                  shingle_k: int = 5, concurrency: int = 2,
+                  driver_pairs_max: int = 2_000_000):
     """Full MinHash near-dedup: → Dataset (id, cluster_id, is_keeper).
 
     Docs in no near-dup cluster are their own keeper. Verification is fully
-    distributed (verify_pairs_jaccard — the corpus never reaches the driver);
-    the only driver-side materializations are the VERIFIED pair list (bounded
-    by the per-band bucket caps: ≤ bands × groups × C(max_bucket, 2), in
-    practice ≪ corpus) for union-find, and the resulting id→cluster map
-    (≤ 2 × verified pairs) broadcast once via ray.put."""
+    distributed (verify_pairs_jaccard — the corpus never reaches the driver).
+    Cluster assignment has two paths on the VERIFIED pair list (bounded by
+    the per-band bucket caps: ≤ bands × groups × C(max_bucket, 2), in
+    practice ≪ corpus): under ``driver_pairs_max`` pairs, driver union-find
+    + a ray.put id→cluster broadcast; above it, fully distributed min-label
+    connected components + an id-bucketed merge
+    (_assign_clusters_distributed) — nothing corpus- or pair-sized touches
+    the driver on that path."""
     import ray
 
     # Shingle + md5 the corpus EXACTLY ONCE: the materialized sketch feeds
@@ -465,6 +510,9 @@ def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",
         text_col=text_col, k=shingle_k, threshold=threshold,
         concurrency=concurrency, sketches=sketches,
     )
+    verified = verified.materialize()
+    if verified.count() > driver_pairs_max:
+        return _assign_clusters_distributed(ds, verified, id_col)
     clusters = cluster_pairs(verified.take_all())
     keys_ref = ray.put(list(clusters.keys()))
     vals_ref = ray.put(list(clusters.values()))
