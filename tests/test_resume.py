@@ -95,3 +95,74 @@ def test_pre_partials_out_dir_is_backfilled(transcripts_path, tmp_path):
                                       f"part={part}", "*.parquet")), part
     for t in ("nodes", "edges", "triples"):
         pd.testing.assert_frame_equal(before[t], _load(out, t)), t
+
+
+def test_count_unsafe_distributed_matches_driver(tmp_path):
+    """The distributed n_unsafe counter (big-mapping regime) must equal the
+    driver-set counter on the same inputs, covering all three outcomes:
+    safe exact hit, fuzzy departure, and a mapping-absent norm."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vectrain_ray import rules
+    from vectrain_ray.stages.link import (count_unsafe_links,
+                                          count_unsafe_links_distributed)
+
+    def pure(s):
+        return rules.stable_id(
+            "ent", rules.canonical_merge_key(rules.normalize_surface(s)))
+
+    # surfaces: Alice = safe hit; Bob = departure (id != pure hash);
+    # Carol = pure id but norm absent from mapping (unsafe miss);
+    # Dave = safe hit appearing on the obj side and duplicated
+    tr = pa.table({
+        "subj": pa.array(["Alice", "Bob", "Carol", "Alice"]),
+        "subj_id": pa.array([pure("Alice"), "deadbeefdeadbeef",
+                             pure("Carol"), pure("Alice")]),
+        "obj": pa.array(["Dave", "Dave", "Alice", "Bob"]),
+        "obj_id": pa.array([pure("Dave"), pure("Dave"), pure("Alice"),
+                            "deadbeefdeadbeef"]),
+    })
+    tr_dir = tmp_path / "tr"
+    tr_dir.mkdir()
+    pq.write_table(tr, str(tr_dir / "p.parquet"))
+
+    norms = [rules.normalize_surface(s) for s in ("Alice", "Bob", "Dave")]
+    map_dir = tmp_path / "mapping"
+    map_dir.mkdir()
+    pq.write_table(pa.table({"surface_norm": pa.array(norms)}),
+                   str(map_dir / "m.parquet"))
+
+    driver = count_unsafe_links(tr.to_pandas(), set(norms))
+    dist = count_unsafe_links_distributed([str(tr_dir / "p.parquet")],
+                                          str(map_dir))
+    assert driver == dist == 2  # Bob (departure) + Carol (absent norm)
+
+
+def test_resume_distributed_unsafe_gate(transcripts_path, tmp_path,
+                                        monkeypatch):
+    """Forcing the big-mapping gate to 0 routes every shard's n_unsafe
+    through the distributed counter; the run must produce identical tables
+    and manifest counters to the driver-set path."""
+    from vectrain_ray.pipelines import resume as rz
+
+    out_a = str(tmp_path / "driver_path")
+    m_a = run_kg_resumable(transcripts_path, out_a, num_parts=4)
+
+    monkeypatch.setattr(rz, "UNSAFE_SET_MAX_ENTITIES", 0)
+    out_b = str(tmp_path / "dist_path")
+    m_b = run_kg_resumable(transcripts_path, out_b, num_parts=4)
+
+    for t in ("nodes", "edges", "triples"):
+        pd.testing.assert_frame_equal(_load(out_a, t), _load(out_b, t)), t
+    from vectrain_ray.state.manifest import PartitionManifest
+
+    for out in (out_a, out_b):
+        man = PartitionManifest(os.path.join(out, "p3_link"))
+        metas = {p: man.load(p) for p in man.completed_parts()}
+        assert metas, out
+        unsafe = {p: m["n_unsafe"] for p, m in metas.items()}
+        if out == out_a:
+            expected = unsafe
+        else:
+            assert unsafe == expected

@@ -75,6 +75,10 @@ _LOG = logging.getLogger("vectrain_ray.resume")
 
 TABLES_P1 = ["extracted", "surface_partials"]
 TABLES_P3 = ["triples", "mentions", "edge_partials"]
+# above this many mapping rows the n_unsafe skip criterion switches from a
+# driver-side norm set to the distributed counter (stages/link.py) — same
+# size class as the kg.BROADCAST_MAX_ENTITIES broadcast gate
+UNSAFE_SET_MAX_ENTITIES = 2_000_000
 
 
 def _shard(input_path: str, out_dir: str, num_parts: int) -> str:
@@ -267,6 +271,7 @@ def run_kg_resumable(
         linker_kwargs = {"index_ref": index_ref, "dim": dim}
 
     mapping_norms = None  # lazily loaded for the n_unsafe skip criterion
+    n_map_rows = None  # mapping row count (parquet footers), lazily read
     # ---- phase 3: per-shard linking + mention encoding + edge partials --
     for part in range(num_parts):
         ext_files = sorted(
@@ -320,17 +325,29 @@ def run_kg_resumable(
 
         tr_files = sorted(glob.glob(os.path.join(tr_dir, "*.parquet")))
         n_tr = sum(pq.read_metadata(f).num_rows for f in tr_files)
-        from ..stages.link import count_unsafe_links
+        from ..stages.link import (count_unsafe_links,
+                                   count_unsafe_links_distributed)
 
-        if mapping_norms is None:  # load once per run, reused across parts
-            mapping_norms = set(
-                pq.read_table(mapping_dir, columns=["surface_norm"])
-                ["surface_norm"].to_pylist())
-        n_unsafe = count_unsafe_links(
-            pq.read_table(tr_files, columns=["subj", "obj", "subj_id",
-                                             "obj_id"]).to_pandas(),
-            mapping_norms,
-        ) if tr_files else 0
+        if n_map_rows is None:  # mapping size from parquet footers only
+            n_map_rows = sum(
+                pq.read_metadata(f).num_rows
+                for f in glob.glob(os.path.join(mapping_dir, "*.parquet")))
+        if not tr_files:
+            n_unsafe = 0
+        elif n_map_rows >= UNSAFE_SET_MAX_ENTITIES:
+            # big-mapping regime: neither the shard's triples nor the
+            # mapping norms touch the driver (stages/link.py)
+            n_unsafe = count_unsafe_links_distributed(tr_files, mapping_dir)
+        else:
+            if mapping_norms is None:  # load once per run, reuse per part
+                mapping_norms = set(
+                    pq.read_table(mapping_dir, columns=["surface_norm"])
+                    ["surface_norm"].to_pylist())
+            n_unsafe = count_unsafe_links(
+                pq.read_table(tr_files, columns=["subj", "obj", "subj_id",
+                                                 "obj_id"]).to_pandas(),
+                mapping_norms,
+            )
         man3.commit(part, ext_files,
                     {"triples_out": n_tr, "n_unsafe": n_unsafe,
                      "wall_sec": round(time.time() - t0, 3)})

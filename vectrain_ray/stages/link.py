@@ -33,6 +33,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import rules
 from .encode import encode_texts
@@ -316,9 +317,10 @@ def count_unsafe_links(df, mapping_norms, cols=("subj", "obj")) -> int:
     future mapping that still contains the norm — and a norm present once
     stays present (the mapping covers every current mention norm).
     ``mapping_norms``: a set-like of the mapping's surface_norm values
-    (driver-sized up to ~10^7 entities; push the membership test down to a
-    distributed pc.is_in over the mapping parquet beyond that)."""
-    n = 0
+    (driver-sized up to ~10^7 entities; beyond that the caller switches to
+    count_unsafe_links_distributed, which never materializes the shard's
+    triples or the mapping on the driver)."""
+    unsafe: set = set()
     memo: dict = {}
     for col in cols:
         idc = f"{col}_id"
@@ -334,5 +336,105 @@ def count_unsafe_links(df, mapping_norms, cols=("subj", "obj")) -> int:
                 memo[s] = hit
             pid, mapped = hit
             if pid != i or not mapped:
-                n += 1
-    return n
+                unsafe.add(s)  # DISTINCT surfaces — a surface seen in both
+                # columns counts once (count_unsafe_links_distributed agrees)
+    return len(unsafe)
+
+
+def count_unsafe_links_distributed(tr_files: list[str], mapping_dir: str,
+                                   cols=("subj", "obj")) -> int:
+    """Distributed count_unsafe_links for the big-mapping regime: neither
+    the shard's triples nor the mapping is materialized on the driver.
+
+    Stages (all combiner-first, one bucketed exchange each):
+      1. per-batch distinct (surface, id) over subj/obj, with the norm and
+         pure per-surface hash computed per DISTINCT surface in the batch;
+      2. global distinct surfaces (linking is deterministic per surface, so
+         duplicate rows are identical);
+      3. departures (id != pure hash) counted from per-batch partial sums;
+      4. non-departure surfaces anti-checked against the mapping's
+         surface_norm column via a norm-bucketed merge (the distributed
+         membership test the driver set replaces).
+    Returns the same integer as count_unsafe_links on the same inputs
+    (tests assert equality)."""
+    import ray.data as rd
+
+    from .. import rules
+    from ..functions.dedup_exact import dedup_exact, key_buckets
+
+    id_cols = [f"{c}_id" for c in cols]
+    tr = rd.read_parquet(tr_files, columns=list(cols) + id_cols)
+
+    def cand(t: pa.Table) -> pa.Table:
+        frames = []
+        for col in cols:
+            idc = f"{col}_id"
+            if col not in t.column_names or idc not in t.column_names:
+                continue
+            sub = pa.table({"s": pc.cast(t[col], pa.string()),
+                            "id": pc.cast(t[idc], pa.string())})
+            sub = sub.filter(pc.is_valid(sub["s"]))
+            frames.append(sub.group_by(["s", "id"]).aggregate([]))
+        if not frames:
+            return pa.table({"s": pa.array([], pa.string()),
+                             "norm": pa.array([], pa.string()),
+                             "dep": pa.array([], pa.bool_())})
+        u = pa.concat_tables(frames).group_by(["s", "id"]).aggregate([])
+        ss = u["s"].to_pylist()
+        memo: dict = {}
+        norms, deps = [], []
+        for s, i in zip(ss, u["id"].to_pylist()):
+            hit = memo.get(s)
+            if hit is None:
+                norm = rules.normalize_surface(s)
+                pid = rules.stable_id("ent", rules.canonical_merge_key(norm))
+                memo[s] = hit = (norm, pid)
+            norms.append(hit[0])
+            deps.append(hit[1] != i)
+        return pa.table({"s": pa.array(ss, pa.string()),
+                         "norm": pa.array(norms, pa.string()),
+                         "dep": pa.array(deps, pa.bool_())})
+
+    cands = dedup_exact(tr.map_batches(cand, batch_format="pyarrow"),
+                        ["s"]).materialize()
+
+    dep_partials = cands.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [pc.sum(pc.cast(t["dep"], pa.int64())).as_py() or 0],
+            pa.int64())}),
+        batch_format="pyarrow")
+    n_dep = int(dep_partials.sum("n") or 0)
+
+    # membership: (norm, s) candidate rows ∪ (norm, null) mapping rows →
+    # norm-bucketed merge counts candidate surfaces with no mapping row
+    def cand_rows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.invert(t["dep"]))
+        return pa.table({"norm": f["norm"], "s": f["s"]})
+
+    def map_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"norm": pc.cast(t["surface_norm"], pa.string()),
+                         "s": pa.nulls(t.num_rows, pa.string())})
+
+    mapping = rd.read_parquet(mapping_dir, columns=["surface_norm"])
+    unioned = cands.map_batches(cand_rows, batch_format="pyarrow").union(
+        mapping.map_batches(map_rows, batch_format="pyarrow"))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = key_buckets(pd.DataFrame({"norm": t["norm"].to_pandas()}),
+                        ["norm"], 64)
+        return t.append_column("bucket", pa.array(b.values, pa.int32()))
+
+    def missing_in_bucket(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        mapped = set(g.loc[g["s"].isna(), "norm"])
+        c = g[g["s"].notna() & ~g["norm"].isin(mapped)]
+        return pd.DataFrame({"n": [int(c["s"].nunique())]})
+
+    miss_partials = unioned.map_batches(
+        add_bucket, batch_format="pyarrow").groupby("bucket").map_groups(
+        missing_in_bucket, batch_format="pandas")
+    n_missing = int(miss_partials.sum("n") or 0)
+    return n_dep + n_missing
