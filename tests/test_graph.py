@@ -93,3 +93,17 @@ def test_khop_min_hops():
     t1 = khop_hops(_edges(pairs, pa.int64()), [1], 1)
     got1 = dict(zip(t1["node"].to_pylist(), t1["hops"].to_pylist()))
     assert got1 == {1: 0, 2: 1, 4: 1}
+
+
+def test_khop_join_path_matches_broadcast():
+    from vectrain_ray.functions.graph import khop_hops_ds
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (6, 7)]
+    b = khop_hops(_edges(pairs, pa.int64()), [1, 6], 3).to_pandas(
+    ).sort_values("node").reset_index(drop=True)
+    j = khop_hops_ds(_edges(pairs, pa.int64()), [1, 6], 3).to_pandas(
+    ).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, j)
+    # empty edge set: seeds only, hop 0
+    e = khop_hops_ds(_edges([(9, 9)], pa.int64()), [1], 2).to_pandas()
+    assert e.to_dict("records") == [{"node": 1, "hops": 0}]

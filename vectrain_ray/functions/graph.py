@@ -487,9 +487,10 @@ def khop_hops(edges, seeds: list, k: int, src: str = "src",
     each hop filters the edge Dataset with ``pc.is_in`` on the broadcast
     frontier (a semi-join — edges stream, never shuffle) and the new
     frontier is the distinct destination set. Frontier/result tables are
-    frontier-sized (≪ nodes for small k); the documented scale path swaps
-    the broadcast for a per-hop hash join when a frontier outgrows the
-    object store. Mirrors the unrolled-SQL oracle exactly: hop sets may
+    frontier-sized (≪ nodes for small k); when a frontier outgrows the
+    object store use khop_hops_ds, which swaps the broadcast for a per-hop
+    hash join and never gathers anything node-sized on the driver.
+    Mirrors the unrolled-SQL oracle exactly: hop sets may
     revisit nodes, the final groupby takes the min hop. Returns a pyarrow
     Table (node, hops).
     """
@@ -522,3 +523,56 @@ def khop_hops(edges, seeds: list, k: int, src: str = "src",
     ).reset_index()
     return pa.table({"node": pa.array(df["node"], seed_arr.type),
                      "hops": pa.array(df["hops"], pa.int64())})
+
+
+def khop_hops_ds(edges, seeds: list, k: int, src: str = "src",
+                 dst: str = "dst"):
+    """Join-path k-hop BFS for frontiers beyond the broadcast scale: the
+    frontier lives as a partitioned Dataset, each hop is ONE hash join
+    (edges ⨝ frontier on the source node → distinct destinations), and the
+    final min-hop reduction is one node-bucketed merge — nothing
+    frontier- or node-sized ever gathers on the driver. Semantics are
+    identical to khop_hops (hop sets may revisit nodes; min hop wins) and
+    tests assert row-equality; returns a Dataset (node, hops)."""
+    import ray.data as rd
+
+    e_dir = _distinct_edges(edges, src, dst, symmetric=False).materialize()
+    seed_list = list(dict.fromkeys(seeds))
+    seed_arr = pa.array(seed_list)
+    acc = [rd.from_arrow(pa.table(
+        {"node": seed_arr,
+         "hops": pa.array(np.zeros(len(seed_list), np.int64))}))]
+    if e_dir.count() == 0:  # join crashes on an empty side
+        return acc[0]
+    nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    frontier = rd.from_arrow(pa.table({"u": seed_arr})).materialize()
+
+    for h in range(1, k + 1):
+        if frontier.count() == 0:
+            break
+        joined = e_dir.join(frontier, join_type="inner",
+                            num_partitions=nparts, on=("u",))
+        nxt = dedup_exact(
+            joined.map_batches(
+                lambda t: pa.table({"node": t["v"]}).group_by(
+                    ["node"]).aggregate([]),
+                batch_format="pyarrow"),
+            ["node"]).materialize()
+        if nxt.count() == 0:
+            break
+        acc.append(nxt.map_batches(
+            lambda t, _h=h: pa.table(
+                {"node": t["node"],
+                 "hops": pa.array(np.full(t.num_rows, _h, np.int64))}),
+            batch_format="pyarrow"))
+        frontier = nxt.map_batches(
+            lambda t: pa.table({"u": t["node"]}),
+            batch_format="pyarrow").materialize()
+
+    allhops = acc[0]
+    for extra in acc[1:]:
+        allhops = allhops.union(extra)
+    return _bucketed_min(allhops, "hops").map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "hops": pc.cast(t["hops"], pa.int64())}),
+        batch_format="pyarrow")
