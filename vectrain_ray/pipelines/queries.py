@@ -2161,6 +2161,95 @@ def q_bigram_top(sf_dir: str):
     )
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination — the standard pre-training data-prep
+    step: flag corpus docs sharing any 5-word shingle with a benchmark set
+    (here: docs with doc_id % 97 == 0). Output (doc_id, n_hits) where
+    n_hits = DISTINCT overlapping shingles, docs with hits only.
+
+    Shape at scale: the benchmark side is SMALL by definition (eval sets
+    are a few MB against a 100 TB corpus), so its distinct shingle set is
+    broadcast once via ray.put and the corpus side streams through ONE
+    map_batches with a vectorized pc.is_in membership test — zero
+    shuffles, no corpus-sized state anywhere. If the benchmark ever
+    outgrew a broadcast object, the fallback is the shingle-bucketed
+    semi-join (the q_pair_similarity exchange shape)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    K = 5
+
+    def shingle_lists(t: pa.Table):
+        """(doc_ids np, list<str> shingles np-of-lists) for a batch."""
+        trimmed = pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(t["text"], ""))
+        ).combine_chunks()
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        words = pc.list_flatten(toks).to_pandas()
+        parents = pc.list_parent_indices(toks).to_pandas()
+        d = pd.DataFrame({"w": words, "p": parents})
+        d = d[d["w"] != ""]
+        cols = {"w0": d["w"]}
+        for i in range(1, K):
+            nxt = d["w"].shift(-i)
+            samedoc = d["p"].shift(-i) == d["p"]
+            cols[f"w{i}"] = nxt.where(samedoc)
+        sh = pd.DataFrame(cols)
+        sh["p"] = d["p"].values
+        sh = sh.dropna()
+        if sh.empty:
+            return pd.DataFrame({"doc": [], "s": []})
+        s = sh["w0"].str.cat([sh[f"w{i}"] for i in range(1, K)], sep=" ")
+        return pd.DataFrame({"doc": t["doc_id"].to_pandas().values[sh["p"]],
+                             "s": s.values})
+
+    def _is_bench(t: pa.Table) -> pa.Array:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.array(ids % 97 == 0)
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        keep = _is_bench(t)
+        sh = shingle_lists(t.filter(keep))
+        return pa.table({"s": pa.array(sh["s"].unique(), pa.string())})
+
+    # benchmark shingles: distinct per batch, distinct again on the driver —
+    # benchmark-sized by assumption (documented above)
+    bench_parts = ds.map_batches(bench_partial, batch_format="pyarrow",
+                                 batch_size=65536).take_all()
+    bench_set = pa.array(sorted({r["s"] for r in bench_parts}), pa.string())
+    bench_ref = ray.put(bench_set)
+
+    class ScanContaminated:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.invert(_is_bench(t))
+            sh = shingle_lists(t.filter(keep))
+            if not len(sh):
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_hits": pa.array([], pa.int64())})
+            sh = sh.drop_duplicates()  # distinct (doc, shingle)
+            hit = pc.is_in(pa.array(sh["s"], pa.string()),
+                           value_set=self.bench).to_pandas()
+            c = sh.loc[hit.values].groupby("doc", sort=False).size()
+            return pa.table({"doc_id": pa.array(c.index, pa.int64()),
+                             "n_hits": pa.array(c.values, pa.int64())})
+
+    # a doc lives wholly in one read block → per-batch counts ARE final
+    # (documents.parquet rows are never split mid-doc by map_batches on the
+    # doc-sized batches used here); still merge defensively per doc_id in
+    # one bucketed pass to stay partition-agnostic
+    parts = ds.map_batches(ScanContaminated, batch_format="pyarrow",
+                           batch_size=65536, concurrency=2)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id", sort=False)["n_hits"].sum().reset_index()
+        m["n_hits"] = m["n_hits"].astype("int64")
+        return m
+
+    return _bucketed(parts, ["doc_id"]).groupby("bucket").map_groups(
+        merge, batch_format="pandas")
+
+
 def _nationkey_counts(sf_dir: str, tag_col: str | None, tag: str,
                       sign: int = 1):
     """Shared side-builder for the multiset set-ops: a one-column nation-key
@@ -2646,6 +2735,7 @@ QUERIES = {
     "pair_similarity": q_pair_similarity,
     "profile": q_profile,
     "bigram_top": q_bigram_top,
+    "decontaminate": q_decontaminate,
     "intersect_all": q_intersect_all,
     "dup_rate": q_dup_rate,
 }
@@ -3352,6 +3442,19 @@ ORACLE_SQL = {
         "WHERE len(ws) >= 2) "
         "SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram "
         "ORDER BY cnt DESC, bigram LIMIT 20"
+    ),
+    "decontaminate": (
+        "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "trim(lower(coalesce(text,''))), '\\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, "
+        "len(ws) - 4), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || "
+        "' ' || ws[i+3] || ' ' || ws[i+4])) AS s FROM toks "
+        "WHERE len(ws) >= 5), "
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), "
+        "hits AS (SELECT DISTINCT d.doc_id, d.s FROM sh d "
+        "JOIN bench USING (s) WHERE d.doc_id % 97 <> 0) "
+        "SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id"
     ),
     "dup_rate": (
         "WITH f AS (SELECT doc_id, source, md5(coalesce(text, '')) AS fp "
