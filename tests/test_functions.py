@@ -326,3 +326,30 @@ def test_dedup_minhash_string_ids():
     assert by_id["doc-003"] == "doc-003"  # singleton keeps itself
     keepers = set(out.loc[out["is_keeper"], "doc_id"])
     assert "doc-000" in keepers and "doc-001" not in keepers
+
+
+def test_minhash_distributed_cluster_path_keeps_64bit_ids_exact():
+    """Regression: the distributed merge must stay in Arrow — a pandas
+    round-trip coerces int64-with-nulls to float64 and silently rounds ids
+    above 2^53."""
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    big = 2 ** 60
+    t = pa.table({
+        "doc_id": pa.array([big + 1, big + 3, big + 5], pa.int64()),
+        "text": pa.array([base, base + "!", "totally different words here"]),
+    })
+    out = dedup_minhash(rd.from_arrow(t), driver_pairs_max=0).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {big + 1: big + 1, big + 3: big + 1, big + 5: big + 5}
+
+
+def test_minhash_distributed_path_no_pairs():
+    """Zero verified pairs on the distributed path: every doc keeps itself
+    (components on an empty pair set must not crash)."""
+    t = pa.table({"doc_id": pa.array([10, 20], pa.int64()),
+                  "text": pa.array(["alpha bravo charlie delta echo",
+                                    "totally different words entirely now"])})
+    out = dedup_minhash(rd.from_arrow(t), driver_pairs_max=0).to_pandas()
+    assert sorted(out["doc_id"]) == [10, 20]
+    assert (out["cluster_id"] == out["doc_id"]).all()
+    assert out["is_keeper"].all()

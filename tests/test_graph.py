@@ -107,3 +107,19 @@ def test_khop_join_path_matches_broadcast():
     # empty edge set: seeds only, hop 0
     e = khop_hops_ds(_edges([(9, 9)], pa.int64()), [1], 2).to_pandas()
     assert e.to_dict("records") == [{"node": 1, "hops": 0}]
+
+
+def test_khop_join_path_int32_edges():
+    """Seed type reconciles with the edge id type (int32 edges, python-int
+    seeds) — the join keys and hop unions must not type-mismatch."""
+    from vectrain_ray.functions.graph import khop_hops_ds
+
+    pairs = [(1, 2), (2, 3)]
+    j = khop_hops_ds(_edges(pairs, pa.int32()), [1], 2).to_pandas()
+    assert dict(zip(j["node"], j["hops"])) == {1: 0, 2: 1, 3: 2}
+
+
+def test_components_empty_edges():
+    ds = connected_components(_edges([("a", "a")]))
+    assert ds.count() == 0
+    assert ds.schema().names == ["node", "component"]

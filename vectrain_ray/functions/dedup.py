@@ -20,6 +20,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..state.unionfind import UnionFind
 from .dedup_exact import dedup_exact  # re-export  # noqa: F401
@@ -332,6 +333,10 @@ def verify_pairs_jaccard(cands, corpus, id_col: str = "doc_id",
             batch_size=1024,
         )
 
+    # the two streams are tagged with a ``role`` column and sketch rows fill
+    # id_a/id_b with their own doc_id — NEVER with nulls: an int64 column
+    # with nulls becomes float64 in the per-bucket pandas frames, silently
+    # rounding 64-bit ids above 2^53 (regression-tested)
     def sides_arrow(t: pa.Table) -> pa.Table:
         ia, ib = _as_array(t["id_a"]), _as_array(t["id_b"])
         doc = pa.concat_arrays([ia, ib])
@@ -341,6 +346,7 @@ def verify_pairs_jaccard(cands, corpus, id_col: str = "doc_id",
                 "id_a": pa.concat_arrays([ia, ia]),
                 "id_b": pa.concat_arrays([ib, ib]),
                 "sh": pa.nulls(2 * t.num_rows, type=_SH_TYPE),
+                "role": pa.array(["p"] * (2 * t.num_rows), pa.string()),
                 "jbucket": _id_bucket(doc.to_pandas(), num_buckets),
             }
         )
@@ -350,9 +356,10 @@ def verify_pairs_jaccard(cands, corpus, id_col: str = "doc_id",
         return pa.table(
             {
                 "doc_id": doc,
-                "id_a": pa.nulls(t.num_rows, type=doc.type),
-                "id_b": pa.nulls(t.num_rows, type=doc.type),
+                "id_a": doc,
+                "id_b": doc,
                 "sh": _as_array(t["sh"]),
+                "role": pa.array(["s"] * t.num_rows, pa.string()),
                 "jbucket": _id_bucket(doc.to_pandas(), num_buckets),
             }
         )
@@ -363,8 +370,8 @@ def verify_pairs_jaccard(cands, corpus, id_col: str = "doc_id",
     sk = sketches.map_batches(sketch_arrow, batch_format="pyarrow")
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        pairs = g[g["id_a"].notna()]
-        src = g[g["id_a"].isna()][["doc_id", "sh"]]
+        pairs = g[g["role"] == "p"]
+        src = g[g["role"] == "s"][["doc_id", "sh"]]
         id_dtype = g["doc_id"].dtype  # works for int AND string ids
         if len(pairs) == 0 or len(src) == 0:
             return pd.DataFrame(
@@ -376,11 +383,7 @@ def verify_pairs_jaccard(cands, corpus, id_col: str = "doc_id",
                     "pbucket": pd.Series([], dtype="int32"),
                 }
             )
-        pairs = pairs[["doc_id", "id_a", "id_b"]]
-        if id_dtype.kind in "iu":
-            # arrow int-with-nulls arrives as float in pandas → back to int
-            pairs = pairs.astype({"id_a": id_dtype, "id_b": id_dtype})
-        pairs = pairs.drop_duplicates()
+        pairs = pairs[["doc_id", "id_a", "id_b"]].drop_duplicates()
         m = pairs.merge(src, on="doc_id", how="inner")
         m["pbucket"] = key_buckets(m, ["id_a", "id_b"], num_buckets)
         return m
@@ -442,7 +445,21 @@ def _assign_clusters_distributed(ds, verified_pairs, id_col: str):
     from .dedup_exact import key_buckets
     from .graph import connected_components
 
-    comp = connected_components(verified_pairs, src="id_a", dst="id_b")
+    def own_keeper(t: pa.Table) -> pa.Table:
+        ids = _as_array(t[id_col])
+        return pa.table({id_col: ids, "cluster_id": ids,
+                         "is_keeper": pa.array([True] * len(ids))})
+
+    if verified_pairs.count() == 0:  # no near-dups at all
+        return ds.select_columns([id_col]).map_batches(
+            own_keeper, batch_format="pyarrow")
+
+    # max_iters bounds ITERATIONS, not correctness: propagation converges in
+    # O(cluster diameter) passes and components raises if the cap is hit
+    # unconverged — near-dup chains can be long, so give it headroom far
+    # beyond any plausible diameter rather than the small-graph default
+    comp = connected_components(verified_pairs, src="id_a", dst="id_b",
+                                max_iters=100_000)
 
     def ids_rows(t: pa.Table) -> pa.Table:
         arr = _as_array(t[id_col])
@@ -460,16 +477,21 @@ def _assign_clusters_distributed(ds, verified_pairs, id_col: str):
                         64)
         return t.append_column("bucket", pa.array(b.values, pa.int32()))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        base = g[g["cl"].isna()][["id"]].drop_duplicates()
-        comp_g = g[g["cl"].notna()][["id", "cl"]].drop_duplicates()
-        m = base.merge(comp_g, on="id", how="left")
-        cl = m["cl"].where(m["cl"].notna(), m["id"]).astype(m["id"].dtype)
-        return pd.DataFrame({id_col: m["id"], "cluster_id": cl,
-                             "is_keeper": (m["id"] == cl)})
+    def merge(t: pa.Table) -> pa.Table:
+        # ALL-Arrow: a pandas round-trip would coerce the int64-with-nulls
+        # ``cl`` column to float64 and silently round 64-bit ids (> 2^53) —
+        # the exact arrow-int-trap verify() documents above
+        base = t.filter(pc.is_null(t["cl"])).select(["id"]).group_by(
+            ["id"]).aggregate([])
+        comp_g = t.filter(pc.is_valid(t["cl"])).select(
+            ["id", "cl"]).group_by(["id", "cl"]).aggregate([])
+        m = base.join(comp_g, keys=["id"], join_type="left outer")
+        cl = pc.if_else(pc.is_null(m["cl"]), m["id"], m["cl"])
+        return pa.table({id_col: m["id"], "cluster_id": cl,
+                         "is_keeper": pc.equal(m["id"], cl)})
 
     return unioned.map_batches(add_bucket, batch_format="pyarrow").groupby(
-        "bucket").map_groups(merge, batch_format="pandas")
+        "bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",

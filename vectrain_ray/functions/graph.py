@@ -41,6 +41,27 @@ NUM_BUCKETS = 64
 BROADCAST_MAX_NODES = 2_000_000
 
 
+def _join_num_partitions() -> int:
+    """Hash-join partition count for the node-sized join paths, sized to
+    the cluster (oversized aggregator pools stall small clusters)."""
+    return max(2, min(32, int(ray.cluster_resources().get("CPU", 4)) // 2))
+
+
+def _col_pa_type(ds, col: str, default=None):
+    """Best-effort pyarrow type of ``col`` — Ray datasets whose blocks are
+    pandas report a PandasBlockSchema (numpy dtypes), not a pyarrow schema."""
+    try:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base.field(col).type
+        t = dict(zip(base.names, base.types))[col]
+        if isinstance(t, pa.DataType):
+            return t
+        return pa.from_numpy_dtype(t)
+    except Exception:
+        return default
+
+
 def _distinct_edges(edges, src: str, dst: str, symmetric: bool):
     """edges → distinct (u, v) pairs, self-loops dropped; ``symmetric`` adds
     the reversed direction (for undirected propagation). One all-to-all
@@ -143,6 +164,12 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
     if broadcast_max is None:
         broadcast_max = BROADCAST_MAX_NODES
     e_sym = _distinct_edges(edges, src, dst, symmetric=True).materialize()
+    if e_sym.count() == 0:  # no non-loop edges → no nodes; downstream
+        import ray.data as rd  # pandas/join stages can't shape empties
+
+        ntype = _col_pa_type(edges, src, default=pa.string())
+        return rd.from_arrow(pa.table({"node": pa.array([], ntype),
+                                       "component": pa.array([], ntype)}))
     lab = _node_table(e_sym).map_batches(
         lambda t: t.append_column("label", t["node"]), batch_format="pyarrow"
     ).materialize()
@@ -169,8 +196,7 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
             lab_u = lab.map_batches(
                 lambda t: t.rename_columns(["u", "cand"]),
                 batch_format="pyarrow")
-            nparts = max(2, min(32, int(
-                ray.cluster_resources().get("CPU", 4)) // 2))
+            nparts = _join_num_partitions()
             joined = e_sym.join(lab_u, join_type="inner",
                                 num_partitions=nparts, on=("u",))
             cands = joined.map_batches(
@@ -198,6 +224,14 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
         lab = new_lab
         if n_pairs == n_nodes:
             break
+    else:
+        # returning intermediate labels would be SILENTLY wrong (a component
+        # split in two); callers needing deep graphs raise max_iters —
+        # convergence takes O(component diameter) iterations
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations; raise max_iters (propagation needs one iteration "
+            "per hop of the largest component's diameter)")
     return lab.map_batches(
         lambda t: t.rename_columns(["node", "component"]),
         batch_format="pyarrow")
@@ -273,9 +307,12 @@ def _pagerank_int_join(e_dir, nodes, iters: int, scale: int):
 
     base = (15 * scale) // 100
     if nodes.count() == 0:  # no edges → no nodes (and join crashes on empty)
-        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+        # preserve the input id type in the empty schema (the broadcast
+        # path returns the edge id type; downstream unions/joins rely on it)
+        ntype = _col_pa_type(nodes, "node", default=pa.string())
+        return rd.from_arrow(pa.table({"node": pa.array([], ntype),
                                        "pr": pa.array([], pa.int64())}))
-    nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    nparts = _join_num_partitions()
     deg_u = _out_degrees(e_dir).map_batches(
         lambda t: pa.table({"u": t["node"],
                             "du": pc.cast(t["s"], pa.int64())}),
@@ -370,8 +407,7 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         # join path: orient via two hash joins against the degree Dataset —
         # the node-sized degree table never leaves the partitioned exchange
         # (tests assert bit-equality with the broadcast path)
-        nparts = max(2, min(32, int(
-            ray.cluster_resources().get("CPU", 4)) // 2))
+        nparts = _join_num_partitions()
         deg_su = deg.map_batches(
             lambda t: pa.table({"u": t["node"],
                                 "du": pc.cast(t["s"], pa.int64())}),
@@ -539,12 +575,18 @@ def khop_hops_ds(edges, seeds: list, k: int, src: str = "src",
     e_dir = _distinct_edges(edges, src, dst, symmetric=False).materialize()
     seed_list = list(dict.fromkeys(seeds))
     seed_arr = pa.array(seed_list)
+    # reconcile the seed type with the edge id type (khop_hops casts per
+    # hop; here the JOIN key types must match and the hop tables must union)
+    if e_dir.count() > 0:
+        utype = _col_pa_type(e_dir, "u")
+        if utype is not None:
+            seed_arr = pc.cast(seed_arr, utype)
     acc = [rd.from_arrow(pa.table(
         {"node": seed_arr,
          "hops": pa.array(np.zeros(len(seed_list), np.int64))}))]
     if e_dir.count() == 0:  # join crashes on an empty side
         return acc[0]
-    nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    nparts = _join_num_partitions()
     frontier = rd.from_arrow(pa.table({"u": seed_arr})).materialize()
 
     for h in range(1, k + 1):

@@ -2250,13 +2250,15 @@ def q_decontaminate(sf_dir: str):
         merge, batch_format="pandas")
 
 
-def _nationkey_counts(sf_dir: str, tag_col: str | None, tag: str,
+def _nationkey_counts(sf_dir: str, tag_col: str | None, side: str,
                       sign: int = 1):
     """Shared side-builder for the multiset set-ops: a one-column nation-key
-    projection collapsed to per-batch (k, c[, side]) count partials. ``sign``
-    scales counts (EXCEPT ALL's signed merge); ``tag_col`` adds a constant
-    side label (INTERSECT ALL's two-sided min)."""
-    table, col = (("customer", "c_nationkey") if tag == "l"
+    projection collapsed to per-batch (k, c[, side]) count partials.
+    ``side`` selects the table ("l" = customer, anything else = supplier)
+    AND is the constant label written when ``tag_col`` is set (INTERSECT
+    ALL's two-sided min); ``sign`` scales counts (EXCEPT ALL's signed
+    merge)."""
+    table, col = (("customer", "c_nationkey") if side == "l"
                   else ("supplier", "s_nationkey"))
     ds = _read(sf_dir, table, [col]).map_batches(
         lambda t, c=col: pa.table({"k": t[c]}), batch_format="pyarrow")
@@ -2269,7 +2271,7 @@ def _nationkey_counts(sf_dir: str, tag_col: str | None, tag: str,
         if tag_col:
             # explicit type: an EMPTY batch would otherwise infer null and
             # break the union's schema
-            cols[tag_col] = pa.array([tag] * g.num_rows, pa.string())
+            cols[tag_col] = pa.array([side] * g.num_rows, pa.string())
         return pa.table(cols)
 
     return ds.map_batches(counted, batch_format="pyarrow", batch_size=65536)

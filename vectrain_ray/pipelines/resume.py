@@ -103,20 +103,34 @@ def _shard_files(shards: str, part: int) -> list[str]:
     return sorted(glob.glob(os.path.join(shards, f"part={part}", "*.parquet")))
 
 
-def _write_surface_partials(out_dir: str, part: int) -> None:
+def _write_surface_partials(out_dir: str, part: int,
+                            atomic: bool = False) -> None:
     """(Re)build one shard's surface-count partials from its committed
     extracted output. Tolerates an all-filtered shard (zero extracted
     files): the partials dir is simply absent, and phase 2 treats missing
-    partials for an extracted-empty shard as zero mentions."""
+    partials for an extracted-empty shard as zero mentions.
+
+    ``atomic``: write to a tmp dir and rename — required by the backfill
+    path, whose only completion signal is the dir's existence (the normal
+    phase-1 call is covered by the manifest committing after it, so a
+    half-written dir there is cleared and rewritten on resume)."""
     ext_files = sorted(glob.glob(os.path.join(
         out_dir, "extracted", f"part={part}", "*.parquet")))
     sp_dir = partition_output_dir(out_dir, "surface_partials", part)
     if not ext_files:
         return
+    dest = sp_dir
+    if atomic:
+        import shutil
+
+        dest = sp_dir.rstrip("/") + "__tmp"
+        shutil.rmtree(dest, ignore_errors=True)
     canonicalize.surface_partials(
         rd.read_parquet(ext_files)
         .map_batches(mentions_table, batch_format="pyarrow")
-    ).write_parquet(sp_dir)
+    ).write_parquet(dest)
+    if atomic:
+        os.rename(dest, sp_dir)
 
 
 def _backfill_surface_partials(out_dir: str, num_parts: int) -> int:
@@ -124,16 +138,23 @@ def _backfill_surface_partials(out_dir: str, num_parts: int) -> int:
     existed have valid p1 manifests (so phase 1 skips) but no
     surface_partials — rebuilding the mapping from partials alone would
     then silently drop those shards' entities. Backfill any shard that has
-    extracted output but no partials (one-time cost per migrated shard)."""
+    extracted output but no partials (one-time cost per migrated shard).
+    Each shard's backfill is write-to-tmp + rename: the dir's existence is
+    this path's only completion signal, so a crash mid-write must not
+    leave a half-dir that a re-run would treat as complete (and then
+    permanently truncate the mapping)."""
+    import shutil
+
     n = 0
     for part in range(num_parts):
+        sp_dir = os.path.join(out_dir, "surface_partials", f"part={part}")
+        shutil.rmtree(sp_dir + "__tmp", ignore_errors=True)  # stale crash tmp
         ext = glob.glob(os.path.join(out_dir, "extracted", f"part={part}",
                                      "*.parquet"))
-        sp = glob.glob(os.path.join(out_dir, "surface_partials",
-                                    f"part={part}", "*.parquet"))
+        sp = glob.glob(os.path.join(sp_dir, "*.parquet"))
         if ext and not sp:
             clear_partition_outputs(out_dir, ["surface_partials"], part)
-            _write_surface_partials(out_dir, part)
+            _write_surface_partials(out_dir, part, atomic=True)
             n += 1
     return n
 
