@@ -2114,6 +2114,45 @@ def q_time_to_convert(sf_dir: str):
     )
 
 
+def q_event_throttle(sf_dir: str):
+    """Windowed event dedup (throttle/debounce — the streaming-ingest
+    cleanup op): keep an event only if the same (user, event_type) key had
+    NO strictly-earlier event in the preceding hour. Same disjoint-segment
+    searchsorted kernel as q_rolling_count — one key-bucketed shuffle, one
+    vectorized window probe per bucket slice, no per-key Python."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    win_us = 3_600_000_000
+
+    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts"], kind="stable")
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_arrays([g["user_id"], g["event_type"]]),
+            sort=False)
+        span = int(us.max() - us.min()) + 2 * win_us + 1
+        users_per_slice = max(1, (1 << 62) // span)
+        outs = []
+        rel = us - us.min()
+        for base in range(0, int(codes.max()) + 1, users_per_slice):
+            m = (codes >= base) & (codes < base + users_per_slice)
+            key = (codes[m] - base).astype("int64") * span + rel[m]
+            lo = np.searchsorted(key, key - win_us, side="left")
+            hi = np.searchsorted(key, key, side="left")  # strictly earlier
+            keep = (hi - lo) == 0
+            outs.append(pd.DataFrame(
+                {"event_id": g["event_id"].values[m][keep],
+                 "user_id": g["user_id"].values[m][keep],
+                 "event_type": g["event_type"].values[m][keep]}))
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        _bucketed(ds, ["user_id", "event_type"])
+        .groupby("bucket")
+        .map_groups(keep_bucket, batch_format="pandas")
+        .select_columns(["event_id", "user_id", "event_type"])
+    )
+
+
 def q_bigram_top(sf_dir: str):
     """Corpus-wide top-20 adjacent word bigrams (language-model data prep):
     Arrow tokenize, vectorized within-doc shift pairing, per-batch count
@@ -2738,6 +2777,7 @@ QUERIES = {
     "profile": q_profile,
     "bigram_top": q_bigram_top,
     "decontaminate": q_decontaminate,
+    "event_throttle": q_event_throttle,
     "intersect_all": q_intersect_all,
     "dup_rate": q_dup_rate,
 }
@@ -3444,6 +3484,13 @@ ORACLE_SQL = {
         "WHERE len(ws) >= 2) "
         "SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram "
         "ORDER BY cnt DESC, bigram LIMIT 20"
+    ),
+    "event_throttle": (
+        "SELECT e.event_id, e.user_id, e.event_type FROM events e "
+        "WHERE NOT EXISTS (SELECT 1 FROM events p "
+        "WHERE p.user_id = e.user_id AND p.event_type = e.event_type "
+        "AND p.ts < e.ts "
+        "AND epoch_us(e.ts) - epoch_us(p.ts) <= 3600000000)"
     ),
     "decontaminate": (
         "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
