@@ -2114,6 +2114,40 @@ def q_time_to_convert(sf_dir: str):
     )
 
 
+def q_mixture_sample(sf_dir: str):
+    """Token-budgeted mixture sampling (pre-training data-mixture
+    weighting): per source, take docs in deterministic md5(doc_id) order
+    while the source's RUNNING token total stays ≤ 200
+    (binding at every test scale — ~70 of 500 docs survive at sf0.01). Rank-by-hash makes
+    the sample reproducible across partitionings; only narrow (source, id,
+    hkey, n_tokens) rows enter the single source-bucketed exchange — the
+    ordered prefix-sum selection fundamentally needs the per-source ordered
+    scan, so no combiner can prune it (a 0-token doc anywhere in hash order
+    can still be selected), but the payload never moves."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    budget = 200
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = textops.add_token_count(t).select(
+            ["source", "doc_id", "n_tokens"]).to_pandas()
+        df["hkey"] = [hashlib.md5(str(d).encode()).hexdigest()
+                      for d in df["doc_id"]]
+        return df
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "hkey", "doc_id"], kind="stable")
+        cum = g.groupby("source", sort=False)["n_tokens"].cumsum()
+        out = g[cum <= budget]
+        return out[["source", "doc_id", "n_tokens"]]
+
+    return (
+        _bucketed(ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=65536), ["source"])
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
 def q_event_throttle(sf_dir: str):
     """Windowed event dedup (throttle/debounce — the streaming-ingest
     cleanup op): keep an event only if the same (user, event_type) key had
@@ -2778,6 +2812,7 @@ QUERIES = {
     "bigram_top": q_bigram_top,
     "decontaminate": q_decontaminate,
     "event_throttle": q_event_throttle,
+    "mixture_sample": q_mixture_sample,
     "intersect_all": q_intersect_all,
     "dup_rate": q_dup_rate,
 }
@@ -3484,6 +3519,14 @@ ORACLE_SQL = {
         "WHERE len(ws) >= 2) "
         "SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram "
         "ORDER BY cnt DESC, bigram LIMIT 20"
+    ),
+    "mixture_sample": (
+        "WITH d AS (SELECT source, doc_id, CASE WHEN trim(text) = '' "
+        "THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "
+        "AS n_tokens, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents), "
+        "c AS (SELECT source, doc_id, n_tokens, sum(n_tokens) OVER ("
+        "PARTITION BY source ORDER BY hkey, doc_id) AS cum FROM d) "
+        "SELECT source, doc_id, n_tokens FROM c WHERE cum <= 200"
     ),
     "event_throttle": (
         "SELECT e.event_id, e.user_id, e.event_type FROM events e "
