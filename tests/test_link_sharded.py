@@ -159,3 +159,32 @@ def test_name_edges_join_path_equals_broadcast(small_transcripts):
         b.sort_values(key, kind="stable").reset_index(drop=True),
         j.sort_values(key, kind="stable").reset_index(drop=True),
     )
+
+
+def test_link_shard_ivf_all_probe_equals_exact(tiny_mapping, tmp_path):
+    """IVF fuzzy mode with n_probe = all cells must return exactly the
+    brute-force matches (same rows, scores and tie-breaks); a 1-probe run
+    still returns well-formed results from the probed cell."""
+    import numpy as np
+    import ray.data as rd
+
+    from vectrain_ray.stages.encode import encode_texts
+    from vectrain_ray.stages.link import LinkShard, write_link_index
+
+    index_dir = str(tmp_path / "idx")
+    write_link_index(rd.from_pandas(tiny_mapping), index_dir, 1)
+
+    exact = LinkShard(index_dir, 0, dim=64)
+    ivf_all = LinkShard(index_dir, 0, dim=64, ann="ivf", n_cells=4)
+    ivf_one = LinkShard(index_dir, 0, dim=64, ann="ivf", n_cells=4, n_probe=1)
+
+    q = encode_texts(["acme korp", "stark industry", "umbrela corp",
+                      "zzz unknown thing"], dim=64)
+    se, ee, ne, me = exact.fuzzy(q)
+    sa, ea, na, ma = ivf_all.fuzzy(q)
+    assert list(ee) == list(ea) and list(ne) == list(na) \
+        and list(me) == list(ma)
+    assert np.allclose(se, sa)
+    s1, e1, n1, m1 = ivf_one.fuzzy(q)
+    assert len(e1) == 4 and all(x is not None for x in e1)
+    assert (np.asarray(s1) <= np.asarray(se) + 1e-12).all()  # probe ⊆ all

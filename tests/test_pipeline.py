@@ -102,3 +102,22 @@ def test_rerun_byte_identical(kg_result, small_transcripts, tmp_path):
     for name in ("nodes", "edges", "triples"):
         a, b = canon(res1[name]), canon(res2[name])
         assert a.equals(b), name
+
+
+def test_run_kg_rerun_same_out_dir_replaces(tmp_path):
+    """Re-running into the same out_dir must REPLACE the tables, not
+    accumulate a second run's files next to the first (write_parquet
+    filenames embed a fresh uuid per run)."""
+    import ray.data as rd
+
+    from vectrain_ray import synth
+    from vectrain_ray.pipelines.kg import run_kg
+
+    out = str(tmp_path / "out")
+    ds = rd.from_arrow(synth.generate_transcripts(10, 6, seed=4))
+    r1 = run_kg(ds, out_dir=out)
+    c1 = {n: r1[n].count() for n in ("mentions", "triples", "edges", "nodes")}
+    ds2 = rd.from_arrow(synth.generate_transcripts(10, 6, seed=4))
+    r2 = run_kg(ds2, out_dir=out)
+    c2 = {n: r2[n].count() for n in ("mentions", "triples", "edges", "nodes")}
+    assert c1 == c2

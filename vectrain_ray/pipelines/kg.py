@@ -196,6 +196,14 @@ def run_kg(
             encode_holder["exc"] = exc
 
     t_encode = None
+    if out_dir and write_outputs:
+        # replace-on-rerun: write_parquet filenames embed a fresh uuid, so
+        # writing into a reused out_dir would otherwise ACCUMULATE the old
+        # run's files and every table would read back N× after N runs
+        import shutil
+
+        for name in ("mentions", "triples", "edges", "nodes"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     if out_dir and write_outputs and encode_overlap:
         t_encode = threading.Thread(target=_encode_branch)
         t_encode.start()

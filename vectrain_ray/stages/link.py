@@ -159,7 +159,9 @@ class LinkShard:
     and encodes only its own norms. ``num_cpus`` is fractional — lookups
     are cheap and the actors must not starve the map_batches pools."""
 
-    def __init__(self, index_dir: str, shard: int, dim: int = 64):
+    def __init__(self, index_dir: str, shard: int, dim: int = 64,
+                 ann: str = "exact", n_cells: int = 64,
+                 n_probe: int | None = None):
         import pyarrow.parquet as pq
 
         if not os.path.isdir(index_dir):
@@ -185,10 +187,64 @@ class LinkShard:
         self.norms = sorted(self.norm2ent)
         self.mat = (encode_texts(self.norms, dim=dim)
                     if self.norms else np.zeros((0, dim), np.float32))
+        # ANN mode for the fuzzy path — the north-star "HNSW index sharded
+        # per actor" role, recast as deterministic IVF (no external index
+        # libs in the environment; IVF is seeded k-means → reproducible
+        # across runs, unlike HNSW whose insert order shapes the graph).
+        # n_probe = all cells is EXACT (tests assert equality with the
+        # brute-force path); lower n_probe trades recall for a ~C/n_probe
+        # candidate-set reduction — the knob for 10^8-entity shards where
+        # per-miss brute force over the shard matrix would dominate.
+        self.ann = ann if self.norms else "exact"
+        if self.ann == "ivf":
+            from ..functions.similarity import train_centroids
+
+            n_cells = max(1, min(n_cells, len(self.norms)))
+            sample = self.mat[:50_000].astype(np.float64)  # seeded, sorted
+            self.cents = train_centroids(sample, n_centroids=n_cells)
+            # chunked cell assignment: never materialize the N×C distance
+            # matrix for a big shard
+            cell_of = np.empty(len(self.norms), np.int64)
+            step = 65536
+            for lo in range(0, len(self.norms), step):
+                blk = self.mat[lo:lo + step].astype(np.float64)
+                d = ((blk[:, None, :] - self.cents[None, :, :]) ** 2).sum(-1)
+                cell_of[lo:lo + step] = d.argmin(1)
+            self.cell_rows = [np.where(cell_of == c)[0]
+                              for c in range(len(self.cents))]
+            self.n_probe = (len(self.cents) if n_probe is None
+                            else max(1, min(n_probe, len(self.cents))))
+        elif ann != "exact":
+            raise ValueError(f"unknown ann mode {ann!r} (exact | ivf)")
 
     def lookup(self, norms: list) -> list:
         """Exact lookups: norm → (entity_id, canonical_name) | None."""
         return [self.norm2ent.get(n) for n in norms]
+
+    def _fuzzy_rows(self, q: np.ndarray):
+        """(best_row_index, best_score) per query under the active mode."""
+        if self.ann == "ivf":
+            dq = ((q[:, None, :].astype(np.float64)
+                   - self.cents[None, :, :]) ** 2).sum(-1)
+            best_idx = np.empty(q.shape[0], np.int64)
+            best_score = np.empty(q.shape[0], np.float64)
+            for i in range(q.shape[0]):
+                probe = np.argsort(dq[i], kind="stable")[: self.n_probe]
+                # candidate row ids ascending = norm order, so argmax tie →
+                # smallest norm, same rule as the brute-force path
+                cand = np.concatenate([self.cell_rows[c]
+                                       for c in np.sort(probe)])
+                if not len(cand):
+                    best_idx[i], best_score[i] = 0, -np.inf
+                    continue
+                cand = np.sort(cand)
+                sims = self.mat[cand] @ q[i]
+                j = int(np.argmax(sims))
+                best_idx[i], best_score[i] = cand[j], sims[j]
+            return best_idx, best_score
+        sims = q @ self.mat.T
+        best = np.argmax(sims, axis=1)
+        return best, sims[np.arange(q.shape[0]), best]
 
     def fuzzy(self, q: np.ndarray) -> tuple:
         """Per-query best match within this shard: (scores, eids, names,
@@ -197,22 +253,24 @@ class LinkShard:
         m = q.shape[0]
         if not self.norms:
             return (np.full(m, -np.inf), [None] * m, [None] * m, [None] * m)
-        sims = q @ self.mat.T
-        best = np.argmax(sims, axis=1)
+        best, scores = self._fuzzy_rows(q)
         bn = [self.norms[b] for b in best]
         hits = [self.norm2ent[n] for n in bn]
-        return (sims[np.arange(m), best],
-                [h[0] for h in hits], [h[1] for h in hits], bn)
+        return (scores, [h[0] for h in hits], [h[1] for h in hits], bn)
 
 
 def make_link_shard_actors(index_dir: str, num_shards: int, dim: int = 64,
-                           num_cpus: float = 0.1) -> list:
+                           num_cpus: float = 0.1, ann: str = "exact",
+                           n_cells: int = 64,
+                           n_probe: int | None = None) -> list:
     """Start the K shard actors over a written link index. Caller owns the
-    handles (kill them when linking is done)."""
+    handles (kill them when linking is done). ``ann``/``n_cells``/``n_probe``
+    select the per-shard fuzzy-match mode (LinkShard docstring)."""
     import ray
 
     cls = ray.remote(num_cpus=num_cpus)(LinkShard)
-    return [cls.remote(index_dir, s, dim=dim) for s in range(num_shards)]
+    return [cls.remote(index_dir, s, dim=dim, ann=ann, n_cells=n_cells,
+                       n_probe=n_probe) for s in range(num_shards)]
 
 
 class ShardedEntityLinker:
