@@ -136,3 +136,23 @@ def test_mapping_from_partials_equals_direct():
         return df.sort_values("surface_norm").reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(direct), canon(via_partials))
+
+
+def test_hot_surface_collapses_before_shuffle():
+    """The skew claim, empirically: a Zipf-hot surface repeated 50k times in
+    one batch leaves the combiner as EXACTLY ONE partial row — hot keys are
+    defused before the all-to-all, the stronger guarantee salting
+    approximates."""
+    import pyarrow as pa
+
+    from vectrain_ray.stages.canonicalize import partial_surface_counts
+
+    batch = pa.table({
+        "surface_form": pa.array(["Acme Corp"] * 50_000 + ["Globex"]),
+        "conv_id": pa.array(["c"] * 50_001),
+        "turn_idx": pa.array([0] * 50_001, pa.int32()),
+    })
+    out = partial_surface_counts(batch)
+    assert out.num_rows == 2
+    cnt = dict(zip(out["surface_form"].to_pylist(), out["cnt"].to_pylist()))
+    assert cnt["Acme Corp"] == 50_000 and cnt["Globex"] == 1
