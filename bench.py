@@ -126,6 +126,9 @@ def run_bench() -> dict:
         ("inverted_index", Q.q_inverted_index),
         ("repetition_stats", Q.q_repetition_stats),
         ("cooccurrence", Q.q_cooccurrence),
+        ("decontaminate", Q.q_decontaminate),
+        ("event_throttle", Q.q_event_throttle),
+        ("mixture_sample", Q.q_mixture_sample),
     ]
     for name, fn in secondary:
         t0 = time.time()
