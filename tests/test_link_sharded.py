@@ -186,5 +186,29 @@ def test_link_shard_ivf_all_probe_equals_exact(tiny_mapping, tmp_path):
         and list(me) == list(ma)
     assert np.allclose(se, sa)
     s1, e1, n1, m1 = ivf_one.fuzzy(q)
-    assert len(e1) == 4 and all(x is not None for x in e1)
+    assert len(e1) == 4
+    for sc, eid in zip(s1, e1):  # valid match OR the empty-cell sentinel
+        assert (eid is not None) or (sc == -np.inf)
     assert (np.asarray(s1) <= np.asarray(se) + 1e-12).all()  # probe ⊆ all
+
+
+def test_link_shard_ivf_empty_shard_falls_back(tiny_mapping, tmp_path):
+    """write_parquet creates no dir for an empty partition, so with many
+    shards some are EMPTY — ann='ivf' on such a shard must fall back to
+    exact (zero-row) behaviour, not raise 'unknown ann mode'."""
+    import numpy as np
+    import ray.data as rd
+
+    from vectrain_ray.stages.encode import encode_texts
+    from vectrain_ray.stages.link import LinkShard, write_link_index
+
+    index_dir = str(tmp_path / "idx8")
+    write_link_index(rd.from_pandas(tiny_mapping), index_dir, 8)
+    import glob as _g
+    import os as _os
+
+    empty = next(s for s in range(8) if not _g.glob(
+        _os.path.join(index_dir, f"link_shard={s}", "*.parquet")))
+    shard = LinkShard(index_dir, empty, dim=64, ann="ivf")
+    s, e, n, m = shard.fuzzy(encode_texts(["anything"], dim=64))
+    assert list(e) == [None] and s[0] == -np.inf

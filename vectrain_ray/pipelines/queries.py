@@ -2019,25 +2019,9 @@ def q_rolling_count(sf_dir: str):
 
     def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="stable")
-        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        codes, _ = pd.factorize(g["user_id"], sort=False)
-        span = int(us.max() - us.min()) + 2 * win_us + 1
-        # codes*span must stay inside int64 — with a huge user-count ×
-        # time-span product, process the bucket in user-code slices (each
-        # still one vectorized searchsorted pair; the loop is over slices,
-        # never users). rows are sorted by user, so slices are contiguous.
-        users_per_slice = max(1, (1 << 62) // span)
-        outs = []
-        rel = us - us.min()
-        for base in range(0, int(codes.max()) + 1, users_per_slice):
-            m = (codes >= base) & (codes < base + users_per_slice)
-            key = (codes[m] - base).astype("int64") * span + rel[m]
-            lo = np.searchsorted(key, key - win_us, side="left")
-            hi = np.searchsorted(key, key, side="right")
-            outs.append(pd.DataFrame(
-                {"event_id": g["event_id"].values[m],
-                 "cnt_1h": (hi - lo).astype("int64")}))
-        return pd.concat(outs, ignore_index=True)
+        cnt = _windowed_counts(g, ["user_id"], win_us, inclusive=True)
+        return pd.DataFrame({"event_id": g["event_id"].values,
+                             "cnt_1h": cnt})
 
     return (
         _bucketed(ds, ["user_id"])
@@ -2114,6 +2098,34 @@ def q_time_to_convert(sf_dir: str):
     )
 
 
+def _windowed_counts(g: pd.DataFrame, keys: list[str], win_us: int,
+                     inclusive: bool) -> np.ndarray:
+    """Per-row count of same-``keys`` events in the trailing ``win_us``
+    window, over a SORTED-BY-(keys, ts) frame — the disjoint-segment
+    searchsorted kernel shared by q_rolling_count and q_event_throttle.
+    ``inclusive`` counts events at the row's own ts (RANGE ... CURRENT ROW);
+    exclusive counts strictly-earlier ones only. Each key group is offset
+    onto its own segment of the int64 line (stride > time span + window, so
+    windows can never cross groups); when key-count × span would overflow
+    int64 the bucket is processed in key-code slices — each slice is still
+    ONE vectorized searchsorted pair, the loop is over slices, never keys."""
+    us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    codes, _ = pd.factorize(
+        pd.MultiIndex.from_arrays([g[k] for k in keys]) if len(keys) > 1
+        else g[keys[0]], sort=False)
+    span = int(us.max() - us.min()) + 2 * win_us + 1
+    per_slice = max(1, (1 << 62) // span)
+    rel = us - us.min()
+    out = np.empty(len(g), np.int64)
+    for base in range(0, int(codes.max()) + 1, per_slice):
+        m = (codes >= base) & (codes < base + per_slice)
+        key = (codes[m] - base).astype("int64") * span + rel[m]
+        lo = np.searchsorted(key, key - win_us, side="left")
+        hi = np.searchsorted(key, key, side="right" if inclusive else "left")
+        out[m] = hi - lo
+    return out
+
+
 def q_mixture_sample(sf_dir: str):
     """Token-budgeted mixture sampling (pre-training data-mixture
     weighting): per source, take docs in deterministic md5(doc_id) order
@@ -2159,25 +2171,9 @@ def q_event_throttle(sf_dir: str):
 
     def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "event_type", "ts"], kind="stable")
-        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        codes, _ = pd.factorize(
-            pd.MultiIndex.from_arrays([g["user_id"], g["event_type"]]),
-            sort=False)
-        span = int(us.max() - us.min()) + 2 * win_us + 1
-        users_per_slice = max(1, (1 << 62) // span)
-        outs = []
-        rel = us - us.min()
-        for base in range(0, int(codes.max()) + 1, users_per_slice):
-            m = (codes >= base) & (codes < base + users_per_slice)
-            key = (codes[m] - base).astype("int64") * span + rel[m]
-            lo = np.searchsorted(key, key - win_us, side="left")
-            hi = np.searchsorted(key, key, side="left")  # strictly earlier
-            keep = (hi - lo) == 0
-            outs.append(pd.DataFrame(
-                {"event_id": g["event_id"].values[m][keep],
-                 "user_id": g["user_id"].values[m][keep],
-                 "event_type": g["event_type"].values[m][keep]}))
-        return pd.concat(outs, ignore_index=True)
+        keep = _windowed_counts(g, ["user_id", "event_type"], win_us,
+                                inclusive=False) == 0
+        return g.loc[keep, ["event_id", "user_id", "event_type"]]
 
     return (
         _bucketed(ds, ["user_id", "event_type"])

@@ -195,6 +195,11 @@ class LinkShard:
         # brute-force path); lower n_probe trades recall for a ~C/n_probe
         # candidate-set reduction — the knob for 10^8-entity shards where
         # per-miss brute force over the shard matrix would dominate.
+        if ann not in ("exact", "ivf"):
+            raise ValueError(f"unknown ann mode {ann!r} (exact | ivf)")
+        # an EMPTY shard (write_parquet creates no dir for an empty
+        # partition — routine with few entities and many shards) falls back
+        # to exact, which handles zero rows
         self.ann = ann if self.norms else "exact"
         if self.ann == "ivf":
             from ..functions.similarity import train_centroids
@@ -202,46 +207,56 @@ class LinkShard:
             n_cells = max(1, min(n_cells, len(self.norms)))
             sample = self.mat[:50_000].astype(np.float64)  # seeded, sorted
             self.cents = train_centroids(sample, n_centroids=n_cells)
-            # chunked cell assignment: never materialize the N×C distance
-            # matrix for a big shard
+            # chunked cell assignment via the expansion ||a-b||² =
+            # ||a||² − 2a·b + ||b||²: the largest temp is step × n_cells
+            # (~33 MB), never step × n_cells × dim — shard actors co-locate
+            # (num_cpus=0.1), so per-actor init transients must stay small
             cell_of = np.empty(len(self.norms), np.int64)
             step = 65536
+            c_sq = (self.cents ** 2).sum(1)[None, :]
             for lo in range(0, len(self.norms), step):
                 blk = self.mat[lo:lo + step].astype(np.float64)
-                d = ((blk[:, None, :] - self.cents[None, :, :]) ** 2).sum(-1)
+                d = ((blk ** 2).sum(1)[:, None]
+                     - 2.0 * (blk @ self.cents.T) + c_sq)
                 cell_of[lo:lo + step] = d.argmin(1)
             self.cell_rows = [np.where(cell_of == c)[0]
                               for c in range(len(self.cents))]
-            self.n_probe = (len(self.cents) if n_probe is None
+            # default n_probe: a small constant — probing ALL cells would
+            # be strictly slower than the one-gemm exact path (which
+            # _fuzzy_rows routes to when n_probe covers every cell)
+            self.n_probe = (min(8, len(self.cents)) if n_probe is None
                             else max(1, min(n_probe, len(self.cents))))
-        elif ann != "exact":
-            raise ValueError(f"unknown ann mode {ann!r} (exact | ivf)")
 
     def lookup(self, norms: list) -> list:
         """Exact lookups: norm → (entity_id, canonical_name) | None."""
         return [self.norm2ent.get(n) for n in norms]
 
     def _fuzzy_rows(self, q: np.ndarray):
-        """(best_row_index, best_score) per query under the active mode."""
-        if self.ann == "ivf":
-            dq = ((q[:, None, :].astype(np.float64)
-                   - self.cents[None, :, :]) ** 2).sum(-1)
+        """(best_row_index, best_score) per query under the active mode.
+        A best_row_index of -1 means NO candidate was scored (all probed
+        cells empty) — callers must treat it as no-match, not row 0."""
+        if self.ann == "ivf" and self.n_probe < len(self.cents):
+            dq = ((q.astype(np.float64) ** 2).sum(1)[:, None]
+                  - 2.0 * (q.astype(np.float64) @ self.cents.T)
+                  + (self.cents ** 2).sum(1)[None, :])
             best_idx = np.empty(q.shape[0], np.int64)
             best_score = np.empty(q.shape[0], np.float64)
             for i in range(q.shape[0]):
                 probe = np.argsort(dq[i], kind="stable")[: self.n_probe]
+                cand = np.concatenate([self.cell_rows[c] for c in probe]) \
+                    if len(probe) else np.empty(0, np.int64)
+                if not len(cand):
+                    best_idx[i], best_score[i] = -1, -np.inf
+                    continue
                 # candidate row ids ascending = norm order, so argmax tie →
                 # smallest norm, same rule as the brute-force path
-                cand = np.concatenate([self.cell_rows[c]
-                                       for c in np.sort(probe)])
-                if not len(cand):
-                    best_idx[i], best_score[i] = 0, -np.inf
-                    continue
                 cand = np.sort(cand)
                 sims = self.mat[cand] @ q[i]
                 j = int(np.argmax(sims))
                 best_idx[i], best_score[i] = cand[j], sims[j]
             return best_idx, best_score
+        # exact — also the ivf n_probe=all case: probing every cell scores
+        # every row anyway, and one gemm beats per-query gathers
         sims = q @ self.mat.T
         best = np.argmax(sims, axis=1)
         return best, sims[np.arange(q.shape[0]), best]
@@ -249,13 +264,15 @@ class LinkShard:
     def fuzzy(self, q: np.ndarray) -> tuple:
         """Per-query best match within this shard: (scores, eids, names,
         norms). Matrix rows are norm-sorted → argmax ties pick the
-        smallest norm, matching the broadcast index."""
+        smallest norm, matching the broadcast index. Queries whose probed
+        cells were all empty come back as (−inf, None, None, None)."""
         m = q.shape[0]
         if not self.norms:
             return (np.full(m, -np.inf), [None] * m, [None] * m, [None] * m)
         best, scores = self._fuzzy_rows(q)
-        bn = [self.norms[b] for b in best]
-        hits = [self.norm2ent[n] for n in bn]
+        bn = [self.norms[b] if b >= 0 else None for b in best]
+        hits = [self.norm2ent[n] if n is not None else (None, None)
+                for n in bn]
         return (scores, [h[0] for h in hits], [h[1] for h in hits], bn)
 
 
