@@ -131,3 +131,18 @@ def test_ntile_assign_matches_row_by_row_definition(n, k):
     assert got.tolist() == naive
     if n >= k:  # every tile non-empty once there are enough rows
         assert set(naive) == set(range(1, k + 1))
+
+
+@given(st.text(alphabet="abc", max_size=6), st.text(alphabet="abc", max_size=6))
+def test_lev_le1_matches_dp(a, b):
+    """_lev_le1 (the fuzzy-join verifier) equals full DP Levenshtein <= 1."""
+    from vectrain_ray.pipelines.queries import _lev_le1
+
+    la, lb = len(a), len(b)
+    d = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, lb + 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                   prev + (a[i - 1] != b[j - 1]))
+    assert _lev_le1(a, b) == (d[lb] <= 1)

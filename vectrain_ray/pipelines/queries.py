@@ -2098,6 +2098,72 @@ def q_time_to_convert(sf_dir: str):
     )
 
 
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check in O(len): equal, one substitution, or
+    one insertion/deletion."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution allowed
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0  # a is the shorter: one skip allowed in b
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def q_fuzzy_join(sf_dir: str):
+    """Fuzzy string self-join (edit distance ≤ 1) over distinct part names
+    via DELETION-NEIGHBORHOOD blocking — the scalable similarity-join
+    pattern: each distinct string emits itself plus its single-character
+    deletions as blocking keys (|s|+1 short rows), candidates are pairs
+    sharing a key (provably a superset of every distance-≤1 pair, and no
+    pair beyond distance 2), then an O(len) exact check verifies. One
+    variant-bucketed exchange + one pair dedup; never an all-pairs product.
+    Per-batch distinct-string collapse keeps Zipf-duplicated names from
+    multiplying variants."""
+    ds = _read(sf_dir, "part", ["p_name"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        names = sorted({s for s in t["p_name"].to_pylist() if s is not None})
+        va: list = []
+        vs: list = []
+        for s in names:
+            va.append(s)
+            vs.append(s)
+            for i in range(len(s)):
+                va.append(s[:i] + s[i + 1:])
+                vs.append(s)
+        return pa.table({"v": pa.array(va, pa.string()),
+                         "s": pa.array(vs, pa.string())})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="v", suffixes=("_l", "_r"))
+        m = m[m["s_l"] < m["s_r"]]
+        return m[["s_l", "s_r"]].drop_duplicates().rename(
+            columns={"s_l": "a", "s_r": "b"})
+
+    cands = (
+        _bucketed(ds.map_batches(variants, batch_format="pyarrow",
+                                 batch_size=65536), ["v"])
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    cands = dedup_exact(cands, ["a", "b"])  # a pair can share many variants
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep = [_lev_le1(x, y) for x, y in zip(t["a"].to_pylist(),
+                                               t["b"].to_pylist())]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
 def _windowed_counts(g: pd.DataFrame, keys: list[str], win_us: int,
                      inclusive: bool) -> np.ndarray:
     """Per-row count of same-``keys`` events in the trailing ``win_us``
@@ -2809,6 +2875,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "event_throttle": q_event_throttle,
     "mixture_sample": q_mixture_sample,
+    "fuzzy_join": q_fuzzy_join,
     "intersect_all": q_intersect_all,
     "dup_rate": q_dup_rate,
 }
@@ -3515,6 +3582,11 @@ ORACLE_SQL = {
         "WHERE len(ws) >= 2) "
         "SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram "
         "ORDER BY cnt DESC, bigram LIMIT 20"
+    ),
+    "fuzzy_join": (
+        "WITH n AS (SELECT DISTINCT p_name AS s FROM part) "
+        "SELECT a.s AS a, b.s AS b FROM n a JOIN n b "
+        "ON a.s < b.s AND levenshtein(a.s, b.s) <= 1"
     ),
     "mixture_sample": (
         "WITH d AS (SELECT source, doc_id, CASE WHEN trim(text) = '' "
