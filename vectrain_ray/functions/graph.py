@@ -618,3 +618,52 @@ def khop_hops_ds(edges, seeds: list, k: int, src: str = "src",
         lambda t: pa.table({"node": t["node"],
                             "hops": pc.cast(t["hops"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def sssp_rounds(edges, seed, rounds: int = 4, src: str = "u",
+                dst: str = "v", weight: str = "w"):
+    """Bounded-round Bellman-Ford over integer edge weights: dist_0 = {seed:
+    0}; each round relaxes every edge once — dist_{k+1}(v) = min(dist_k(v),
+    min over u→v of dist_k(u) + w). min/plus over int64 is order-independent,
+    so the result is bit-exact across partitionings and mirrors an
+    unrolled-SQL oracle. ONE deployment shape at every scale (no broadcast
+    gate): each round is a hash join (edges ⨝ dist on the source node), a
+    per-batch (node, candidate) min combiner, and one node-sized bucketed
+    min. Returns a Dataset (node, dist) of nodes reached within ``rounds``
+    relaxations."""
+    import ray.data as rd
+
+    e = edges.map_batches(
+        lambda t: pa.table({"u": t[src], "v": t[dst],
+                            "w": pc.cast(t[weight], pa.int64())}),
+        batch_format="pyarrow").materialize()
+    stype = _col_pa_type(e, "u", default=pa.int64())
+    dist = rd.from_arrow(pa.table({"u": pa.array([seed], stype),
+                                   "d": pa.array([0], pa.int64())}))
+    if e.count() == 0:
+        return dist.map_batches(
+            lambda t: pa.table({"node": t["u"], "dist": t["d"]}),
+            batch_format="pyarrow")
+    nparts = _join_num_partitions()
+
+    def cand(t: pa.Table) -> pa.Table:
+        out = pa.table({"node": t["v"], "d": pc.add(t["d"], t["w"])})
+        return out.group_by(["node"]).aggregate(
+            [("d", "min")]).rename_columns(["node", "d"])
+
+    for _ in range(rounds):
+        joined = e.join(dist, join_type="inner", num_partitions=nparts,
+                        on=("u",))
+        own = dist.map_batches(
+            lambda t: t.rename_columns(["node", "d"]),
+            batch_format="pyarrow")
+        dist = _bucketed_min(
+            joined.map_batches(cand, batch_format="pyarrow").union(own), "d"
+        ).map_batches(
+            lambda t: pa.table({"u": t["node"],
+                                "d": pc.cast(t["d"], pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    return dist.map_batches(
+        lambda t: pa.table({"node": t["u"], "dist": t["d"]}),
+        batch_format="pyarrow")

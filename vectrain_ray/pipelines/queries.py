@@ -845,6 +845,26 @@ def q_triangle_count(sf_dir: str):
     return _tri(_cosupply_edges(sf_dir), "u", "v")
 
 
+def q_sssp(sf_dir: str):
+    """Bounded-round weighted shortest paths (4 Bellman-Ford rounds) over
+    the distinct co-supply graph; deterministic integer weight
+    w = 1 + (u + v) % 5, seed = smallest node id. min/plus over int64 is
+    order-independent → bit-exact vs the unrolled SQL oracle."""
+    from ..functions.graph import _distinct_edges, _node_table, sssp_rounds
+
+    e = _distinct_edges(_cosupply_edges(sf_dir), "u", "v",
+                        symmetric=False).materialize()
+
+    def add_w(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return t.append_column("w", pa.array(1 + (u + v) % 5, pa.int64()))
+
+    seed = _node_table(e).min("node")
+    return sssp_rounds(e.map_batches(add_w, batch_format="pyarrow"), seed,
+                       rounds=4)
+
+
 def q_khop(sf_dir: str):
     """Min-hop distance ≤ 3 from supplier 1 by frontier-broadcast BFS
     (per hop: pc.is_in semi-join over the streaming edge set)."""
@@ -2876,6 +2896,7 @@ QUERIES = {
     "event_throttle": q_event_throttle,
     "mixture_sample": q_mixture_sample,
     "fuzzy_join": q_fuzzy_join,
+    "sssp": q_sssp,
     "intersect_all": q_intersect_all,
     "dup_rate": q_dup_rate,
 }
@@ -3582,6 +3603,18 @@ ORACLE_SQL = {
         "WHERE len(ws) >= 2) "
         "SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram "
         "ORDER BY cnt DESC, bigram LIMIT 20"
+    ),
+    "sssp": (
+        "WITH raw AS (" + _COSUPPLY_RAW + "), "
+        "e AS (SELECT DISTINCT u, v FROM raw WHERE u <> v), "
+        "w AS (SELECT u, v, 1 + (u + v) % 5 AS w FROM e), "
+        "nodes AS (SELECT u AS n FROM e UNION SELECT v AS n FROM e), "
+        "d0 AS (SELECT min(n) AS n, CAST(0 AS BIGINT) AS d FROM nodes), "
+        "d1 AS (SELECT n, min(d) AS d FROM (SELECT n, d FROM d0 UNION ALL SELECT w.v AS n, d0.d + w.w AS d FROM d0 JOIN w ON w.u = d0.n) GROUP BY n), "
+        "d2 AS (SELECT n, min(d) AS d FROM (SELECT n, d FROM d1 UNION ALL SELECT w.v AS n, d1.d + w.w AS d FROM d1 JOIN w ON w.u = d1.n) GROUP BY n), "
+        "d3 AS (SELECT n, min(d) AS d FROM (SELECT n, d FROM d2 UNION ALL SELECT w.v AS n, d2.d + w.w AS d FROM d2 JOIN w ON w.u = d2.n) GROUP BY n), "
+        "d4 AS (SELECT n, min(d) AS d FROM (SELECT n, d FROM d3 UNION ALL SELECT w.v AS n, d3.d + w.w AS d FROM d3 JOIN w ON w.u = d3.n) GROUP BY n)"
+        " SELECT n AS node, d AS dist FROM d4"
     ),
     "fuzzy_join": (
         "WITH n AS (SELECT DISTINCT p_name AS s FROM part) "
