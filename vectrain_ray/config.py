@@ -65,11 +65,24 @@ class EncoderSpec:
 @dataclass
 class LinkerSpec:
     concurrency: int = 4
-    fuzzy_threshold: float = 0.85
+    fuzzy_threshold: float = 0.85  # wired into EntityLinker/ShardedEntityLinker
+    shards: int = 0  # 0 = automatic (broadcast under the entity-count
+    # gate, sharded above); >0 = force K LinkShard actors
+    ann: str = "exact"  # per-shard fuzzy mode: exact | ivf (LinkShard)
+    n_cells: int = 64  # ivf: k-means cells per shard
+    n_probe: int | None = None  # ivf: cells probed per miss (None = default)
 
     def validate(self) -> None:
         if not (0.0 <= self.fuzzy_threshold <= 1.0):
             raise ValueError("linker.fuzzy_threshold must be in [0, 1]")
+        if self.shards < 0:
+            raise ValueError("linker.shards must be >= 0")
+        if self.ann not in ("exact", "ivf"):
+            raise ValueError("linker.ann must be 'exact' or 'ivf'")
+        if self.n_cells <= 0:
+            raise ValueError("linker.n_cells must be > 0")
+        if self.n_probe is not None and self.n_probe <= 0:
+            raise ValueError("linker.n_probe must be > 0 when set")
 
 
 @dataclass
@@ -150,6 +163,11 @@ def run_from_spec(spec: PipelineSpec) -> dict:
             max_task_retries=spec.encoder.max_task_retries,
             encoder_kind=spec.encoder.kind,
             encoder_kwargs=spec.encoder.options,
+            link_shards=spec.linker.shards,
+            fuzzy_threshold=spec.linker.fuzzy_threshold,
+            link_ann=spec.linker.ann,
+            link_ann_cells=spec.linker.n_cells,
+            link_ann_probe=spec.linker.n_probe,
         )
     from .pipelines.kg import run_kg
 
@@ -163,5 +181,10 @@ def run_from_spec(spec: PipelineSpec) -> dict:
         max_task_retries=spec.encoder.max_task_retries,
         encoder_kind=spec.encoder.kind,
         encoder_kwargs=spec.encoder.options,
+        link_shards=spec.linker.shards or None,
+        fuzzy_threshold=spec.linker.fuzzy_threshold,
+        link_ann=spec.linker.ann,
+        link_ann_cells=spec.linker.n_cells,
+        link_ann_probe=spec.linker.n_probe,
     )
     return {"paths": res.get("paths", {})}

@@ -74,6 +74,10 @@ def run_kg(
     encoder_kind: str = "hashing",
     encoder_kwargs: dict | None = None,
     encode_overlap: bool | str = "auto",
+    fuzzy_threshold: float = 0.85,
+    link_ann: str = "exact",
+    link_ann_cells: int = 64,
+    link_ann_probe: int | None = None,
 ) -> dict:
     """Run the full KG-construction pipeline.
 
@@ -231,9 +235,12 @@ def run_kg(
 
             index_dir = tempfile.mkdtemp(prefix="vr_link_index_", dir="/tmp")
         write_link_index(mapping, index_dir, link_shards)
-        shard_actors = make_link_shard_actors(index_dir, link_shards, dim=dim)
+        shard_actors = make_link_shard_actors(
+            index_dir, link_shards, dim=dim, ann=link_ann,
+            n_cells=link_ann_cells, n_probe=link_ann_probe)
         linker_cls: type = ShardedEntityLinker
-        linker_kwargs: dict = {"shard_handles": shard_actors, "dim": dim}
+        linker_kwargs: dict = {"shard_handles": shard_actors, "dim": dim,
+                               "fuzzy_threshold": fuzzy_threshold}
     else:
         mapping_df = mapping.to_pandas()  # < BROADCAST_MAX_ENTITIES rows
         if "surface_norm" not in mapping_df.columns:  # zero-mention corpus
@@ -244,7 +251,8 @@ def run_kg(
             )
         index_ref = ray.put(build_link_index(mapping_df, dim=dim))
         linker_cls = EntityLinker
-        linker_kwargs = {"index_ref": index_ref, "dim": dim}
+        linker_kwargs = {"index_ref": index_ref, "dim": dim,
+                         "fuzzy_threshold": fuzzy_threshold}
 
     # --- triple branch -> linking -> edges -------------------------------
     triples = extracted.map_batches(triples_table, batch_format="pyarrow")

@@ -170,6 +170,10 @@ def run_kg_resumable(
     link_shards: int = 0,
     encoder_kind: str = "hashing",
     encoder_kwargs: dict | None = None,
+    fuzzy_threshold: float = 0.85,
+    link_ann: str = "exact",
+    link_ann_cells: int = 64,
+    link_ann_probe: int | None = None,
 ) -> dict:
     """Run (or resume) the partitioned pipeline. ``fail_after_phase1_parts``
     injects a crash after N phase-1 shards (kill-point testing only)."""
@@ -282,14 +286,18 @@ def run_kg_resumable(
             write_link_index(rd.read_parquet(mapping_dir), index_dir,
                              link_shards)
             open(shards_marker, "w").write(str(link_shards))
-        shard_actors = make_link_shard_actors(index_dir, link_shards, dim=dim)
+        shard_actors = make_link_shard_actors(
+            index_dir, link_shards, dim=dim, ann=link_ann,
+            n_cells=link_ann_cells, n_probe=link_ann_probe)
         linker_cls: type = ShardedEntityLinker
-        linker_kwargs: dict = {"shard_handles": shard_actors, "dim": dim}
+        linker_kwargs: dict = {"shard_handles": shard_actors, "dim": dim,
+                               "fuzzy_threshold": fuzzy_threshold}
     else:
         mapping_df = rd.read_parquet(mapping_dir).to_pandas()
         index_ref = ray.put(build_link_index(mapping_df, dim=dim))
         linker_cls = EntityLinker
-        linker_kwargs = {"index_ref": index_ref, "dim": dim}
+        linker_kwargs = {"index_ref": index_ref, "dim": dim,
+                         "fuzzy_threshold": fuzzy_threshold}
 
     mapping_norms = None  # lazily loaded for the n_unsafe skip criterion
     n_map_rows = None  # mapping row count (parquet footers), lazily read
