@@ -86,3 +86,36 @@ def test_linker_options_reach_the_linkers(tmp_path):
     assert _os.path.exists(_os.path.join(out, "link_index", "_SHARDS"))
     assert open(_os.path.join(out, "link_index", "_SHARDS")).read() == "2"
     assert _g.glob(_os.path.join(out, "edges", "*.parquet"))
+
+
+def test_json_source_kind_dispatches_reader(tmp_path):
+    """source.kind must actually pick the reader — a 'json' spec reads
+    JSONL transcripts through the registry and produces the same tables a
+    parquet run does on identical rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vectrain_ray.config import run_from_spec
+    from vectrain_ray.synth import generate_transcripts
+
+    t = generate_transcripts(8, 5, seed=11)
+    df = t.select(["conv_id", "turn_idx", "text"]).to_pandas()
+    jdir = tmp_path / "in_json"
+    jdir.mkdir()
+    df.to_json(str(jdir / "part0.json"), orient="records", lines=True)
+    pdir = tmp_path / "in_parquet"
+    pdir.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), str(pdir / "p.parquet"))
+
+    outs = {}
+    for kind, src in (("json", jdir), ("parquet", pdir)):
+        out = str(tmp_path / f"out_{kind}")
+        run_from_spec(PipelineSpec.from_dict({
+            "source": {"kind": kind, "path": str(src)},
+            "sink": {"out_dir": out, "num_parts": 2},
+        }))
+        e = rd.read_parquet(out + "/edges").to_pandas().astype(str)
+        outs[kind] = e.sort_values(list(e.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["json"], outs["parquet"])

@@ -157,6 +157,7 @@ def run_from_spec(spec: PipelineSpec) -> dict:
         return run_kg_resumable(
             spec.source.path,
             spec.sink.out_dir,
+            source_kind=spec.source.kind,
             num_parts=spec.sink.num_parts,
             dim=spec.encoder.dim,
             batch_size=spec.encoder.batch_size,
@@ -170,9 +171,12 @@ def run_from_spec(spec: PipelineSpec) -> dict:
             link_ann_probe=spec.linker.n_probe,
         )
     from .pipelines.kg import run_kg
+    from .sources.readers import get_reader
 
+    src = (spec.source.path if spec.source.kind == "parquet"
+           else get_reader(spec.source.kind)(spec.source.path))
     res = run_kg(
-        spec.source.path,
+        src,
         out_dir=spec.sink.out_dir,
         dim=spec.encoder.dim,
         batch_size=spec.encoder.batch_size,

@@ -81,12 +81,20 @@ TABLES_P3 = ["triples", "mentions", "edge_partials"]
 UNSAFE_SET_MAX_ENTITIES = 2_000_000
 
 
-def _shard(input_path: str, out_dir: str, num_parts: int) -> str:
+def _shard(input_path: str, out_dir: str, num_parts: int,
+           source_kind: str = "parquet") -> str:
     shards = os.path.join(out_dir, "shards")
     marker = os.path.join(shards, "_DONE")
     if os.path.exists(marker):
         return shards
-    ds = rd.read_parquet(input_path, columns=["conv_id", "turn_idx", "text"])
+    if source_kind == "parquet":
+        ds = rd.read_parquet(input_path,
+                             columns=["conv_id", "turn_idx", "text"])
+    else:  # registry dispatch (SourceSpec.kind), then prune columns
+        from ..sources.readers import get_reader
+
+        ds = get_reader(source_kind)(input_path).select_columns(
+            ["conv_id", "turn_idx", "text"])
 
     def add_part(t: pa.Table) -> pa.Table:
         parts = [rules.crc_bucket(c, num_parts) for c in t["conv_id"].to_pylist()]
@@ -174,6 +182,7 @@ def run_kg_resumable(
     link_ann: str = "exact",
     link_ann_cells: int = 64,
     link_ann_probe: int | None = None,
+    source_kind: str = "parquet",
 ) -> dict:
     """Run (or resume) the partitioned pipeline. ``fail_after_phase1_parts``
     injects a crash after N phase-1 shards (kill-point testing only)."""
@@ -182,7 +191,7 @@ def run_kg_resumable(
     man3 = PartitionManifest(os.path.join(out_dir, "p3_link"))
     metrics: dict = {"skipped_p1": 0, "skipped_p3": 0}
 
-    shards = _shard(input_path, out_dir, num_parts)
+    shards = _shard(input_path, out_dir, num_parts, source_kind)
 
     # ---- phase 1: per-shard extraction ----------------------------------
     done1 = 0
