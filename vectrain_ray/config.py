@@ -146,6 +146,26 @@ class PipelineSpec:
         return cls.from_dict(d or {})
 
 
+def resume_kwargs_from_spec(spec: PipelineSpec) -> dict:
+    """Keyword args for run_kg_resumable / StreamDriver derived from a
+    validated spec — ONE derivation shared by every call site (run_from_spec,
+    the stream CLI, the control plane), so a new spec field cannot silently
+    miss one of them (the parsed-but-unused trap)."""
+    return dict(
+        source_kind=spec.source.kind,
+        dim=spec.encoder.dim,
+        batch_size=spec.encoder.batch_size,
+        max_task_retries=spec.encoder.max_task_retries,
+        encoder_kind=spec.encoder.kind,
+        encoder_kwargs=spec.encoder.options,
+        link_shards=spec.linker.shards,
+        fuzzy_threshold=spec.linker.fuzzy_threshold,
+        link_ann=spec.linker.ann,
+        link_ann_cells=spec.linker.n_cells,
+        link_ann_probe=spec.linker.n_probe,
+    )
+
+
 def run_from_spec(spec: PipelineSpec) -> dict:
     """Validate → build → execute (the reference's Run lifecycle,
     pipeline.go:45-67). Ray must already be initialised by the caller."""
@@ -157,18 +177,8 @@ def run_from_spec(spec: PipelineSpec) -> dict:
         return run_kg_resumable(
             spec.source.path,
             spec.sink.out_dir,
-            source_kind=spec.source.kind,
             num_parts=spec.sink.num_parts,
-            dim=spec.encoder.dim,
-            batch_size=spec.encoder.batch_size,
-            max_task_retries=spec.encoder.max_task_retries,
-            encoder_kind=spec.encoder.kind,
-            encoder_kwargs=spec.encoder.options,
-            link_shards=spec.linker.shards,
-            fuzzy_threshold=spec.linker.fuzzy_threshold,
-            link_ann=spec.linker.ann,
-            link_ann_cells=spec.linker.n_cells,
-            link_ann_probe=spec.linker.n_probe,
+            **resume_kwargs_from_spec(spec),
         )
     from .pipelines.kg import run_kg
     from .sources.readers import get_reader

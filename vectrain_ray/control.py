@@ -136,13 +136,12 @@ class ControlServer:
 
         spec = self.spec
         try:
+            from .config import resume_kwargs_from_spec
+
             drv = StreamDriver(
                 spec.source.path, spec.sink.out_dir,
                 num_parts=spec.sink.num_parts,
-                dim=spec.encoder.dim, batch_size=spec.encoder.batch_size,
-                max_task_retries=spec.encoder.max_task_retries,
-                encoder_kind=spec.encoder.kind,
-                encoder_kwargs=spec.encoder.options,
+                **resume_kwargs_from_spec(spec),
             )
             history = drv.run(stop_event=self.stop_event)
             self.polls += len(history)

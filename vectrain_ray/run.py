@@ -237,13 +237,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "stream":
             from .pipelines.stream import StreamDriver
 
+            from .config import resume_kwargs_from_spec
+
             drv = StreamDriver(
                 spec.source.path, spec.sink.out_dir,
                 num_parts=spec.sink.num_parts, poll_sec=args.poll_sec,
-                dim=spec.encoder.dim, batch_size=spec.encoder.batch_size,
-                max_task_retries=spec.encoder.max_task_retries,
-                encoder_kind=spec.encoder.kind,
-                encoder_kwargs=spec.encoder.options,
+                **resume_kwargs_from_spec(spec),
             )
             history = drv.run(max_iterations=args.max_iterations,
                               idle_stop_after=args.idle_stop_after)
