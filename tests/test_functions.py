@@ -353,3 +353,22 @@ def test_minhash_distributed_path_no_pairs():
     assert sorted(out["doc_id"]) == [10, 20]
     assert (out["cluster_id"] == out["doc_id"]).all()
     assert out["is_keeper"].all()
+
+
+def test_topk_ranks_by_unrounded_score():
+    """Two cosines that round to the same 4th decimal must rank by the
+    UNROUNDED value (the SQL oracle orders by exact cosine), not fall to
+    the id tie-break."""
+    import math
+
+    def vec(c):
+        return [c, math.sqrt(1 - c * c)]
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([vec(0.12341), vec(0.12344)],
+                              pa.list_(pa.float64())),
+    }))
+    top = topk_cosine(ds, [1.0, 0.0], k=1).take_all()
+    assert [r["vec_id"] for r in top] == [2]
+    assert top[0]["score"] == 0.1234  # output still rounds for the oracle

@@ -142,7 +142,10 @@ def _pairs_from_coarse_bucket_factory(id_col: str, max_bucket: int):
             {"id_a": m[f"{id_col}_a"].values, "id_b": m[f"{id_col}_b"].values}
         )
         if truncated_groups:
-            trunc = m[keys].apply(tuple, axis=1).isin(truncated_groups).values
+            # vectorized membership — a per-row .apply(tuple) here would
+            # pay Python exactly when the self-merge is at its largest
+            trunc = pd.MultiIndex.from_frame(m[keys]).isin(
+                truncated_groups)
         else:
             trunc = False
         out["truncated"] = trunc
@@ -154,7 +157,7 @@ def _pairs_from_coarse_bucket_factory(id_col: str, max_bucket: int):
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             num_perm: int = 64, bands: int = 8,
                             shingle_k: int = 5, seed: int = 42,
-                            max_bucket: int = 200, concurrency: int = 2,
+                            max_bucket: int = 200,
                             num_coarse: int = 32, sketches=None,
                             dedup: bool = True):
     """documents → candidate near-dup pairs (id_a < id_b), deduplicated.
@@ -231,27 +234,28 @@ class ShingleSketcher:
             return [t]
         return list({t[i: i + k] for i in range(len(t) - k + 1)})
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _hash_shingle(self, p: str) -> int:
+        """Memoized md5-lower-64 — ONE digest per miss even when the memo
+        is full (compute once, conditionally store, always use)."""
         memo = self._memo
+        h = memo.get(p)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(p.encode()).digest()[8:],
+                               "little")
+            if len(memo) < self.max_memo:
+                memo[p] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         per_doc = [self._doc_shingle_strs(t)
                    for t in batch[self.text_col].to_pylist()]
-        for parts in per_doc:
-            for p in parts:
-                if p not in memo:
-                    h = int.from_bytes(hashlib.md5(p.encode()).digest()[8:],
-                                       "little")
-                    if len(memo) < self.max_memo:
-                        memo[p] = h
         shs = []
         for parts in per_doc:
             if not parts:
                 shs.append(np.array([], dtype=np.uint64))
                 continue
-            hs = np.fromiter(
-                (memo.get(p) if p in memo else int.from_bytes(
-                    hashlib.md5(p.encode()).digest()[8:], "little")
-                 for p in parts),
-                dtype=np.uint64, count=len(parts))
+            hs = np.fromiter((self._hash_shingle(p) for p in parts),
+                             dtype=np.uint64, count=len(parts))
             shs.append(np.unique(hs))
         lens = np.fromiter((len(s) for s in shs), dtype=np.int64,
                            count=len(shs))
@@ -310,7 +314,7 @@ def _id_bucket(vals, n: int) -> pa.Array:
 def verify_pairs_jaccard(cands, corpus, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 5,
                          threshold: float = 0.8, num_buckets: int = 32,
-                         concurrency: int = 2, sketches=None):
+                         sketches=None):
     """Distributed exact-Jaccard verification of candidate pairs (id_a, id_b):
 
       1. sketch every corpus doc once (ShingleSketcher),
@@ -522,7 +526,7 @@ def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",
     ).materialize()
     cands = minhash_candidate_pairs(
         ds, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
-        shingle_k=shingle_k, concurrency=concurrency, sketches=sketches,
+        shingle_k=shingle_k, sketches=sketches,
         # dedup=True: duplicate pairs fan the verify's per-pair merge
         # quadratically (measured 8.9 s vs 1.9 s) — the dedup shuffle is
         # the cheaper side of that trade
@@ -530,7 +534,7 @@ def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",
     verified = verify_pairs_jaccard(
         cands, None, id_col=id_col,
         text_col=text_col, k=shingle_k, threshold=threshold,
-        concurrency=concurrency, sketches=sketches,
+        sketches=sketches,
     )
     verified = verified.materialize()
     if verified.count() > driver_pairs_max:
@@ -578,9 +582,18 @@ def md5_lower64(s: str) -> int:
 def simhash64(text: str) -> int:
     """64-bit SimHash over lowercase whitespace tokens, token hash =
     md5_lower64 (SQL-mirrorable). Reference implementation — the vectorized
-    batch path is SimHasher; tests cross-check the two."""
+    batch path is SimHasher; tests cross-check the two. Tokenization is
+    EXACTLY SimHasher's Arrow path (utf8_lower → utf8_trim_whitespace →
+    RE2 \\s+ split) run on a one-element array, so the two cannot drift on
+    exotic whitespace (RE2's \\s is ASCII [\\t\\n\\f\\r ]; Python
+    str.split() is Unicode — e.g. U+00A0 splits there but not here)."""
+    import pyarrow.compute as pc
+
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(pa.array([text or ""])))
+    toks = [t for t in
+            pc.split_pattern_regex(trimmed, pattern=r"\s+")[0].as_py() if t]
     votes = [0] * 64
-    for tok in (text or "").lower().split():
+    for tok in toks:
         h = md5_lower64(tok)
         for i in range(64):
             votes[i] += 1 if (h >> i) & 1 else -1

@@ -48,15 +48,22 @@ class BatchTopK:
         mat = _to_matrix(batch[self.vec_col], dim=len(self.q))
         sims = _cosine_to_query(mat, self.q)
         k = min(self.k, len(sims))
-        idx = np.argpartition(-sims, k - 1)[:k] if k else np.array([], int)
-        ids = np.asarray(batch[self.id_col].to_pylist())[idx]
+        all_ids = np.asarray(batch[self.id_col].to_pylist())
+        # FULL (score desc, id asc) order, not argpartition: a tie at the
+        # batch-local k boundary must keep the SMALLEST id (the global
+        # tie-break), independent of array position / batch composition
+        idx = (np.lexsort((all_ids, -sims))[:k] if k
+               else np.array([], int))
+        ids = all_ids[idx]
         # explicit id type: an empty pa.array([]) would infer null and break
-        # schema unification at the final sort
+        # schema unification at the final sort. Scores stay UNROUNDED — the
+        # global rank must use the exact cosine (the SQL oracle orders by
+        # the unrounded value); callers round only in the final projection.
         id_type = batch.schema.field(self.id_col).type
         return pa.table(
             {
                 self.id_col: pa.array(ids.tolist(), type=id_type),
-                "score": pa.array(np.round(sims[idx], 4), pa.float64()),
+                "score": pa.array(sims[idx], pa.float64()),
             }
         )
 
@@ -77,7 +84,18 @@ def topk_cosine(ds, query_vec, k: int = 10, id_col: str = "vec_id",
         batch_size=4096,
         concurrency=concurrency,
     )
-    return partial.sort(["score", id_col], descending=[True, False]).limit(k)
+    # rank on the UNROUNDED cosine (rounded ties across batches would break
+    # by id and pick a different member than ORDER BY exact-score); round
+    # only in the output projection
+    ranked = partial.sort(["score", id_col],
+                          descending=[True, False]).limit(k)
+    import pyarrow.compute as pc
+
+    return ranked.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("score"), "score",
+                               pc.round(t["score"], ndigits=4)),
+        batch_format="pyarrow",
+    )
 
 
 # --- LSH (random hyperplanes) --------------------------------------------
@@ -154,9 +172,12 @@ def train_centroids(sample: np.ndarray, n_centroids: int = 16,
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
                      replace=False)
-    cents = sample[idx].astype(np.float64)
+    sample = sample.astype(np.float64)
+    cents = sample[idx].copy()
+    s_sq = (sample ** 2).sum(1)[:, None]
     for _ in range(iters):
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        # ||a-b||² expansion: largest temp is (n, C), never (n, C, d)
+        d = s_sq - 2.0 * (sample @ cents.T) + (cents ** 2).sum(1)[None, :]
         assign = d.argmin(1)
         for c in range(len(cents)):
             members = sample[assign == c]
@@ -176,7 +197,10 @@ class IVFAssigner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _to_matrix(batch[self.vec_col], dim=self.cents.shape[1])
-        d = ((mat[:, None, :] - self.cents[None, :, :]) ** 2).sum(-1)
+        # expansion form: the temp is (batch, C) — a (batch, C, d) float64
+        # broadcast would be ~25 GB per batch at d=768, C=1024
+        d = ((mat ** 2).sum(1)[:, None] - 2.0 * (mat @ self.cents.T)
+             + (self.cents ** 2).sum(1)[None, :])
         return batch.append_column(
             "ivf_cell", pa.array(d.argmin(1).astype(np.int64), pa.int64())
         )

@@ -66,7 +66,15 @@ def build_ivf_index(
         shutil.rmtree(index_dir)
     os.makedirs(index_dir)
 
-    sample_tbl = ds.limit(sample_size).to_pandas()
+    # spread, deterministic sample — limit() would take the FIRST rows,
+    # and a corpus written sorted by category/time would then train every
+    # centroid in one region (skewed cells, unbounded cell reads)
+    n_total = ds.count()
+    frac = min(1.0, (2.0 * sample_size) / max(n_total, 1))
+    sample_tbl = (ds.random_sample(frac, seed=seed).limit(sample_size)
+                  .to_pandas())
+    if len(sample_tbl) == 0 and n_total > 0:  # tiny corpus + small frac
+        sample_tbl = ds.limit(sample_size).to_pandas()
     sample = (np.asarray(list(sample_tbl[vec_col]), dtype=np.float64)
               if len(sample_tbl) else np.zeros((0, dim)))
     if len(sample) == 0:
@@ -98,6 +106,20 @@ def build_ivf_index(
     return index_dir
 
 
+def _max_file_gen(index_dir: str) -> int:
+    """Highest generation number present in cell FILENAMES (gen<k>_...);
+    base-build files carry no prefix and count as generation 0."""
+    gens = [0]
+    for f in glob.glob(os.path.join(index_dir, "cells", "ivf_cell=*",
+                                    "gen*_*.parquet")):
+        head = os.path.basename(f).split("_", 1)[0]
+        try:
+            gens.append(int(head[3:]))
+        except ValueError:
+            pass
+    return max(gens)
+
+
 def _count_rows(index_dir: str) -> int:
     return sum(
         pq.read_metadata(f).num_rows
@@ -122,7 +144,10 @@ def upsert_ivf_index(ds, index_dir: str, concurrency: int = 2) -> int:
     meta = _load_meta(index_dir)
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
     centroids_ref = ray.put(cents)
-    gen = meta["max_gen"] + 1
+    # next generation = 1 + max generation OBSERVED ON DISK, not meta's:
+    # a crash after the file writes but before the meta rewrite must not
+    # reuse the half-written generation number on retry
+    gen = max(meta["max_gen"], _max_file_gen(index_dir)) + 1
     id_col, vec_col = meta["id_col"], meta["vec_col"]
 
     assigned = ds.select_columns([id_col, vec_col]).map_batches(
@@ -191,27 +216,32 @@ def query_ivf_index(index_dir: str, query_vec, k: int = 10,
         sims = (mat @ qn) / norms
         ids.extend(t[id_col].to_pylist())
         gens.extend(t[_GEN_COL].to_pylist())
-        scores.extend(np.round(sims, 4).tolist())
+        scores.extend(sims.tolist())  # UNROUNDED — ranking uses exact cosine
 
-    if meta["max_gen"] > 0:
-        # last-generation-wins per id GLOBALLY across probed cells: a
-        # changed-vector upsert lands in its new cell, so the stale copy in
-        # the old cell must lose to the newer generation even cross-cell.
-        # Caveat (documented): if ONLY the stale cell is probed, the stale
-        # row can still surface — like Faiss IVF, a changed-vector upsert
-        # needs delete-before-insert or a rebuild for strict semantics;
-        # same-vector re-ingest (the reference's redelivery case) is exact.
-        best: dict = {}
-        for i in range(len(ids)):
-            j = best.get(ids[i])
-            if j is None or gens[i] > gens[j]:
-                best[ids[i]] = i
-        keep = sorted(best.values())
-        ids = [ids[i] for i in keep]
-        scores = [scores[i] for i in keep]
+    # last-generation-wins per id GLOBALLY across probed cells — ALWAYS,
+    # not only when meta records an upsert: a crash between the upsert's
+    # file writes and its meta rewrite leaves gen-1 rows on disk with
+    # max_gen still 0, and skipping the dedup would then return duplicate
+    # ids. A changed-vector upsert lands in its new cell, so the stale copy
+    # in the old cell must lose to the newer generation even cross-cell.
+    # Caveat (documented): if ONLY the stale cell is probed, the stale row
+    # can still surface — like Faiss IVF, a changed-vector upsert needs
+    # delete-before-insert or a rebuild for strict semantics; same-vector
+    # re-ingest (the reference's redelivery case) is exact.
+    best: dict = {}
+    for i in range(len(ids)):
+        j = best.get(ids[i])
+        if j is None or gens[i] > gens[j]:
+            best[ids[i]] = i
+    keep = sorted(best.values())
+    ids = [ids[i] for i in keep]
+    scores = [scores[i] for i in keep]
 
+    # rank on the unrounded cosine (rounded ties would break by id and
+    # diverge from ORDER BY exact-score); round only in the projection
     order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:k]
     return pa.table({
         id_col: pa.array([ids[i] for i in order]),
-        "score": pa.array([scores[i] for i in order], pa.float64()),
+        "score": pa.array([round(scores[i], 4) for i in order],
+                          pa.float64()),
     })
