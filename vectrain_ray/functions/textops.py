@@ -140,22 +140,41 @@ def add_md5_fingerprint(batch: pa.Table, col: str = "text",
     return batch.append_column(out, pa.array(fps, pa.string()))
 
 
-def rolling_fingerprints(text: str, window: int = 16, keep_every: int = 8) -> list[int]:
-    """Winnowing-style document fingerprint: rolling 64-bit hash over
-    character windows, keeping every ``keep_every``-th minimum. Deterministic;
-    used by near-dup diagnostics (rows-only)."""
-    if not text or len(text) < window:
+def rolling_fingerprints(text: str, window: int = 16,
+                         keep_every: int = 8) -> list[int]:
+    """TRUE winnowing document fingerprint (Schleimer et al.): rolling
+    61-bit hash over byte ``window``s, then keep the MINIMUM hash of every
+    ``keep_every``-length window of consecutive hashes (rightmost min on
+    ties), deduplicating consecutive repeats. Winnowing minima — unlike
+    the earlier every-k-th-POSITION sampling — survive insertions: an edit
+    shifts positions but local minima re-align, so near-dup diagnostics
+    still match shifted duplicates. Deterministic; rows-only (no oracle).
+    Length guards count BYTES (hashing iterates the encoded bytes, so a
+    short string of wide codepoints can still hold full windows)."""
+    if not text:
         return []
     b = text.encode(errors="ignore")
+    if len(b) < window:
+        return []
     mask = (1 << 61) - 1
     base = 257
     h = 0
     pw = pow(base, window - 1, mask)
-    out = []
+    hashes = []
     for i, c in enumerate(b):
         h = (h * base + c) % mask
         if i >= window:
             h = (h - b[i - window] * pw * base) % mask
-        if i >= window - 1 and (i % keep_every) == 0:
-            out.append(h)
+        if i >= window - 1:
+            hashes.append(h)
+    hs = np.asarray(hashes, dtype=np.int64)
+    if len(hs) <= keep_every:
+        return [int(hs.min())]
+    sw = np.lib.stride_tricks.sliding_window_view(hs, keep_every)
+    # rightmost minimum per window: argmin on the reversed window
+    mins = sw.min(axis=1)
+    out = [int(mins[0])]
+    for m in mins[1:].tolist():
+        if m != out[-1]:
+            out.append(m)
     return out

@@ -89,11 +89,22 @@ def _bucketed(ds, keys: list[str], n: int = 64):
                           batch_size=65536)
 
 
+def _round_half_away(arr, nd: int) -> pa.Array:
+    """DuckDB round(): half AWAY from zero. pc.round / pandas .round are
+    half-to-even, which differs on exactly-representable midpoints
+    (pc.round(1234.125, 2) = 1234.12; DuckDB = 1234.13)."""
+    x = np.asarray(pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False),
+                   dtype=np.float64)
+    scale = 10.0 ** nd
+    return pa.array(np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale,
+                    pa.float64())
+
+
 def _round_cols(cols: dict[str, int]):
     def fn(t: pa.Table) -> pa.Table:
         for c, nd in cols.items():
             i = t.schema.get_field_index(c)
-            t = t.set_column(i, c, pc.round(pc.cast(t[c], pa.float64()), ndigits=nd))
+            t = t.set_column(i, c, _round_half_away(t[c], nd))
         return t
 
     return fn
@@ -147,8 +158,14 @@ def q_read_json(sf_dir: str):
             and open(marker).read() == fp):
         os.makedirs(jdir, exist_ok=True)
         t = pq.read_table(src, columns=["doc_id", "lang", "n_chars"])
-        t.to_pandas().to_json(jpath, orient="records", lines=True)
-        open(marker, "w").write(fp)
+        # atomic publish: a concurrent process re-reading mid-rewrite must
+        # never see a truncated file (tmp is per-pid, rename is atomic)
+        tmp = f"{jpath}.{os.getpid()}.tmp"
+        t.to_pandas().to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, jpath)
+        mtmp = f"{marker}.{os.getpid()}.tmp"
+        open(mtmp, "w").write(fp)
+        os.replace(mtmp, marker)
     ds = rd.read_json(jpath)
     sch = pq.read_schema(os.path.join(sf_dir, "documents.parquet"))
 
@@ -192,7 +209,8 @@ def q_groupby_agg(sf_dir: str):
         t = t.append_column("disc_price", disc)
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_quantity", "count")]
+             ("disc_price", "sum"), ([], "count_all")]  # count(*) parity:
+            # a NULL l_quantity must still count the row
         )
         return g.rename_columns(
             ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_cnt"]
@@ -297,7 +315,7 @@ def q_broadcast_join(sf_dir: str):
             idx = pc.index_in(t["c_nationkey"], value_set=self.keys)
             t = t.append_column("r_name", pc.take(self.vals, idx))
             g = t.group_by("r_name").aggregate(
-                [("c_acctbal", "sum"), ("c_custkey", "count")]
+                [("c_acctbal", "sum"), ([], "count_all")]  # count(*)
             )
             return g.rename_columns(["r_name", "p_bal", "p_cnt"])
 
@@ -322,7 +340,7 @@ def q_hash_join(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("c_mktsegment").aggregate(
-            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+            [("o_totalprice", "sum"), ([], "count_all")]  # count(*)
         )
         return g.rename_columns(["c_mktsegment", "p_rev", "p_cnt"])
 
@@ -371,7 +389,7 @@ def q_window_tumbling(sf_dir: str):
         hb = pc.floor_temporal(t["ts"], unit="hour")
         t = t.append_column("hour_bucket", hb)
         g = t.group_by(["user_id", "hour_bucket"]).aggregate(
-            [("value", "sum"), ("value", "count")]
+            [("value", "sum"), ([], "count_all")]  # count(*) parity
         )
         g = g.rename_columns(["user_id", "hour_bucket", "p_sum", "p_cnt"])
         # shuffle bucket computed IN Arrow (no pandas round-trip): Fibonacci
@@ -386,7 +404,9 @@ def q_window_tumbling(sf_dir: str):
         out = g.groupby(["user_id", "hour_bucket"], sort=True).agg(
             n_events=("p_cnt", "sum"), sum_value=("p_sum", "sum")
         ).reset_index()
-        out["sum_value"] = out["sum_value"].round(2)
+        v = out["sum_value"].to_numpy(dtype=np.float64)
+        # DuckDB half-away rounding, not pandas half-even (_round_half_away)
+        out["sum_value"] = np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5) / 100.0
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
@@ -581,8 +601,9 @@ def q_topk_per_group(sf_dir: str):
 
 # --- dedup family ---------------------------------------------------------
 def _add_md5(t: pa.Table, col="text", out="text_hash") -> pa.Table:
-    fps = [hashlib.md5((x or "").encode()).hexdigest() for x in t[col].to_pylist()]
-    return t.append_column(out, pa.array(fps, pa.string()))
+    """ONE content-hash definition repo-wide: fingerprint, dedup_exact and
+    dup_rate must share it or the cross-query invariant silently drifts."""
+    return textops.add_md5_fingerprint(t, col=col, out=out)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -646,13 +667,21 @@ _ND_PLANES = 6
 _ND_THRESHOLD = 0.4  # yields >0 pairs at every test SF (max offdiag ≈ 0.5)
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    """Vector width from ONE row group's first row — reading the whole
+    embedding column just to measure one list would pull the entire corpus
+    column into the driver."""
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first["embedding"][0].as_py())
+
+
 def q_embed_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs via LSH buckets. Full SQL
     oracle: the seeded hyperplanes are emitted as literals and the bucketing
     + in-bucket exact cosine are reproduced in DuckDB."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                            columns=["embedding"])[0][0].as_py())
+    dim = _embedding_dim(sf_dir)
     pairs = neardup_pairs_cosine(ds, dim=dim, threshold=_ND_THRESHOLD,
                                  n_planes=_ND_PLANES,
                                  max_bucket=_ND_MAX_BUCKET)
@@ -699,7 +728,9 @@ def q_lang_guess(sf_dir: str):
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the embedding of min(vec_id): broadcast
     query, per-batch partial top-k, tiny final sort."""
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # pin: min + query-row probe + top-k are three consumers of a lazy
+    # read — unmaterialized, each would re-run the whole scan
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     qmin = ds.min("vec_id")
     qrow = ds.map_batches(
         lambda t: t.filter(pc.equal(t["vec_id"], qmin)), batch_format="pyarrow"
@@ -716,9 +747,9 @@ def q_ann_index_topk(sf_dir: str):
 
     from ..state.vector_index import build_ivf_index, query_ivf_index
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                            columns=["embedding"])[0][0].as_py())
+    # pin: index build + min + query-row probe each consume the read
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    dim = _embedding_dim(sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     index_dir = f"/tmp/vectrain_ivf_{tag}"
     n_centroids = 16
@@ -1019,7 +1050,7 @@ def q_left_join(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("o_custkey").aggregate(
-            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+            [("o_totalprice", "sum"), ([], "count_all")]  # count(*)
         )
         return g.rename_columns(["o_custkey", "p_rev", "p_cnt"])
 
@@ -1039,10 +1070,8 @@ def q_left_join(sf_dir: str):
                 "c_custkey": t["c_custkey"],
                 "c_mktsegment": t["c_mktsegment"],
                 "n_orders": pc.cast(pc.fill_null(t["n_orders"], 0), pa.int64()),
-                "revenue": pc.round(
-                    pc.cast(pc.fill_null(t["revenue"], 0.0), pa.float64()),
-                    ndigits=2,
-                ),
+                "revenue": _round_half_away(
+                    pc.fill_null(t["revenue"], 0.0), 2),
             }
         )
 
@@ -1147,10 +1176,14 @@ def q_range_join(sf_dir: str):
     def assign(t: pa.Table) -> pa.Table:
         price = t["o_totalprice"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(lows, price, side="right") - 1
+        # idx == -1 (price below every band's lower bound) would Python-wrap
+        # to the TOP band; the oracle's inner range join drops such rows
+        keep = idx >= 0
+        idx, price = idx[keep], price[keep]
         band = pa.array(names[idx], pa.string())
-        g = pa.table({"band": band, "price": t["o_totalprice"]}).group_by(
+        g = pa.table({"band": band, "price": pa.array(price)}).group_by(
             "band"
-        ).aggregate([("price", "sum"), ("price", "count")])
+        ).aggregate([("price", "sum"), ([], "count_all")])  # count(*)
         return g.rename_columns(["band", "p_rev", "p_cnt"])
 
     out = (
@@ -2472,7 +2505,8 @@ def q_dup_rate(sf_dir: str):
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["fp"] = [hashlib.md5((t or "").encode()).hexdigest()
+        df["fp"] = [hashlib.md5((t or "").encode()).hexdigest()  # = textops
+                    # .add_md5_fingerprint's rule (NULL ≡ ''), pandas-side
                     for t in df["text"]]
         return df[["doc_id", "source", "fp"]]
 
@@ -2797,8 +2831,13 @@ def q_read_csv(sf_dir: str):
             and open(marker).read() == fp):
         os.makedirs(cdir, exist_ok=True)
         t = pq.read_table(src, columns=cols)
-        t.to_pandas().to_csv(cpath, index=False)
-        open(marker, "w").write(fp)
+        # atomic publish — same concurrent-reader rule as q_read_json
+        tmp = f"{cpath}.{os.getpid()}.tmp"
+        t.to_pandas().to_csv(tmp, index=False)
+        os.replace(tmp, cpath)
+        mtmp = f"{marker}.{os.getpid()}.tmp"
+        open(mtmp, "w").write(fp)
+        os.replace(mtmp, marker)
     ds = rd.read_csv(cpath)
     sch = pq.read_schema(src)
 
@@ -3083,21 +3122,26 @@ ORACLE_SQL = {
         "QUALIFY row_number() OVER (PARTITION BY event_type "
         "ORDER BY value DESC, event_id) <= 5"
     ),
+    # coalesce(text, '') everywhere: the Ray side defines NULL text ≡ ''
+    # (same rule dup_rate/wordcount already mirror) — bare md5(text)/
+    # length(text) would return NULL for a NULL-text row instead
     "dedup_exact": (
-        "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
-        "FROM documents GROUP BY md5(text)"
+        "SELECT md5(coalesce(text, '')) AS text_hash, min(doc_id) AS doc_id "
+        "FROM documents GROUP BY md5(coalesce(text, ''))"
     ),
-    "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "fingerprint":
+        "SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents",
     "token_count": (
         "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
         "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
         "FROM documents"
     ),
     "quality": (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents) "
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt, "
         "CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
         "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS sum_token_len "
-        "FROM documents"
+        "FROM d"
     ),
     "stopword_count": (
         "SELECT doc_id, CASE WHEN trim(text)='' THEN CAST(0 AS BIGINT) ELSE "
@@ -3658,3 +3702,47 @@ ORACLE_SQL = {
         "AS n_dup_docs FROM f JOIN c ON f.fp = c.fp GROUP BY source"
     ),
 }
+
+# Every single-argument trim() above mirrors the Ray side's Arrow
+# utf8_trim_whitespace — which strips the full 29-codepoint Unicode
+# whitespace set, while SQL trim(x) strips ONLY spaces ('\ta b' would
+# count 3 tokens in SQL, 2 in Arrow). Rewrite each trim(x) to
+# trim(x, <the exact Arrow set>) so the mirror holds on any input, not
+# just whitespace-tame fixtures.
+_ARROW_WS = [0x09, 0x0a, 0x0b, 0x0c, 0x0d, 0x1c, 0x1d, 0x1e, 0x1f, 0x20,
+             0x85, 0xa0, 0x1680, *range(0x2000, 0x200b), 0x2028, 0x2029,
+             0x202f, 0x205f, 0x3000]
+_WS_SET_SQL = "(" + " || ".join(f"chr({c})" for c in _ARROW_WS) + ")"
+
+
+def _unicode_trim_sql(sql: str) -> str:
+    """Rewrite every single-arg trim(expr) to trim(expr, _WS_SET_SQL),
+    paren-matched (expressions nest)."""
+    out: list[str] = []
+    i = 0
+    low = sql.lower()
+    while True:
+        j = low.find("trim(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            out.append(sql[i:j + 5])  # rtrim/ltrim etc. — leave alone
+            i = j + 5
+            continue
+        depth, k = 0, j + 4
+        while True:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        out.append(sql[i:j])
+        out.append("trim(" + sql[j + 5:k] + ", " + _WS_SET_SQL + ")")
+        i = k + 1
+    return "".join(out)
+
+
+ORACLE_SQL = {k: _unicode_trim_sql(v) for k, v in ORACLE_SQL.items()}
