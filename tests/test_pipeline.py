@@ -121,3 +121,46 @@ def test_run_kg_rerun_same_out_dir_replaces(tmp_path):
     r2 = run_kg(ds2, out_dir=out)
     c2 = {n: r2[n].count() for n in ("mentions", "triples", "edges", "nodes")}
     assert c1 == c2
+
+
+def test_run_kg_zero_triple_corpus_completes(tmp_path):
+    """A corpus whose text never matches the predicate vocabulary produces
+    mentions but ZERO triples — write_parquet then creates no edges dir and
+    the pipeline must still complete end-to-end (empty tables, no crash)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vectrain_ray.pipelines.kg import run_kg
+
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2"]),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "text": pa.array(["Hello Alice.", "Greetings Bob.", "Yes Carol."]),
+    })
+    res = run_kg(rd.from_arrow(t), out_dir=str(tmp_path / "out"))
+    assert res["triples"].count() == 0
+    assert res["edges"].count() == 0
+    assert res["mentions"].count() >= 1  # capitalized names still mention
+
+
+def test_resume_zero_triple_shard_completes(tmp_path):
+    """Same zero-triple case through the resumable runner: the shard's
+    triples dir has no files and the edge-partial step must skip it, not
+    wedge every resume on read_parquet([])."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vectrain_ray.pipelines.resume import run_kg_resumable
+
+    d = tmp_path / "in"
+    d.mkdir()
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2"]),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "text": pa.array(["Hello Alice.", "Greetings Bob.", "Yes Carol."]),
+    })
+    pq.write_table(t, str(d / "p.parquet"))
+    m = run_kg_resumable(str(d), str(tmp_path / "out"), num_parts=2)
+    assert m["skipped_p3"] == 0
+    m2 = run_kg_resumable(str(d), str(tmp_path / "out"), num_parts=2)
+    assert m2["skipped_p1"] + m2["skipped_p3"] > 0  # resume skips, no wedge

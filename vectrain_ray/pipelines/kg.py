@@ -348,7 +348,10 @@ def run_kg(
         for name in ("edges", "nodes"):
             p = os.path.join(out_dir, name)
             paths[name] = p
-            result[name] = rd.read_parquet(p)
+            # write_parquet of a 0-row dataset creates no dir at all — keep
+            # the (empty) in-memory dataset instead of crashing the read
+            if os.path.isdir(p):
+                result[name] = rd.read_parquet(p)
         timings["final_writes"] = round(time.time() - t0, 3)
         result["paths"] = paths
 
@@ -360,8 +363,9 @@ def run_kg(
         if "exc" in encode_holder:
             raise encode_holder["exc"]
         timings["encode_write"] = encode_holder["sec"]
-        result["mentions"] = rd.read_parquet(
-            os.path.join(out_dir, "mentions"))
+        mdir = os.path.join(out_dir, "mentions")
+        if os.path.isdir(mdir):  # absent for a zero-mention corpus
+            result["mentions"] = rd.read_parquet(mdir)
 
     timings["total"] = round(time.time() - t_start, 3)
     result["timings"] = timings

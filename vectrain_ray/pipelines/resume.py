@@ -97,7 +97,10 @@ def _shard(input_path: str, out_dir: str, num_parts: int,
             ["conv_id", "turn_idx", "text"])
 
     def add_part(t: pa.Table) -> pa.Table:
-        parts = [rules.crc_bucket(c, num_parts) for c in t["conv_id"].to_pylist()]
+        # null conv_id (admissible input — run_kg tolerates it) buckets as
+        # the empty string instead of crashing crc_bucket's .encode()
+        parts = [rules.crc_bucket(c or "", num_parts)
+                 for c in t["conv_id"].to_pylist()]
         return t.append_column("part", pa.array(parts, pa.int32()))
 
     ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
@@ -289,12 +292,17 @@ def run_kg_resumable(
         # the mapping was rebuilt or the shard count changed
         index_dir = os.path.join(out_dir, "link_index")
         shards_marker = os.path.join(index_dir, "_SHARDS")
+        # the marker binds BOTH the shard count and the mapping fingerprint
+        # the index was built from: a crash between the mapping commit and
+        # the index rebuild (or a shard-count change in between) must not
+        # let phase 3 link against a stale index
+        want = f"{link_shards}|{ext_fp}"
         index_ok = marker_ok and os.path.exists(shards_marker) and \
-            open(shards_marker).read() == str(link_shards)
+            open(shards_marker).read() == want
         if not index_ok:
             write_link_index(rd.read_parquet(mapping_dir), index_dir,
                              link_shards)
-            open(shards_marker, "w").write(str(link_shards))
+            open(shards_marker, "w").write(want)
         shard_actors = make_link_shard_actors(
             index_dir, link_shards, dim=dim, ann=link_ann,
             n_cells=link_ann_cells, n_probe=link_ann_probe)
@@ -350,18 +358,25 @@ def run_kg_resumable(
         tr_dir = partition_output_dir(out_dir, "triples", part)
         linked.write_parquet(tr_dir)
 
-        # per-shard edge partials: combiner + bucketed per-shard merge → tiny rows
-        ep = (
-            rd.read_parquet(sorted(glob.glob(os.path.join(tr_dir, "*.parquet"))))
-            .map_batches(materialize.partial_edges, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(materialize._finalize_edges_bucket, batch_format="pandas")
-        )
-        ep.write_parquet(partition_output_dir(out_dir, "edge_partials", part))
-
         import pyarrow.parquet as pq
 
+        # a shard with mentions but ZERO triples (no sentence matched the
+        # predicate vocabulary) writes no files at all — read_parquet([])
+        # raises, so the edge-partial step must skip such shards instead of
+        # permanently wedging every resume on the same crash
         tr_files = sorted(glob.glob(os.path.join(tr_dir, "*.parquet")))
+        if tr_files:
+            # per-shard edge partials: combiner + bucketed merge → tiny rows
+            ep = (
+                rd.read_parquet(tr_files)
+                .map_batches(materialize.partial_edges,
+                             batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(materialize._finalize_edges_bucket,
+                            batch_format="pandas")
+            )
+            ep.write_parquet(partition_output_dir(out_dir, "edge_partials",
+                                                  part))
         n_tr = sum(pq.read_metadata(f).num_rows for f in tr_files)
         from ..stages.link import (count_unsafe_links,
                                    count_unsafe_links_distributed)
@@ -372,7 +387,11 @@ def run_kg_resumable(
                 for f in glob.glob(os.path.join(mapping_dir, "*.parquet")))
         if not tr_files:
             n_unsafe = 0
-        elif n_map_rows >= UNSAFE_SET_MAX_ENTITIES:
+        elif (n_map_rows >= UNSAFE_SET_MAX_ENTITIES
+              or n_tr >= UNSAFE_SET_MAX_ENTITIES):
+            # distributed when EITHER side is driver-hostile: a small
+            # vocabulary over a huge corpus still means shard-sized
+            # triples, which the small branch loads as one pandas frame
             # big-mapping regime: neither the shard's triples nor the
             # mapping norms touch the driver (stages/link.py)
             n_unsafe = count_unsafe_links_distributed(tr_files, mapping_dir)
@@ -408,9 +427,19 @@ def run_kg_resumable(
     if os.path.exists(final_marker):
         os.remove(final_marker)
 
-    ep = rd.read_parquet(ep_all).map_batches(
-        materialize.finalized_to_partial_rows, batch_format="pyarrow"
-    )
+    if ep_all:
+        ep = rd.read_parquet(ep_all).map_batches(
+            materialize.finalized_to_partial_rows, batch_format="pyarrow"
+        )
+    else:  # zero triples corpus-wide → empty partial-row table
+        ep = rd.from_arrow(pa.table({
+            "src_id": pa.array([], pa.string()),
+            "dst_id": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "prov": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int32()),
+        }))
     edges = ep.groupby("bucket").map_groups(
         materialize._finalize_edges_bucket, batch_format="pandas"
     ).materialize()

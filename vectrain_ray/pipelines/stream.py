@@ -87,7 +87,8 @@ class StreamDriver:
         num_parts = self.num_parts
 
         def add_part(t: pa.Table) -> pa.Table:
-            parts = [rules.crc_bucket(c, num_parts)
+            # null conv_id buckets as '' instead of crashing .encode()
+            parts = [rules.crc_bucket(c or "", num_parts)
                      for c in t["conv_id"].to_pylist()]
             return t.append_column("part", pa.array(parts, pa.int32()))
 

@@ -156,6 +156,14 @@ class OllamaEncoder(HashingEncoder):
         if live:
             try:
                 vecs = self.transport([t for _, t in live])
+                if len(vecs) != len(live):
+                    # a truncated response (partial batch, proxy cutoff)
+                    # must dead-letter, not silently leave zero vectors
+                    # with errs=None — that would break Vector-xor-Err AND
+                    # poison the per-actor memo with fake encodings
+                    raise ValueError(
+                        f"embedding server returned {len(vecs)} vectors "
+                        f"for {len(live)} inputs")
                 for (i, _), v in zip(live, vecs):
                     out[i] = np.asarray(v, dtype=np.float32)[: self.dim]
             except Exception as exc:  # noqa: BLE001 — dead-letter, don't kill

@@ -50,7 +50,10 @@ def partial_edges(batch: pa.Table) -> pa.Table:
             ),
         }
     )
-    grp = t.group_by(keys + ["prov"]).aggregate([("prov", "count")])
+    # count(*) semantics: a null prov (null conv_id/turn_idx input) must
+    # still add its triples to the edge WEIGHT — pyarrow's column count is
+    # only_valid and would emit weight 0 for such groups
+    grp = t.group_by(keys + ["prov"]).aggregate([([], "count_all")])
     grp = grp.rename_columns(keys + ["prov", "cnt"])
 
     df = grp.to_pandas()  # collapsed rows only
