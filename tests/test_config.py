@@ -83,8 +83,10 @@ def test_linker_options_reach_the_linkers(tmp_path):
     import os as _os
 
     # the sharded index artifact only exists when linker.shards was honored
+    # (marker = "<shards>|<mapping fingerprint>" since the staleness fix)
     assert _os.path.exists(_os.path.join(out, "link_index", "_SHARDS"))
-    assert open(_os.path.join(out, "link_index", "_SHARDS")).read() == "2"
+    marker = open(_os.path.join(out, "link_index", "_SHARDS")).read()
+    assert marker.split("|", 1)[0] == "2"
     assert _g.glob(_os.path.join(out, "edges", "*.parquet"))
 
 
