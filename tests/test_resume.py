@@ -166,3 +166,25 @@ def test_resume_distributed_unsafe_gate(transcripts_path, tmp_path,
             expected = unsafe
         else:
             assert unsafe == expected
+
+
+def test_same_size_rewrite_forces_reprocess(transcripts_path, tmp_path):
+    """A shard input rewritten in place with IDENTICAL byte size must still
+    invalidate the manifest (fingerprint includes mtime, not just size)."""
+    import os
+    import time as _t
+
+    from vectrain_ray.state.manifest import PartitionManifest, _fingerprint
+
+    out = str(tmp_path / "o")
+    run_kg_resumable(transcripts_path, out, num_parts=2)
+    man = PartitionManifest(os.path.join(out, "p1_extract"))
+    part = man.completed_parts()[0]
+    files = sorted(glob.glob(os.path.join(out, "shards", f"part={part}",
+                                          "*.parquet")))
+    before = _fingerprint(files)
+    _t.sleep(0.01)
+    data = open(files[0], "rb").read()
+    open(files[0], "wb").write(data)  # same bytes, same size, new mtime
+    assert _fingerprint(files) != before
+    assert not man.is_done(part, files)

@@ -143,8 +143,10 @@ class ControlServer:
                 num_parts=spec.sink.num_parts,
                 **resume_kwargs_from_spec(spec),
             )
-            history = drv.run(stop_event=self.stop_event)
-            self.polls += len(history)
+            def _bump(_m):  # live progress for /api/health mid-run
+                self.polls += 1
+
+            drv.run(stop_event=self.stop_event, on_poll=_bump)
         except BaseException as exc:  # noqa: BLE001 — surface via /api/health
             self.loop_error = f"{type(exc).__name__}: {exc}"
 

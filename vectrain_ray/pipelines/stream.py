@@ -151,7 +151,7 @@ class StreamDriver:
 
     def run(self, max_iterations: int | None = None,
             idle_stop_after: int | None = None,
-            stop_event=None) -> list[dict]:
+            stop_event=None, on_poll=None) -> list[dict]:
         """Continuous loop. ``max_iterations`` bounds total polls;
         ``idle_stop_after`` stops after N consecutive empty polls (both for
         tests/drain — omit both to run forever like the reference loop).
@@ -159,7 +159,8 @@ class StreamDriver:
         GRACEFULLY — checked only BETWEEN micro-batches, so the in-flight
         batch commits its manifests first (the reference's pipeline.Stop +
         tail flush, internal/app/pipeline/pipeline.go:193-209; lossless here
-        because every phase is manifest-gated)."""
+        because every phase is manifest-gated). ``on_poll(metrics)`` fires
+        after every poll — the control plane's live progress hook."""
         history: list[dict] = []
         idle = 0
         it = 0
@@ -168,6 +169,8 @@ class StreamDriver:
                 return history
             m = self.poll_once()
             history.append(m)
+            if on_poll is not None:
+                on_poll(m)
             idle = idle + 1 if m["new_files"] == 0 else 0
             it += 1
             if max_iterations is not None and it >= max_iterations:

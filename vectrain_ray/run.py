@@ -47,7 +47,16 @@ def _status(out_dir: str) -> dict:
         if not os.path.isdir(mdir):
             continue
         man = PartitionManifest(os.path.join(out_dir, name))
-        parts = {p: man.load(p) for p in man.completed_parts()}
+        # the pipeline may invalidate a manifest between completed_parts()
+        # and load() (mapping rebuild) — treat a vanished part as absent
+        parts = {}
+        for p in man.completed_parts():
+            try:
+                meta = man.load(p)
+            except OSError:
+                meta = None
+            if meta is not None:
+                parts[p] = meta
         phases[key] = {
             "completed_parts": sorted(parts),
             "partitions": parts,
@@ -79,7 +88,13 @@ def _status(out_dir: str) -> dict:
         if files:
             import pyarrow.parquet as pq
 
-            out_rows[tbl] = sum(pq.read_metadata(f).num_rows for f in files)
+            n = 0
+            for f in files:
+                try:  # finalize may be rewriting these files concurrently
+                    n += pq.read_metadata(f).num_rows
+                except Exception:  # noqa: BLE001 — half-written/removed
+                    continue
+            out_rows[tbl] = n
     doc["output_rows"] = out_rows
     return doc
 

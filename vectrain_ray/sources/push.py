@@ -62,6 +62,9 @@ class PushServer:
         self._counter_lock = threading.Lock()  # handler threads race +=
         self._files_written = 0
         self._stop = threading.Event()
+        self._status_at = 0.0  # TTL cache — same rationale as control.py:
+        self._status_doc: dict = {}  # a scrape must not re-open every
+        self._status_lock = threading.Lock()  # footer per request
         server_self = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -82,11 +85,12 @@ class PushServer:
                                       "queued": server_self.queue.qsize(),
                                       "accepted": server_self.accepted})
                 elif self.path == "/api/status":
-                    from ..run import _status
-
                     out = server_self.status_out_dir
-                    self._reply(200, _status(out) if out else
-                                {"error": "no status_out_dir configured"})
+                    if not out:
+                        self._reply(200,
+                                    {"error": "no status_out_dir configured"})
+                    else:
+                        self._reply(200, server_self._status_cached(out))
                 else:
                     self._reply(404, {"error": "not found"})
 
@@ -96,6 +100,14 @@ class PushServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n < 0 or n > 10_000_000:
+                        # admission control includes the BODY: a huge (or
+                        # negative → read-to-EOF) Content-Length must not
+                        # buffer unbounded bytes in the handler thread
+                        with server_self._counter_lock:
+                            server_self.rejected_bad += 1
+                        self._reply(413, {"error": "body too large"})
+                        return
                     rec = json.loads(self.rfile.read(n))
                     if not isinstance(rec, dict):  # '[1,2]' / '"x"' → 400
                         raise ValueError("record must be a JSON object")
@@ -105,7 +117,10 @@ class PushServer:
                             server_self.rejected_bad += 1
                         self._reply(400, {"error": "empty text"})  # client.go:90-97
                         return
-                    row = {"conv_id": str(rec.get("conv_id", "")),
+                    cv = rec.get("conv_id")
+                    # JSON null → "" (str(None) would mint a fake "None"
+                    # conversation; stream.py buckets null conv as "" too)
+                    row = {"conv_id": "" if cv is None else str(cv),
                            "turn_idx": int(rec.get("turn_idx", 0)),
                            "text": text}
                 except (ValueError, TypeError, json.JSONDecodeError):
@@ -126,6 +141,20 @@ class PushServer:
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address
+
+    def _status_cached(self, out_dir: str, ttl: float = 5.0) -> dict:
+        from ..run import _status
+
+        with self._status_lock:
+            now = time.time()
+            if now - self._status_at > ttl:
+                try:
+                    self._status_doc = _status(out_dir)
+                except Exception as exc:  # noqa: BLE001 — scrape-safe
+                    self._status_doc = {"error": f"{type(exc).__name__}: "
+                                                 f"{exc}"}
+                self._status_at = now
+            return self._status_doc
 
     # --- flusher ----------------------------------------------------------
     def _flush(self, rows: list) -> None:
@@ -177,9 +206,13 @@ class PushServer:
         """Graceful: stop accepting, drain the queue to a final landing file
         (the reference's tail flush, pipeline.go:193-209)."""
         self._httpd.shutdown()
+        # join in-flight handler threads BEFORE stopping the flusher: a
+        # handler mid-do_POST may still enqueue + ack a row, and the tail
+        # flush must include every acknowledged row (ThreadingHTTPServer
+        # tracks handler threads; server_close joins them)
+        self._httpd.server_close()
         self._stop.set()
         if self._flush_t is not None:
             self._flush_t.join(timeout=30)
         else:
             self._flusher_loop()  # drain inline
-        self._httpd.server_close()

@@ -25,7 +25,13 @@ import time
 
 
 def _fingerprint(paths: list[str]) -> str:
-    parts = [f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in sorted(paths)]
+    """name:size:mtime_ns per input file — size alone would treat a file
+    rewritten in place with identical byte length as unchanged and silently
+    serve stale outputs on resume."""
+    parts = []
+    for p in sorted(paths):
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
     return "|".join(parts)
 
 
