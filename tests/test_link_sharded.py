@@ -212,3 +212,69 @@ def test_link_shard_ivf_empty_shard_falls_back(tiny_mapping, tmp_path):
     shard = LinkShard(index_dir, empty, dim=64, ann="ivf")
     s, e, n, m = shard.fuzzy(encode_texts(["anything"], dim=64))
     assert list(e) == [None] and s[0] == -np.inf
+
+
+@pytest.mark.parametrize("threshold", [0.85, 0.0])
+def test_routed_fuzzy_equals_fanout_and_broadcast(tmp_path, threshold):
+    """Round-3 verdict item 1: centroid-routed shard probing (default) must
+    be bit-identical to both the all-shard fan-out (route=False) and the
+    broadcast linker at K=8, while doing strictly fewer query x shard
+    scorings than the fan-out."""
+    from vectrain_ray.stages.link import (
+        EntityLinker,
+        ShardedEntityLinker,
+        build_link_index,
+        make_link_shard_actors,
+        write_link_index,
+    )
+
+    mapping = pd.DataFrame({
+        "surface_norm": [f"company {w}" for w in (
+            "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+            "hotel", "india", "juliett", "kilo", "lima", "mike", "november",
+            "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+            "victor", "whiskey", "xray", "yankee", "zulu")] + [
+            "acme corp", "globex", "initech", "umbrella corp",
+            "wayne enterprises", "stark industries", "tyrell corp",
+            "cyberdyne systems", "weyland yutani", "oceanic airlines"],
+    })
+    mapping["entity_id"] = [f"e{i}" for i in range(len(mapping))]
+    mapping["canonical_name"] = mapping["surface_norm"].str.title()
+
+    K = 8
+    idx_dir = str(tmp_path / "idx_routed")
+    write_link_index(rd.from_pandas(mapping), idx_dir, num_shards=K)
+    actors = make_link_shard_actors(idx_dir, K, dim=64)
+    try:
+        queries = [
+            "Company Alfa", "company bravoo", "compny charlie", "Acme Korp",
+            "globex international", "stark industry", "tyrel corp",
+            "cyberdine systems", "weiland yutani", "oceanic airline",
+            "totally novel zzz", "qqq unrelated thing", "company zulu",
+            "Umbrella Corp", None, "wayne enterprise",
+        ]
+        batch = pa.table({"subj": queries, "obj": list(reversed(queries))})
+
+        broadcast = EntityLinker(
+            index_ref=ray.put(build_link_index(mapping, dim=64)),
+            dim=64, fuzzy_threshold=threshold)
+        routed = ShardedEntityLinker(actors, dim=64, fuzzy_threshold=threshold)
+        fanout = ShardedEntityLinker(actors, dim=64, fuzzy_threshold=threshold,
+                                     route=False)
+        got_b, got_r, got_f = broadcast(batch), routed(batch), fanout(batch)
+        for col in ("subj_id", "obj_id"):
+            assert got_b[col].to_pylist() == got_r[col].to_pylist(), col
+            assert got_b[col].to_pylist() == got_f[col].to_pylist(), col
+
+        assert fanout.stats["fuzzy_probes"] == K * fanout.stats["fuzzy_misses"]
+        assert routed.stats["fuzzy_misses"] == fanout.stats["fuzzy_misses"]
+        # the point of the fix: strictly fewer probes than K x misses — and
+        # at a real threshold, fewer actor RPCs too (threshold=0.0 is the
+        # adversarial no-pruning case: every shard's bound stays >= 0, so
+        # round-by-round probing can cost an extra RPC; scorings still drop)
+        assert routed.stats["fuzzy_probes"] < fanout.stats["fuzzy_probes"]
+        if threshold >= 0.85:
+            assert routed.stats["fuzzy_calls"] < fanout.stats["fuzzy_calls"]
+    finally:
+        for a in actors:
+            ray.kill(a)
