@@ -16,9 +16,18 @@ import ray.data as rd
 from ..schema import TRANSCRIPT_SCHEMA
 
 
+def _strip_meta(t):
+    # pandas-written parquet carries a b'pandas' schema-metadata blob;
+    # metadata-bearing schemas are unhashable, which spams every downstream
+    # shuffle with Ray's "Failed to hash the schemas" worker warning and
+    # defeats unify_schemas' early exit. O(1) zero-copy, fused into the read.
+    return t.replace_schema_metadata(None)
+
+
 def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
     """Column-pruned partitioned-parquet transcript read (S1/S2)."""
-    return rd.read_parquet(path, columns=columns)
+    return rd.read_parquet(path, columns=columns).map_batches(
+        _strip_meta, batch_format="pyarrow")
 
 
 def read_wire_entities_json(path: str) -> rd.Dataset:

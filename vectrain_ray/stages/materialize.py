@@ -16,6 +16,7 @@ pipeline.go:182-221) with idempotent Parquet tables:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -190,19 +191,32 @@ def edges_from_linked(linked_ds, recombine_batch: int | None = 1 << 17):
 
 
 def prov_to_struct(batch: pa.Table) -> pa.Table:
-    """prov list<string "conv|t"> → provenance list<struct<conv_id,turn_idx>>."""
-    prov = batch["prov"].to_pylist()
-    structs = [
-        [
-            {"conv_id": p.rsplit("|", 1)[0], "turn_idx": int(p.rsplit("|", 1)[1])}
-            for p in (lst or [])
-        ]
-        for lst in prov
-    ]
-    arr = pa.array(
-        structs,
-        pa.list_(pa.struct([("conv_id", pa.string()), ("turn_idx", pa.int32())])),
+    """prov list<string "conv|t"> → provenance list<struct<conv_id,turn_idx>>.
+
+    Pure-Arrow: the list column is flattened once, ONE RE2-free
+    ``split_pattern(reverse=True, max_splits=1)`` call rsplits every packed
+    string (conv_id may itself contain '|'), and the list is rebuilt over a
+    StructArray from cumulative lengths — no per-row Python on the output
+    path (round-2 verdict item 3: this runs over the ENTIRE edge table).
+    Null prov lists come back as empty lists, same as the old row loop."""
+    batch = batch.replace_schema_metadata(None)  # pandas-block residue —
+    # metadata-bearing schemas are unhashable and spam shuffle warnings
+    la = batch["prov"].combine_chunks()
+    flat = la.flatten()  # honors slices; null lists contribute 0 values
+    parts = pc.split_pattern(flat, "|", max_splits=1, reverse=True)
+    sv = pa.StructArray.from_arrays(
+        [pc.list_element(parts, 0),
+         pc.cast(pc.list_element(parts, 1), pa.int32())]
+        if len(flat) else
+        [pa.array([], pa.string()), pa.array([], pa.int32())],
+        names=["conv_id", "turn_idx"],
     )
+    lens = np.nan_to_num(
+        pc.list_value_length(la).to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    offsets = pa.array(
+        np.concatenate([[0], np.cumsum(lens)]).astype(np.int32), pa.int32())
+    arr = pa.ListArray.from_arrays(offsets, sv)
     batch = batch.drop_columns(["prov"])
     return batch.append_column("provenance", arr)
 
