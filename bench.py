@@ -32,16 +32,20 @@ BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "100000"))
 BENCH_SEED = 1234
 
 
-def _bench_transcripts_path() -> str:
+def _bench_transcripts_path(novel: bool = False) -> str:
     """Seed-fixed synthetic transcripts, written once and reused
-    byte-identically across runs AND parallelism levels (FIXTURES.md §4)."""
-    path = f"/tmp/vectrain_bench/transcripts_c{BENCH_CONVS}_s{BENCH_SEED}"
+    byte-identically across runs AND parallelism levels (FIXTURES.md §4).
+    ``novel=True`` = the low-duplication worst case: every sentence carries
+    a unique lowercase tag, so the extraction sentence memo never hits."""
+    tag = "_novel" if novel else ""
+    path = f"/tmp/vectrain_bench/transcripts_c{BENCH_CONVS}_s{BENCH_SEED}{tag}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from vectrain_ray.synth import write_transcripts
 
         write_transcripts(path, num_convs=BENCH_CONVS, turns_per_conv=16,
-                          seed=BENCH_SEED, num_files=64)
+                          seed=BENCH_SEED, num_files=64,
+                          novel_frac=1.0 if novel else 0.0)
         open(marker, "w").write("ok")
     return path
 
@@ -77,27 +81,30 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     mode = os.environ.get("GRAFT_BENCH_MODE", "full")
 
-    if mode == "extract":
-        # the headline metric of BASELINE.json: triple-extraction throughput
-        # (turns/sec) — the embarrassingly parallel stage, no phase barriers
+    def _time_extract(in_path: str, out_tag: str) -> float:
         from vectrain_ray.functions.dedup_exact import dedup_exact_local
         from vectrain_ray.stages.extract import (
             extract_batch,
             filter_nonempty_text,
         )
 
-        out_dir = f"/tmp/vectrain_bench/ext_{NUM_CPUS}"
+        out_dir = f"/tmp/vectrain_bench/ext_{out_tag}_{NUM_CPUS}"
         import shutil
 
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        ds = rd.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"])
+        ds = rd.read_parquet(in_path, columns=["conv_id", "turn_idx", "text"])
         ds = dedup_exact_local(ds, ["conv_id", "turn_idx"], sort_within=["text"])
         ds.map_batches(filter_nonempty_text, batch_format="pyarrow",
                        batch_size=8192).map_batches(
             extract_batch, batch_format="pyarrow", batch_size=8192
         ).write_parquet(out_dir)
-        kg_sec = time.time() - t0
+        return time.time() - t0
+
+    if mode == "extract":
+        # the headline metric of BASELINE.json: triple-extraction throughput
+        # (turns/sec) — the embarrassingly parallel stage, no phase barriers
+        kg_sec = _time_extract(tpath, "hot")
         timings["extract_pipeline"] = round(kg_sec, 3)
     else:
         t0 = time.time()
@@ -113,6 +120,18 @@ def run_bench() -> dict:
         kg_sec = time.time() - t0
         timings["kg_pipeline"] = round(kg_sec, 3)
         timings["kg_phases"] = res.get("timings", {})
+
+        if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+            # extraction on BOTH corpora (VERDICT r2 item 6): the memo-
+            # friendly bench corpus and the low-duplication worst case
+            # where every sentence is novel — bounds the memo assumption
+            timings["extract_memo_corpus"] = round(
+                _time_extract(tpath, "hot"), 3)
+            npath = _bench_transcripts_path(novel=True)
+            nodup_sec = _time_extract(npath, "nodup")
+            timings["extract_nodup_corpus"] = round(nodup_sec, 3)
+            timings["extract_nodup_turns_per_sec"] = round(
+                n_turns / nodup_sec, 1)
 
     secondary = [] if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else [
         ("groupby_agg", Q.q_groupby_agg),

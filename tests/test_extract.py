@@ -2,6 +2,7 @@
 partitioning — SURVEY.md §5 test 1 (ingest ordering) and the P/R target."""
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 import ray.data as rd
 
@@ -76,3 +77,47 @@ def test_projection_helpers_split_kinds(small_transcripts):
     t = triples_table(ext)
     assert m.num_rows + t.num_rows == ext.num_rows
     assert "mention_id" in m.schema.names and "row_id" in t.schema.names
+
+
+def test_prefilter_skips_candidate_free_sentences_with_exact_spans():
+    """The [A-Z] pre-filter must not disturb absolute span offsets when a
+    candidate-free sentence precedes a mention-bearing one."""
+    import pyarrow as pa
+
+    text = "let me check that. Alice Johnson works at Acme Corp."
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c2"]),
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        # c2: entirely candidate-free -> filtered by the vectorized row gate
+        "text": pa.array([text, "all lowercase, nothing here."]),
+    })
+    ext = extract_batch(t)
+    assert set(ext["conv_id"].to_pylist()) == {"c1"}
+    mentions = ext.filter(pc.equal(ext["kind"], "mention"))
+    for surf, s, e in zip(mentions["surface_form"].to_pylist(),
+                          mentions["span_start"].to_pylist(),
+                          mentions["span_end"].to_pylist()):
+        assert text[s:e] == surf, (surf, s, e)
+    triples = ext.filter(pc.equal(ext["kind"], "triple"))
+    assert [(r["subj"], r["pred"], r["obj"]) for r in triples.to_pylist()] \
+        == [("Alice Johnson", "works_at", "Acme Corp")]
+
+
+def test_novelized_corpus_extracts_identical_entities():
+    """synth.novel_frac injects lowercase uniqueness tags INSIDE sentences:
+    the memo worst case must still extract the same mentions and triples
+    (spans shift; surfaces and triples do not)."""
+    from vectrain_ray.synth import generate_transcripts
+
+    a = generate_transcripts(12, 6, seed=5)
+    b = generate_transcripts(12, 6, seed=5, novel_frac=1.0)
+    assert a["text"].to_pylist() != b["text"].to_pylist()  # tags present
+
+    def key(t):
+        ext = extract_batch(t)
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["kind"], r["surface_form"],
+             r["subj"], r["pred"], r["obj"])
+            for r in ext.to_pylist())
+
+    assert key(a) == key(b)

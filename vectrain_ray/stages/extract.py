@@ -18,6 +18,8 @@ byte-identical rows that exact-dedup removes.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -56,6 +58,14 @@ def filter_nonempty_text(batch: pa.Table) -> pa.Table:
 _SENT_CACHE: dict = {}
 _SENT_CACHE_MAX = 2_000_000
 
+# Candidate pre-filter: MENTION_RE requires an uppercase letter, and triples
+# require mentions — so text without [A-Z] provably emits nothing. Checked
+# vectorized (Arrow RE2) per ROW, then per SENTENCE with one compiled C
+# regex, so candidate-free sentences never reach the extraction regexes or
+# the memo. This bounds the low-duplication worst case (VERDICT r2 item 6),
+# where the sentence memo never hits.
+_UPPER_RE = re.compile(r"[A-Z]")
+
 
 def _sentence_extract(sentence: str):
     r = _SENT_CACHE.get(sentence)
@@ -75,6 +85,11 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     does not affect emitted rows, so arbitrary batching/partitioning yields
     the same multiset of rows (pinned by tests/test_extract.py).
     """
+    # vectorized row-level pre-filter: drop rows that can't emit anything
+    text_col = pc.fill_null(batch["text"], "")
+    candidate = pc.match_substring_regex(text_col, "[A-Z]")
+    batch = batch.filter(candidate)
+
     conv_ids = batch["conv_id"].to_pylist()
     turn_idxs = batch["turn_idx"].to_pylist()
     texts = batch["text"].to_pylist()
@@ -83,12 +98,14 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     o_surf, o_ss, o_se = [], [], []
     o_subj, o_pred, o_obj = [], [], []
 
+    sep_len = len(rules.SENTENCE_SEP)
     for conv_id, turn_idx, text in zip(conv_ids, turn_idxs, texts):
-        if not text or not text.strip():
-            continue
         occ = 0
         off = 0
         for sentence in text.split(rules.SENTENCE_SEP):
+            if _UPPER_RE.search(sentence) is None:
+                off += len(sentence) + sep_len
+                continue
             sent_mentions, sent_triples = _sentence_extract(sentence)
             for surf, s, e in sent_mentions:
                 o_conv.append(conv_id)

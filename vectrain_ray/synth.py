@@ -69,14 +69,42 @@ def _zipf_pick(rng: np.random.RandomState, items: list[str]) -> str:
     return items[idx]
 
 
+def _novelize_text(text: str, conv_id: str, turn_idx: int) -> str:
+    """Make every sentence of ``text`` globally unique by injecting a
+    deterministic lowercase tag BEFORE the trailing period — inside the
+    sentence, so the sentence-level extraction memo (stages/extract.py)
+    can never hit, while extraction OUTPUT is unchanged (the tag is
+    lowercase: no mention candidate, no predicate).
+
+    This is the worst-case corpus for the memo's 97%-hit assumption
+    (VERDICT r2 item 6): a real low-duplication corpus where every
+    sentence is novel."""
+    if not text or not text.strip():
+        return text
+    out = []
+    for i, sent in enumerate(text.split(rules.SENTENCE_SEP)):
+        tag = f" ref {rules.stable_id(conv_id, turn_idx, i)}"
+        if sent.endswith("."):
+            out.append(sent[:-1] + tag + ".")
+        else:
+            out.append(sent + tag)
+    return rules.SENTENCE_SEP.join(out)
+
+
 def generate_transcripts(
     num_convs: int = 100,
     turns_per_conv: int = 20,
     seed: int = 42,
     empty_frac: float = 0.03,
     dup_frac: float = 0.02,
+    novel_frac: float = 0.0,
 ) -> pa.Table:
-    """Deterministic transcript table (TRANSCRIPT_SCHEMA). Pure fn of args."""
+    """Deterministic transcript table (TRANSCRIPT_SCHEMA). Pure fn of args.
+
+    ``novel_frac``: fraction of turns whose sentences get a deterministic
+    unique lowercase tag (1.0 = fully low-duplication corpus, the
+    sentence-memo worst case). 0.0 (default) leaves output byte-identical
+    to earlier rounds."""
     rng = np.random.RandomState(seed)
     people = _people(rng, 40)
     orgs = _orgs(rng, 30)
@@ -134,6 +162,16 @@ def generate_transcripts(
             tools.append(tools[i])
             tss.append(tss[i])
 
+    if novel_frac > 0.0:
+        # hash-gated (not rng) so duplicate re-sends of a turn stay exact
+        # duplicates of each other and novel_frac=0 stays byte-identical
+        texts = [
+            _novelize_text(tx, c, t)
+            if rules.crc_bucket(f"{c}|{t}|novel", 1000) < novel_frac * 1000
+            else tx
+            for c, t, tx in zip(conv_ids, turn_idxs, texts)
+        ]
+
     return pa.table(
         {
             "conv_id": pa.array(conv_ids, pa.string()),
@@ -153,6 +191,7 @@ def write_transcripts(
     turns_per_conv: int = 20,
     seed: int = 42,
     num_files: int = 8,
+    novel_frac: float = 0.0,
 ) -> str:
     """Write multi-file Parquet hash-partitioned by conv_id (FIXTURES.md §1).
 
@@ -160,7 +199,8 @@ def write_transcripts(
     kafka/client.go:49-92); a conversation never spans files.
     """
     os.makedirs(out_dir, exist_ok=True)
-    tbl = generate_transcripts(num_convs, turns_per_conv, seed)
+    tbl = generate_transcripts(num_convs, turns_per_conv, seed,
+                               novel_frac=novel_frac)
     part = np.array([rules.crc_bucket(c, num_files) for c in tbl["conv_id"].to_pylist()])
     for k in range(num_files):
         sub = tbl.filter(pa.array(part == k))
