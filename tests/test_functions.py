@@ -372,3 +372,68 @@ def test_topk_ranks_by_unrounded_score():
     top = topk_cosine(ds, [1.0, 0.0], k=1).take_all()
     assert [r["vec_id"] for r in top] == [2]
     assert top[0]["score"] == 0.1234  # output still rounds for the oracle
+
+
+def test_real_and_fake_decode_paths_share_schemas_via_stub_codecs(monkeypatch):
+    """VERDICT r2 item 9: the real codec libraries can't be installed here,
+    but the real BRANCH code can still run — inject stub codec objects past
+    the import guard and pin that real and fake paths emit identical
+    schemas (the contract a cluster with the libs installed relies on)."""
+    import numpy as np
+
+    # image: stub PIL.Image module driving the real open→convert→resize path
+    t_img = make_fake_media_table(3)
+    fake_img = ImageDecoder(dim=8)(t_img)
+
+    class _StubImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            assert wh == (8, 1)
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.ones((1, 8), dtype=dtype or np.float32)
+
+    class _StubImageMod:
+        @staticmethod
+        def open(buf):
+            return _StubImg()
+
+    dec = ImageDecoder(dim=8)  # construct on the fake path (no import)
+    dec.fake, dec._Image = False, _StubImageMod
+    real_img = dec(t_img)
+    assert real_img.schema == fake_img.schema
+
+    # audio: stub soundfile.read driving the real frame-split path
+    t_aud = make_fake_media_table(2, kind="audio")
+    fake_aud = AudioFeaturizer(frame_ms=250, dim=8)(t_aud)
+
+    class _StubSf:
+        @staticmethod
+        def read(buf, dtype):
+            return np.linspace(-1, 1, 4000, dtype=np.float32), 8000
+
+    af = AudioFeaturizer(frame_ms=250, dim=8)
+    af.fake, af._sf = False, _StubSf
+    real_aud = af(t_aud)
+    assert real_aud.schema == fake_aud.schema
+    assert real_aud.num_rows == 2 * 2  # 4000 samples / (8000*0.25) per clip
+
+    # video: stub subprocess.run driving the real ffmpeg-pipe path
+    t_vid = make_fake_media_table(2, kind="video")
+    fake_vid = VideoFrameSampler(every_ms=500)(t_vid)
+
+    class _Proc:
+        stdout = b"\x00" * 150_000  # 3 × 64 KiB-ish strides
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Proc())
+    vs = VideoFrameSampler(every_ms=500)
+    vs.fake = False
+    real_vid = vs(t_vid)
+    assert real_vid.schema == fake_vid.schema
+    assert real_vid.num_rows == 2 * 3
