@@ -89,12 +89,29 @@ class LinkerSpec:
 class SinkSpec:
     out_dir: str = ""
     num_parts: int = 8  # resumable-runner shards
+    # optional network vector-store push (the reference's Qdrant sink,
+    # qdrant/client.go:32-39): {kind, collection, dim, fields?, distance?,
+    # concurrency?, batch_size?, options?}
+    vector_store: dict = field(default_factory=dict)
 
     def validate(self) -> None:
         if not self.out_dir:
             raise ValueError("sink.out_dir is required")
         if self.num_parts <= 0:
             raise ValueError("sink.num_parts must be > 0")
+        if self.vector_store:
+            from .stages.vector_store import VECTOR_STORES
+
+            vs = self.vector_store
+            kind = vs.get("kind", "memory")
+            if kind not in VECTOR_STORES:
+                raise ValueError(
+                    f"unknown sink.vector_store.kind {kind!r} "
+                    f"(have {sorted(VECTOR_STORES)})")
+            if not vs.get("collection"):
+                raise ValueError("sink.vector_store.collection is required")
+            if int(vs.get("dim", 0)) <= 0:
+                raise ValueError("sink.vector_store.dim must be > 0")
 
 
 @dataclass
@@ -174,31 +191,41 @@ def run_from_spec(spec: PipelineSpec) -> dict:
     if spec.resumable:
         from .pipelines.resume import run_kg_resumable
 
-        return run_kg_resumable(
+        metrics = run_kg_resumable(
             spec.source.path,
             spec.sink.out_dir,
             num_parts=spec.sink.num_parts,
             **resume_kwargs_from_spec(spec),
         )
-    from .pipelines.kg import run_kg
-    from .sources.readers import get_reader
+    else:
+        from .pipelines.kg import run_kg
+        from .sources.readers import get_reader
 
-    src = (spec.source.path if spec.source.kind == "parquet"
-           else get_reader(spec.source.kind)(spec.source.path))
-    res = run_kg(
-        src,
-        out_dir=spec.sink.out_dir,
-        dim=spec.encoder.dim,
-        batch_size=spec.encoder.batch_size,
-        encoder_concurrency=spec.encoder.concurrency,
-        linker_concurrency=spec.linker.concurrency,
-        max_task_retries=spec.encoder.max_task_retries,
-        encoder_kind=spec.encoder.kind,
-        encoder_kwargs=spec.encoder.options,
-        link_shards=spec.linker.shards or None,
-        fuzzy_threshold=spec.linker.fuzzy_threshold,
-        link_ann=spec.linker.ann,
-        link_ann_cells=spec.linker.n_cells,
-        link_ann_probe=spec.linker.n_probe,
-    )
-    return {"paths": res.get("paths", {})}
+        src = (spec.source.path if spec.source.kind == "parquet"
+               else get_reader(spec.source.kind)(spec.source.path))
+        res = run_kg(
+            src,
+            out_dir=spec.sink.out_dir,
+            dim=spec.encoder.dim,
+            batch_size=spec.encoder.batch_size,
+            encoder_concurrency=spec.encoder.concurrency,
+            linker_concurrency=spec.linker.concurrency,
+            max_task_retries=spec.encoder.max_task_retries,
+            encoder_kind=spec.encoder.kind,
+            encoder_kwargs=spec.encoder.options,
+            link_shards=spec.linker.shards or None,
+            fuzzy_threshold=spec.linker.fuzzy_threshold,
+            link_ann=spec.linker.ann,
+            link_ann_cells=spec.linker.n_cells,
+            link_ann_probe=spec.linker.n_probe,
+        )
+        metrics = {"paths": res.get("paths", {})}
+    if spec.sink.vector_store:
+        # the reference's embed→store tail: push AFTER the durable parquet
+        # commit; idempotent (deterministic point ids), so a crash mid-push
+        # re-upserts on the next run
+        from .stages.vector_store import push_mentions
+
+        metrics["vectors_pushed"] = push_mentions(
+            spec.sink.out_dir, spec.sink.vector_store)
+    return metrics
