@@ -101,3 +101,26 @@ def test_prometheus_lines_empty_state():
     text = _prometheus_lines({"out_dir": "/nope", "exists": False})
     assert text.startswith("# TYPE vectrain_finalized gauge")
     assert "vectrain_finalized 0" in text
+
+
+def test_standalone_metrics_port(tmp_path):
+    """D8 parity: /metrics on its OWN listener (the reference's standalone
+    prometheus port, internal/infra/monitoring/prometheus.go:17-32) —
+    scrapes work there, API routes do not."""
+    landing = str(tmp_path / "landing")
+    write_transcripts(landing, num_convs=4, turns_per_conv=3, seed=23,
+                      num_files=1)
+    spec = PipelineSpec.from_dict(
+        {"source": {"path": landing},
+         "sink": {"out_dir": str(tmp_path / "out"), "num_parts": 1}})
+    srv = ControlServer(spec, port=0, metrics_port=0).start()
+    try:
+        assert srv.metrics_port and srv.metrics_port != srv.port
+        code, body = _req(srv.metrics_port, "/metrics")
+        assert code == 200 and b"vectrain_" in body
+        code, _ = _req(srv.metrics_port, "/api/health")
+        assert code == 404  # metrics listener serves ONLY /metrics
+        code, _ = _req(srv.port, "/metrics")
+        assert code == 200  # main listener still serves it too
+    finally:
+        srv.stop()

@@ -75,7 +75,8 @@ class ControlServer:
     commits its manifests, so stop+start is lossless, unlike the reference's
     Stop which can drop the un-acked tail, SURVEY.md §3)."""
 
-    def __init__(self, spec, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, spec, host: str = "127.0.0.1", port: int = 0,
+                 metrics_port: int | None = None):
         self.spec = spec
         self.stop_event = threading.Event()
         self._loop_t: threading.Thread | None = None
@@ -126,6 +127,36 @@ class ControlServer:
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address
+
+        # Standalone metrics listener (the reference serves /metrics on its
+        # OWN port, isolated from the app server — internal/infra/monitoring/
+        # prometheus.go:17-32): a scrape stays responsive even when the
+        # control plane is busy. Opt-in via metrics_port (0 = ephemeral).
+        self._metrics_httpd = None
+        self.metrics_port: int | None = None
+        if metrics_port is not None:
+
+            class MetricsHandler(BaseHTTPRequestHandler):
+                def log_message(self, *args):  # quiet
+                    pass
+
+                def do_GET(self):
+                    if self.path != "/metrics":
+                        self.send_response(404)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+                    body = _prometheus_lines(server_self.status()).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+            self._metrics_httpd = ThreadingHTTPServer(
+                (host, metrics_port), MetricsHandler)
+            self.metrics_port = self._metrics_httpd.server_address[1]
 
     # --- loop control -----------------------------------------------------
     def _running(self) -> bool:
@@ -222,10 +253,18 @@ class ControlServer:
         self._serve_t = threading.Thread(target=self._httpd.serve_forever,
                                          daemon=True)
         self._serve_t.start()
+        if self._metrics_httpd is not None:
+            self._metrics_t = threading.Thread(
+                target=self._metrics_httpd.serve_forever, daemon=True)
+            self._metrics_t.start()
         return self
 
     def stop(self) -> None:
         """Shut the HTTP side, then the loop (graceful, tail committed)."""
         self._httpd.shutdown()
+        if self._metrics_httpd is not None:
+            self._metrics_httpd.shutdown()
         self.stop_loop()
         self._httpd.server_close()
+        if self._metrics_httpd is not None:
+            self._metrics_httpd.server_close()

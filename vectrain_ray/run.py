@@ -128,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
     p_sv.add_argument("--config", required=True)
     p_sv.add_argument("--num-cpus", type=int, default=None)
     p_sv.add_argument("--port", type=int, default=8081)
+    p_sv.add_argument("--metrics-port", type=int, default=None,
+                      help="serve /metrics on its OWN port, isolated from "
+                      "the control plane (the reference's standalone "
+                      "prometheus listener); 0 = ephemeral")
     p_sv.add_argument("--autostart", action="store_true",
                       help="begin the ingest loop immediately")
     p_qr = sub.add_parser("query", help="run a registered operator pipeline "
@@ -234,11 +238,13 @@ def main(argv: list[str] | None = None) -> int:
 
             from .control import ControlServer
 
-            srv = ControlServer(spec, port=args.port).start()
+            srv = ControlServer(spec, port=args.port,
+                                metrics_port=args.metrics_port).start()
             if args.autostart:
                 srv.start_loop()
             print(json.dumps({"status": "serving", "host": srv.host,
                               "port": srv.port,
+                              "metrics_port": srv.metrics_port,
                               "running": args.autostart}), flush=True)
             try:
                 while True:
