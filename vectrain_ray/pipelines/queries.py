@@ -2908,6 +2908,68 @@ def q_read_csv(sf_dir: str):
 # FIRST 50 entries each round, so the newest / highest-risk ops lead and the
 # long-stable basics trail (round-2 verdict item 5 — every op is
 # driver-certified across rounds 2+3 combined).
+CHUNK_SIZE, CHUNK_STEP = 64, 48  # 16-token overlap
+
+
+def q_chunk_tokens(sf_dir: str):
+    """Token-budget document chunking with overlap — the pre-training
+    chunker: each document becomes ceil(dl/STEP)-ish rows of ≤CHUNK_SIZE
+    tokens, consecutive chunks overlapping by CHUNK_SIZE-CHUNK_STEP.
+
+    Fully vectorized: Arrow tokenization, list rebuild (empty tokens
+    filtered inside the list to match the SQL list_filter), then one
+    pc.list_slice + binary_join per chunk ordinal — the loop is over the
+    max chunks-per-doc in the batch (small constant), never over rows.
+    Stateless per batch, so it streams at any scale."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(t["text"], ""))
+        ).combine_chunks()
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        # drop empty tokens INSIDE each list (split of "" yields [""])
+        words = pc.list_flatten(toks)
+        keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        dl = np.bincount(parents[keep], minlength=n)
+        offsets = np.zeros(n + 1, np.int32)
+        np.cumsum(dl, out=offsets[1:])
+        toks = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                        words.filter(pa.array(keep)))
+        out_id, out_k, out_text, out_n = [], [], [], []
+        max_k = int(max(1, -(-dl.max() // CHUNK_STEP))) if n else 0
+        doc_ids = t["doc_id"].combine_chunks()
+        for k in range(max_k):
+            mask = pa.array(dl > k * CHUNK_STEP) if k else pa.array(
+                np.ones(n, bool))
+            sub = toks.filter(mask)
+            sl = pc.list_slice(sub, start=k * CHUNK_STEP,
+                               stop=k * CHUNK_STEP + CHUNK_SIZE)
+            out_id.append(doc_ids.filter(mask))
+            out_k.append(pa.array(np.full(len(sub), k, np.int32)))
+            out_text.append(pc.binary_join(sl, " "))
+            out_n.append(pc.cast(pc.list_value_length(sl), pa.int64()))
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int32()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        concat = pa.concat_arrays
+        return pa.table({
+            "doc_id": concat([a.combine_chunks() if isinstance(
+                a, pa.ChunkedArray) else a for a in out_id]),
+            "chunk_idx": concat(out_k),
+            "chunk_text": concat([a.combine_chunks() if isinstance(
+                a, pa.ChunkedArray) else a for a in out_text]),
+            "n_tokens": concat([a.combine_chunks() if isinstance(
+                a, pa.ChunkedArray) else a for a in out_n]),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=65536)
+
+
 BM25_TERMS = ("vector", "join", "stream")  # fixed OR-query, seed-free
 
 
@@ -2996,6 +3058,7 @@ def q_bm25_topk(sf_dir: str):
 
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "chunk_tokens": q_chunk_tokens,
     "histogram": q_histogram,
     "mode_per_group": q_mode_per_group,
     "stratified_sample": q_stratified_sample,
@@ -3235,6 +3298,16 @@ def _bm25_sql() -> str:
 
 ORACLE_SQL = {
     "bm25_topk": _bm25_sql(),
+    "chunk_tokens": (
+        "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "trim(lower(coalesce(text,''))), '\\s+'), x -> x <> '') AS tk "
+        "FROM documents), "
+        "starts AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk),1), "
+        f"{CHUNK_STEP})) AS st FROM toks) "
+        f"SELECT doc_id, CAST(st // {CHUNK_STEP} AS INTEGER) AS chunk_idx, "
+        f"array_to_string(tk[st+1:st+{CHUNK_SIZE}], ' ') AS chunk_text, "
+        f"len(tk[st+1:st+{CHUNK_SIZE}]) AS n_tokens FROM starts"
+    ),
     "filter_project": (
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE coalesce(text,'') <> '' AND n_chars > 100"
