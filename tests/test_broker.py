@@ -101,7 +101,7 @@ def test_broker_out_of_order_dups_to_kg_equals_oneshot(tmp_path):
 
     for tbl in ("edges", "nodes", "triples"):
         pd.testing.assert_frame_equal(
-            _read_sorted(out_b, tbl), _read_sorted(out_p, tbl)), tbl
+            _read_sorted(out_b, tbl), _read_sorted(out_p, tbl), obj=tbl)
 
     # caught up: an idle broker poll is a no-op with no new files
     m2 = consumer.poll_once()
@@ -119,7 +119,8 @@ def test_crash_before_offset_commit_replays_idempotently(tmp_path):
     landing = str(tmp_path / "landing")
     c1 = BrokerConsumer(broker, landing)
     c1.poll_once()
-    os.remove(c1.offsets_path)  # simulate: flush durable, commit lost
+    for f in glob.glob(os.path.join(landing, "_broker_offset_p*.json")):
+        os.remove(f)  # simulate: flush durable, commit lost
 
     c2 = BrokerConsumer(broker, landing)  # restart
     m = c2.poll_once()
@@ -190,3 +191,94 @@ def test_pump_loop_interleaves_and_stops(tmp_path):
     assert hist[0]["ran_pipeline"] is True
     assert hist[-1]["broker_rows"] == 0
     assert os.path.exists(os.path.join(out, "_FINAL_DONE"))
+
+
+class GappyBroker:
+    """Delivers offset 2 one poll LATE: first fetch from 0 returns
+    [0, 1, 3]; later fetches return the full window."""
+
+    def __init__(self):
+        self.values = [json.dumps({"conv_id": f"c{i}", "turn_idx": 0,
+                                   "text": f"Msg {i}"}).encode()
+                       for i in range(4)]
+        self.first = True
+
+    def partitions(self):
+        return [0]
+
+    def fetch(self, partition, offset, max_messages):
+        out = [(o, v) for o, v in enumerate(self.values) if o >= offset]
+        if self.first:
+            self.first = False
+            out = [(o, v) for o, v in out if o != 2]
+        return out
+
+
+def test_late_arrival_in_gap_is_never_dropped(tmp_path):
+    """complete_log (default): a hole in the fetch window is a LATE
+    message — the position advances only through the contiguous prefix,
+    so the late offset lands on the next poll instead of being skipped."""
+    landing = str(tmp_path / "landing")
+    consumer = BrokerConsumer(GappyBroker(), landing)
+    m1 = consumer.poll_once()
+    assert m1["rows"] == 2  # offsets 0,1 only — NOT 3 past the gap
+    assert m1["positions"][0] == 2
+    m2 = consumer.poll_once()  # gap filled → 2,3 land
+    assert m2["rows"] == 2 and m2["positions"][0] == 4
+    landed = pq.read_table(landing)
+    assert sorted(landed["_broker_offset"].to_pylist()) == [0, 1, 2, 3]
+
+
+def test_compacted_log_mode_advances_past_holes(tmp_path):
+    """complete_log=False: offset holes are real (log compaction) — the
+    position advances past them instead of stalling the partition."""
+    landing = str(tmp_path / "landing")
+    broker = GappyBroker()
+    broker.values.append(None)  # never delivered
+    consumer = BrokerConsumer(broker, landing, complete_log=False)
+
+    class Holey:
+        def partitions(self):
+            return [0]
+
+        def fetch(self, partition, offset, max_messages):
+            vals = broker.values[:4]
+            return [(o, v) for o, v in enumerate(vals)
+                    if o >= offset and o != 2]  # offset 2 is GONE
+
+    c = BrokerConsumer(Holey(), str(tmp_path / "l2"), complete_log=False)
+    m = c.poll_once()
+    assert m["rows"] == 3 and m["positions"][0] == 4  # no stall
+    m2 = c.poll_once()
+    assert m2["rows"] == 0  # and no re-fetch loop
+
+
+def test_disjoint_owners_share_landing_without_clobber(tmp_path):
+    """Two consumers owning disjoint partitions land into ONE directory;
+    per-partition offset files mean neither commit clobbers the other,
+    and a restart resumes both correctly."""
+    corpus = generate_transcripts(num_convs=8, turns_per_conv=4, seed=31)
+    broker = FakeBroker(num_partitions=2, seed=13)
+    _produce_transcripts(broker, corpus)
+
+    class View:
+        def __init__(self, part):
+            self.part = part
+
+        def partitions(self):
+            return [self.part]
+
+        def fetch(self, partition, offset, max_messages):
+            return broker.fetch(partition, offset, max_messages)
+
+    landing = str(tmp_path / "landing")
+    a = BrokerConsumer(View(0), landing)
+    b = BrokerConsumer(View(1), landing)
+    ra, rb = a.poll_once(), b.poll_once()
+    assert ra["rows"] + rb["rows"] == corpus.num_rows
+
+    # restart BOTH: positions intact, nothing re-fetched, no duplicates
+    a2, b2 = BrokerConsumer(View(0), landing), BrokerConsumer(View(1), landing)
+    assert a2.poll_once()["rows"] == 0
+    assert b2.poll_once()["rows"] == 0
+    assert len(pq.read_table(landing)) == corpus.num_rows

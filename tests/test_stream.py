@@ -58,7 +58,7 @@ def test_incremental_equals_oneshot_no_dupes(tmp_path):
 
     for tbl in ("edges", "nodes", "triples", "mentions"):
         a, b = _read_sorted(out_stream, tbl), _read_sorted(out_once, tbl)
-        pd.testing.assert_frame_equal(a, b), tbl
+        pd.testing.assert_frame_equal(a, b, obj=tbl)
     # no dupes: mention ids unique
     men = _read_sorted(out_stream, "mentions")
     assert men["mention_id"].is_unique
@@ -86,7 +86,7 @@ def test_crash_between_append_and_offset_commit_is_exactly_once(tmp_path):
     run_kg_resumable(landing, out_once, num_parts=3)
     for tbl in ("edges", "nodes"):
         pd.testing.assert_frame_equal(
-            _read_sorted(out, tbl), _read_sorted(out_once, tbl)), tbl
+            _read_sorted(out, tbl), _read_sorted(out_once, tbl), obj=tbl)
 
 
 def test_run_loop_bounded_stops(tmp_path):
@@ -157,7 +157,7 @@ def test_crash_after_ingest_before_pipeline_recovers(tmp_path):
     run_kg_resumable(landing, out_once, num_parts=2)
     for tbl in ("edges", "nodes"):
         pd.testing.assert_frame_equal(
-            _read_sorted(out, tbl), _read_sorted(out_once, tbl)), tbl
+            _read_sorted(out, tbl), _read_sorted(out_once, tbl), obj=tbl)
 
     # and now it IS up to date
     assert drv.poll_once()["ran_pipeline"] is False
@@ -203,7 +203,7 @@ def test_trickle_append_relinks_only_touched_parts(tmp_path):
     run_kg_resumable(landing, out_once, num_parts=4)
     for tbl in ("edges", "nodes", "triples", "mentions"):
         a, b = _read_sorted(out, tbl), _read_sorted(out_once, tbl)
-        pd.testing.assert_frame_equal(a, b), tbl
+        pd.testing.assert_frame_equal(a, b, obj=tbl)
 
 
 def test_cross_poll_duplicate_resend_stays_exact(tmp_path):
@@ -241,7 +241,7 @@ def test_cross_poll_duplicate_resend_stays_exact(tmp_path):
     run_kg_resumable(landing, out_once, num_parts=4)
     for tbl in ("edges", "nodes", "triples", "mentions"):
         a, b = _read_sorted(out, tbl), _read_sorted(out_once, tbl)
-        pd.testing.assert_frame_equal(a, b), tbl
+        pd.testing.assert_frame_equal(a, b, obj=tbl)
     # the flipped winner's surface must be in the final graph
     nodes = _read_sorted(out, "nodes")
     assert nodes["canonical_name"].str.contains("Zzyx").any()

@@ -149,3 +149,43 @@ def test_spec_rejects_bad_vector_store():
             "source": {"path": "/x"},
             "sink": {"out_dir": "/y", "vector_store": {"dim": 8}},
         }).validate()
+
+
+def test_stream_path_pushes_vectors_per_microbatch(tmp_path):
+    """Regression (review finding): sink.vector_store must not be silently
+    ignored on the stream path — each micro-batch pushes the (rewritten)
+    mentions idempotently."""
+    from vectrain_ray.config import PipelineSpec, stream_driver_from_spec
+    from vectrain_ray.synth import write_transcripts
+
+    src = str(tmp_path / "in")
+    write_transcripts(src, num_convs=8, turns_per_conv=4, seed=29,
+                      num_files=2)
+    spec = PipelineSpec.from_dict({
+        "source": {"path": src},
+        "sink": {"out_dir": str(tmp_path / "out"), "num_parts": 2,
+                 "vector_store": {"kind": "memory", "collection": "sm",
+                                  "dim": 64,
+                                  "options": {"name": "vr_stream_store"}}},
+    })
+    drv = stream_driver_from_spec(spec, poll_sec=0.01)
+    m1 = drv.poll_once()
+    assert m1["ran_pipeline"] and m1["vectors_pushed"] > 0
+    store = InMemoryVectorStore("vr_stream_store")
+    assert store.count("sm") == m1["vectors_pushed"]
+    # idle poll: no re-push, store unchanged
+    m2 = drv.poll_once()
+    assert not m2["ran_pipeline"]
+    assert store.count("sm") == m1["vectors_pushed"]
+
+
+def test_spec_rejects_unknown_vector_store_keys():
+    from vectrain_ray.config import PipelineSpec
+
+    with pytest.raises(ValueError, match="unknown sink.vector_store key"):
+        PipelineSpec.from_dict({
+            "source": {"path": "/x"},
+            "sink": {"out_dir": "/y",
+                     "vector_store": {"kind": "memory", "collection": "c",
+                                      "dim": 8, "feilds": {}}},
+        }).validate()

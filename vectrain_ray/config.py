@@ -103,6 +103,15 @@ class SinkSpec:
             from .stages.vector_store import VECTOR_STORES
 
             vs = self.vector_store
+            allowed = {"kind", "collection", "dim", "fields", "distance",
+                       "concurrency", "batch_size", "options"}
+            unknown = set(vs) - allowed
+            if unknown:
+                # same strictness as the dataclass levels (from_dict):
+                # a typo'd key must fail fast, not silently default
+                raise ValueError(
+                    f"unknown sink.vector_store key(s) {sorted(unknown)} "
+                    f"(allowed: {sorted(allowed)})")
             kind = vs.get("kind", "memory")
             if kind not in VECTOR_STORES:
                 raise ValueError(
@@ -180,6 +189,20 @@ def resume_kwargs_from_spec(spec: PipelineSpec) -> dict:
         link_ann=spec.linker.ann,
         link_ann_cells=spec.linker.n_cells,
         link_ann_probe=spec.linker.n_probe,
+    )
+
+
+def stream_driver_from_spec(spec: PipelineSpec, poll_sec: float = 2.0):
+    """StreamDriver built from a validated spec — the ONE factory shared by
+    the stream CLI and the control plane, so sink-level fields (num_parts,
+    vector_store) cannot silently miss a call site."""
+    from .pipelines.stream import StreamDriver
+
+    return StreamDriver(
+        spec.source.path, spec.sink.out_dir,
+        num_parts=spec.sink.num_parts, poll_sec=poll_sec,
+        vector_store=spec.sink.vector_store or None,
+        **resume_kwargs_from_spec(spec),
     )
 
 

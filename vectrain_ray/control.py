@@ -163,17 +163,10 @@ class ControlServer:
         return self._loop_t is not None and self._loop_t.is_alive()
 
     def _loop(self):
-        from .pipelines.stream import StreamDriver
-
-        spec = self.spec
         try:
-            from .config import resume_kwargs_from_spec
+            from .config import stream_driver_from_spec
 
-            drv = StreamDriver(
-                spec.source.path, spec.sink.out_dir,
-                num_parts=spec.sink.num_parts,
-                **resume_kwargs_from_spec(spec),
-            )
+            drv = stream_driver_from_spec(self.spec)
             def _bump(_m):  # live progress for /api/health mid-run
                 self.polls += 1
 

@@ -55,6 +55,26 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(path, columns=columns, schema=sch)
 
 
+def _doc_tokens(t: pa.Table, text_col: str = "text"):
+    """ORACLE-LOCKED tokenization shared by every token-based op:
+    trim(lower(coalesce(text,''))) split on RE2 ``\\s+``; callers drop
+    empty tokens via ``keep`` (split of "" yields [""]). The DuckDB mirror
+    is ``list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))),
+    '\\s+'), x -> x <> '')`` — change BOTH or NEITHER, or oracle parity
+    silently diverges across the 8 token-based ops.
+
+    Returns (toks, words, keep, parents): per-row list array, flattened
+    tokens, nonempty-token mask, and list-parent row indices."""
+    trimmed = pc.utf8_trim_whitespace(
+        pc.utf8_lower(pc.fill_null(t[text_col], ""))
+    ).combine_chunks()
+    toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    words = pc.list_flatten(toks)
+    keep = pc.not_equal(words, "")
+    parents = pc.list_parent_indices(toks)
+    return toks, words, keep, parents
+
+
 def _join_partitions(per_cpu_divisor: int = 2, cap: int = 16) -> int:
     """Hash-join partition count sized to the cluster: the join's
     aggregator actors each reserve a CPU slot, and an oversized pool stalls
@@ -1134,12 +1154,8 @@ def q_wordcount(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.fill_null(t["text"], ""))
-        )
-        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
-        words = pc.list_flatten(toks)  # the explode
-        words = words.filter(pc.not_equal(words, ""))
+        _, words, keep, _ = _doc_tokens(t)  # the explode
+        words = words.filter(keep)
         g = pa.table({"word": words}).group_by("word").aggregate(
             [("word", "count")]
         )
@@ -1621,14 +1637,8 @@ def q_inverted_index(sf_dir: str):
     from ..functions.dedup_exact import key_buckets
 
     def pairs(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.fill_null(t["text"], ""))
-        ).combine_chunks()
-        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
-        words = pc.list_flatten(toks)
-        docs = pc.take(t["doc_id"].combine_chunks(),
-                       pc.list_parent_indices(toks))
-        keep = pc.not_equal(words, "")
+        _, words, keep, parents = _doc_tokens(t)
+        docs = pc.take(t["doc_id"].combine_chunks(), parents)
         pt = pa.table({"word": words.filter(keep), "doc_id": docs.filter(keep)})
         return pt.group_by(["word", "doc_id"]).aggregate([])
 
@@ -1734,17 +1744,11 @@ def q_repetition_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(t: pa.Table) -> pd.DataFrame:
-        # tokenize with the SAME RE2 kernel family as the SQL oracle
+        # _doc_tokens uses the SAME RE2 kernel family as the SQL oracle
         # (ASCII \s+): pandas str.split() splits on UNICODE whitespace and
         # would diverge on e.g. NBSP in a multilingual corpus
-        trimmed = pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.fill_null(t["text"], ""))
-        ).combine_chunks()
-        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
-        words = pc.list_flatten(toks)  # order-preserving within each doc
-        docs = pc.take(t["doc_id"].combine_chunks(),
-                       pc.list_parent_indices(toks))
-        keep = pc.not_equal(words, "")
+        _, words, keep, parents = _doc_tokens(t)
+        docs = pc.take(t["doc_id"].combine_chunks(), parents)
         tmp = pd.DataFrame({"doc_id": docs.filter(keep).to_pandas(),
                             "tok": words.filter(keep).to_pandas()})
         g = tmp.groupby("doc_id", sort=False)["tok"]
@@ -2360,13 +2364,8 @@ def q_bigram_top(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.fill_null(t["text"], ""))
-        ).combine_chunks()
-        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
-        words = pc.list_flatten(toks).to_pandas()
-        parents = pc.list_parent_indices(toks).to_pandas()
-        d = pd.DataFrame({"w": words, "p": parents})
+        _, words, _, parents = _doc_tokens(t)
+        d = pd.DataFrame({"w": words.to_pandas(), "p": parents.to_pandas()})
         d = d[d["w"] != ""]
         d["nxt"] = d["w"].shift(-1)
         d["pn"] = d["p"].shift(-1)
@@ -2414,13 +2413,8 @@ def q_decontaminate(sf_dir: str):
 
     def shingle_lists(t: pa.Table):
         """(doc_ids np, list<str> shingles np-of-lists) for a batch."""
-        trimmed = pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.fill_null(t["text"], ""))
-        ).combine_chunks()
-        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
-        words = pc.list_flatten(toks).to_pandas()
-        parents = pc.list_parent_indices(toks).to_pandas()
-        d = pd.DataFrame({"w": words, "p": parents})
+        _, words, _, parents = _doc_tokens(t)
+        d = pd.DataFrame({"w": words.to_pandas(), "p": parents.to_pandas()})
         d = d[d["w"] != ""]
         cols = {"w0": d["w"]}
         for i in range(1, K):
@@ -2924,14 +2918,11 @@ def q_chunk_tokens(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def chunks(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.fill_null(t["text"], ""))
-        ).combine_chunks()
-        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
-        # drop empty tokens INSIDE each list (split of "" yields [""])
-        words = pc.list_flatten(toks)
-        keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # rebuild lists with empty tokens dropped INSIDE each list (the
+        # SQL list_filter equivalent; split of "" yields [""])
+        _, words, keep, parents = _doc_tokens(t)
+        keep = keep.to_numpy(zero_copy_only=False)
+        parents = parents.to_numpy(zero_copy_only=False)
         n = t.num_rows
         dl = np.bincount(parents[keep], minlength=n)
         offsets = np.zeros(n + 1, np.int32)
@@ -2996,13 +2987,8 @@ def q_bm25_topk(sf_dir: str):
     terms = BM25_TERMS
 
     def stats(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.fill_null(t["text"], ""))
-        ).combine_chunks()
-        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
-        words = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(words, "")
+        _, words, keep, parents = _doc_tokens(t)
+        parents = parents.to_numpy(zero_copy_only=False)
         n = t.num_rows
         dl = np.bincount(parents[keep.to_numpy(zero_copy_only=False)],
                          minlength=n)

@@ -48,11 +48,13 @@ class StreamDriver:
     """Micro-batch watch loop: landing dir → exactly-once KG updates."""
 
     def __init__(self, input_dir: str, out_dir: str, num_parts: int = 8,
-                 poll_sec: float = 2.0, **resume_kwargs):
+                 poll_sec: float = 2.0, vector_store: dict | None = None,
+                 **resume_kwargs):
         self.input_dir = input_dir
         self.out_dir = out_dir
         self.num_parts = num_parts
         self.poll_sec = poll_sec
+        self.vector_store = vector_store
         self.resume_kwargs = resume_kwargs
         self.shards_dir = os.path.join(out_dir, "shards")
         self.offsets_path = os.path.join(out_dir, "stream_offsets.json")
@@ -138,11 +140,20 @@ class StreamDriver:
             self.input_dir, self.out_dir, num_parts=self.num_parts,
             **self.resume_kwargs,
         )
+        if self.vector_store:
+            # the embed→store tail per micro-batch: idempotent (deterministic
+            # point ids), so re-pushing the rewritten mentions after each
+            # poll upserts in place; a crash mid-push re-upserts next poll
+            from ..stages.vector_store import push_mentions
+
+            vectors_pushed = push_mentions(self.out_dir, self.vector_store)
         offsets = self._load_offsets()
         offsets["__completed__"] = files  # commit LAST: pipeline succeeded
         self._commit_offsets(offsets)
         metrics.update({"new_files": len(new), "rows_in": rows_in,
                         "ran_pipeline": True})
+        if self.vector_store:
+            metrics["vectors_pushed"] = vectors_pushed
         log_event(_LOG, f"poll ingested {len(new)} files ({rows_in} rows)",
                   new_files=len(new), rows_in=rows_in,
                   skipped_p1=metrics.get("skipped_p1"),

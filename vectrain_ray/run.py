@@ -256,15 +256,9 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"status": "stopped", "polls": srv.polls}))
             return 0
         if args.cmd == "stream":
-            from .pipelines.stream import StreamDriver
+            from .config import stream_driver_from_spec
 
-            from .config import resume_kwargs_from_spec
-
-            drv = StreamDriver(
-                spec.source.path, spec.sink.out_dir,
-                num_parts=spec.sink.num_parts, poll_sec=args.poll_sec,
-                **resume_kwargs_from_spec(spec),
-            )
+            drv = stream_driver_from_spec(spec, poll_sec=args.poll_sec)
             history = drv.run(max_iterations=args.max_iterations,
                               idle_stop_after=args.idle_stop_after)
             print(json.dumps({"status": "ok", "polls": len(history),

@@ -128,43 +128,56 @@ class BrokerConsumer:
     """Exactly-once landing-file ingest from an at-least-once broker client.
 
     One consumer instance per landing directory (the consumer-group
-    analogue); its offset store is ``broker_offsets.json`` in the landing
-    dir. Scale-out mirrors Kafka's model: partition ownership is split
-    across consumer processes (each instance given a disjoint
-    ``client.partitions()`` view), all landing into the same directory —
-    filenames embed the partition so owners never collide.
+    analogue). The offset store is ONE FILE PER PARTITION
+    (``_broker_offset_p{part}.json``) — partition ownership is disjoint
+    across consumer processes (Kafka's model), so owners never touch each
+    other's files and a commit can never clobber a sibling's position.
+    Filenames embed the partition, so landing files never collide either.
+
+    ``complete_log=True`` (default) treats the partition as a gapless log
+    (Kafka's contract): a fetch window with a missing offset means that
+    message is LATE, so the position only advances through the contiguous
+    prefix and the gap is re-fetched next poll — no late message is ever
+    dropped. Set ``complete_log=False`` for sources whose offset space has
+    real holes (log compaction), where waiting on a gap would stall the
+    partition forever; positions then advance past gaps.
     """
 
-    def __init__(self, client, landing_dir: str, decode="transcript"):
+    def __init__(self, client, landing_dir: str, decode="transcript",
+                 complete_log: bool = True):
         os.makedirs(landing_dir, exist_ok=True)
         self.client = client
         self.landing_dir = landing_dir
         self.decode = DECODERS[decode] if isinstance(decode, str) else decode
-        # '_'-prefixed so pyarrow dataset discovery over the landing dir
-        # ignores it (default ignore_prefixes = ['.', '_'])
-        self.offsets_path = os.path.join(landing_dir, "_broker_offsets.json")
+        self.complete_log = complete_log
         self._positions: dict[int, int] | None = None
 
     # --- offset store (the group.id committed-offsets role) --------------
-    def _load_offsets(self) -> dict[int, int]:
-        if os.path.exists(self.offsets_path):
-            raw = json.load(open(self.offsets_path))
-            return {int(k): int(v) for k, v in raw.items()}
-        return {}
+    # '_'-prefixed so pyarrow dataset discovery over the landing dir
+    # ignores them (default ignore_prefixes = ['.', '_'])
+    def _offset_path(self, part: int) -> str:
+        return os.path.join(self.landing_dir,
+                            f"_broker_offset_p{part:04d}.json")
 
-    def _commit_offsets(self) -> None:
-        tmp = self.offsets_path + ".tmp"
+    def _load_offset(self, part: int) -> int:
+        path = self._offset_path(part)
+        if os.path.exists(path):
+            return int(json.load(open(path))["position"])
+        return 0
+
+    def _commit_offset(self, part: int) -> None:
+        path = self._offset_path(part)
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({str(k): v for k, v in self._positions.items()}, f)
-        os.replace(tmp, self.offsets_path)
+            json.dump({"position": self._positions[part]}, f)
+        os.replace(tmp, path)
 
     # --- lifecycle ---------------------------------------------------------
     def connect(self) -> list[int]:
         """Assign all partitions; start each at its committed offset, or
         OffsetBeginning (0) when the group has none (client.go:76-87)."""
-        committed = self._load_offsets()
         parts = sorted(self.client.partitions())
-        self._positions = {p: committed.get(p, 0) for p in parts}
+        self._positions = {p: self._load_offset(p) for p in parts}
         log_event(_LOG, f"broker connected: {len(parts)} partitions",
                   partitions=parts, positions=dict(self._positions))
         return parts
@@ -195,6 +208,16 @@ class BrokerConsumer:
                     continue
                 seen.add(off)
                 cleaned.append((off, val))
+            if self.complete_log:
+                # gapless log: a hole in the window is a LATE message, not
+                # a missing offset — process only the contiguous prefix and
+                # re-fetch the rest next poll (cumulative ack), so the late
+                # message can never be skipped past
+                upto = 0
+                while (upto < len(cleaned)
+                       and cleaned[upto][0] == start + upto):
+                    upto += 1
+                cleaned = cleaned[:upto]
             if not cleaned:
                 continue
             first, last = cleaned[0][0], cleaned[-1][0]
@@ -214,7 +237,7 @@ class BrokerConsumer:
             pq.write_table(table, tmp)
             os.replace(tmp, path)  # durable BEFORE the offset commit
             self._positions[part] = last + 1
-            self._commit_offsets()  # the AfterProcessHook ack
+            self._commit_offset(part)  # the AfterProcessHook ack
             rows_total += table.num_rows
             files.append(path)
         if rows_total:

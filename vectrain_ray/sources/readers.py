@@ -11,23 +11,40 @@ maps to read_json with schema enforcement.
 
 from __future__ import annotations
 
+import glob
+import os
+
+import pyarrow as pa
 import ray.data as rd
 
 from ..schema import TRANSCRIPT_SCHEMA
 
 
-def _strip_meta(t):
-    # pandas-written parquet carries a b'pandas' schema-metadata blob;
-    # metadata-bearing schemas are unhashable, which spams every downstream
-    # shuffle with Ray's "Failed to hash the schemas" worker warning and
-    # defeats unify_schemas' early exit. O(1) zero-copy, fused into the read.
-    return t.replace_schema_metadata(None)
+def _stripped_schema(path: str, columns: list[str] | None):
+    """Metadata-free schema from ONE footer: pandas-written parquet carries
+    a b'pandas' schema-metadata blob; a schema with metadata is unhashable,
+    which defeats Ray's unify_schemas early exit and spams every downstream
+    shuffle with 'Failed to hash the schemas' worker warnings. Passing the
+    stripped schema to read_parquet fixes it at the source at zero runtime
+    cost (no extra operator, metadata-only count() stays a footer read)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                 recursive=True))
+        if not files:
+            return None
+        path = files[0]
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch
 
 
 def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
     """Column-pruned partitioned-parquet transcript read (S1/S2)."""
-    return rd.read_parquet(path, columns=columns).map_batches(
-        _strip_meta, batch_format="pyarrow")
+    return rd.read_parquet(path, columns=columns,
+                           schema=_stripped_schema(path, columns))
 
 
 def read_wire_entities_json(path: str) -> rd.Dataset:

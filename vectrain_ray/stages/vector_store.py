@@ -103,6 +103,12 @@ def write_vectors(ds, client_factory, collection: str, dim: int,
 
     The batch size is the reference's storage rebatcher knob (W2) — size it
     so batch × dim × 4 bytes stays well under the actor heap."""
+    import ray
+
+    # an actor pool reserving every CPU starves the upstream read tasks and
+    # deadlocks the streaming executor on small clusters — leave headroom
+    total_cpus = int(ray.cluster_resources().get("CPU", 4))
+    concurrency = max(1, min(concurrency, total_cpus - 2))
     summaries = ds.map_batches(
         VectorStoreWriter,
         fn_constructor_kwargs=dict(
