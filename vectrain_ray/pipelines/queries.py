@@ -2902,6 +2902,102 @@ def q_read_csv(sf_dir: str):
 # FIRST 50 entries each round, so the newest / highest-risk ops lead and the
 # long-stable basics trail (round-2 verdict item 5 — every op is
 # driver-certified across rounds 2+3 combined).
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (score = tf · ln(N/df)) — the
+    keyword-extraction op of a training-data pipeline.
+
+    Scale path: (doc, word, tf) pairs are combiner-built per batch (a doc
+    never spans batches), then ONE word-bucketed exchange computes each
+    word's global df AND scores its pairs inside the same bucket (all
+    pairs for a word land together), then one doc-bucketed exchange takes
+    the per-doc top-3 — two bounded shuffles over the pair table, nothing
+    driver-side. ln() is evaluated per DISTINCT df via scalar math.log —
+    the same scalar libm DuckDB's ln uses, so scores are bit-identical to
+    the oracle (numpy's SIMD log can differ by 1 ulp; don't use it)."""
+    import math
+
+    from ..functions.dedup_exact import key_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        _, words, keep, parents = _doc_tokens(t)
+        docs = pc.take(t["doc_id"].combine_chunks(), parents)
+        pt = pa.table({"word": words.filter(keep), "doc_id": docs.filter(keep)})
+        g = pt.group_by(["word", "doc_id"]).aggregate([("doc_id", "count")])
+        return g.rename_columns(["word", "doc_id", "tf"])
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow",
+                             batch_size=65536).materialize()
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_word = g.groupby("word", sort=False)["doc_id"].nunique()
+        df_vals = g["word"].map(df_per_word).to_numpy()
+        logs = {int(d): math.log(n_docs / int(d)) for d in set(df_vals)}
+        out = g[["doc_id", "word", "tf"]].copy()
+        out["tfidf"] = out["tf"].to_numpy() * np.array(
+            [logs[int(d)] for d in df_vals])
+        return out.drop(columns=["tf"])
+
+    def add_wbucket(t: pa.Table) -> pa.Table:
+        b = key_buckets(t.to_pandas(), ["word"], 64)
+        return t.append_column("b", pa.array(b, pa.int32()))
+
+    scored = (pair_ds.map_batches(add_wbucket, batch_format="pyarrow")
+              .groupby("b")
+              .map_groups(score_bucket, batch_format="pandas"))
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tfidf", "word"],
+                          ascending=[True, False, True], kind="stable")
+        return g[g.groupby("doc_id", sort=False).cumcount() < 3]
+
+    def add_dbucket(t: pa.Table) -> pa.Table:
+        b = key_buckets(t.to_pandas(), ["doc_id"], 64)
+        return t.append_column("b2", pa.array(b, pa.int32()))
+
+    return (scored.map_batches(add_dbucket, batch_format="pyarrow")
+            .groupby("b2")
+            .map_groups(top3, batch_format="pandas")
+            .drop_columns(["b2"]))
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup cluster dedup that keeps the BEST document per cluster
+    (max n_chars, doc_id tie-break) instead of an arbitrary keeper — the
+    composition a real corpus-dedup pipeline runs: MinHash clustering ×
+    quality signal → one survivor per cluster.
+
+    Scale path: reuses the fully distributed dedup_minhash clustering,
+    joins the narrow (doc_id, n_chars) quality side with a native hash
+    join, and picks winners inside ONE cluster-bucketed exchange."""
+    from ..functions.dedup_exact import key_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    clustered = dedup_minhash(ds, threshold=0.8)  # doc_id, cluster_id, ...
+    meta = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    joined = clustered.select_columns(["doc_id", "cluster_id"]).join(
+        meta.map_batches(lambda t: t.rename_columns(["m_doc_id", "n_chars"]),
+                         batch_format="pyarrow"),
+        join_type="inner", num_partitions=_join_partitions(per_cpu_divisor=8),
+        on=("doc_id",), right_on=("m_doc_id",),
+    )  # the native join drops the right-side key column
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = key_buckets(t.to_pandas(), ["cluster_id"], 64)
+        return t.append_column("b", pa.array(b, pa.int32()))
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "n_chars", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+        w = g[g.groupby("cluster_id", sort=False).cumcount() == 0]
+        return w[["doc_id", "cluster_id"]]
+
+    return (joined.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(best, batch_format="pandas"))
+
+
 CHUNK_SIZE, CHUNK_STEP = 64, 48  # 16-token overlap
 
 
@@ -3045,6 +3141,8 @@ def q_bm25_topk(sf_dir: str):
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "chunk_tokens": q_chunk_tokens,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "dedup_keep_best": q_dedup_keep_best,
     "histogram": q_histogram,
     "mode_per_group": q_mode_per_group,
     "stratified_sample": q_stratified_sample,
@@ -3284,6 +3382,21 @@ def _bm25_sql() -> str:
 
 ORACLE_SQL = {
     "bm25_topk": _bm25_sql(),
+    "tfidf_top_terms": (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+'), "
+        "x -> x <> '')) AS word FROM documents), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, word), "
+        "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks "
+        "GROUP BY word), "
+        "n AS (SELECT count(*) AS n FROM documents), "
+        "s AS (SELECT tf.doc_id, tf.word, tf.tf * ln(n.n / df.df) AS tfidf "
+        "FROM tf JOIN df USING (word) CROSS JOIN n) "
+        "SELECT doc_id, word, tfidf FROM s QUALIFY "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) "
+        "<= 3"
+    ),
     "chunk_tokens": (
         "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
         "trim(lower(coalesce(text,''))), '\\s+'), x -> x <> '') AS tk "
@@ -3420,6 +3533,13 @@ ORACLE_SQL = {
         "FROM lineitem GROUP BY l_returnflag"
     ),
     "dedup_minhash": _DEDUP_MINHASH_SQL,
+    "dedup_keep_best": (
+        f"WITH base AS ({_DEDUP_MINHASH_SQL}) "
+        "SELECT b.doc_id, b.cluster_id FROM base b "
+        "JOIN documents d ON b.doc_id = d.doc_id QUALIFY row_number() "
+        "OVER (PARTITION BY b.cluster_id "
+        "ORDER BY d.n_chars DESC, b.doc_id) = 1"
+    ),
     "embed_neardup": _EMBED_NEARDUP_SQL,
     # Full SQL mirror of the SimHash op: token hash = md5_number_lower
     # (= functions.dedup.md5_lower64), 64 bit-position votes per doc, 4×16-bit
