@@ -2998,6 +2998,37 @@ def q_dedup_keep_best(sf_dir: str):
             .groupby("b").map_groups(best, batch_format="pandas"))
 
 
+def q_train_test_split(sf_dir: str):
+    """Deterministic hash train/test split (90/10) with per-split,
+    per-language audit counts — the lineage-stable split a training
+    pipeline needs (re-runs and re-partitionings assign every doc to the
+    SAME side; no random state). Split mask = md5-lower-64(doc_id) % 10,
+    the same engine-neutral primitive as sample_hash; the audit aggregate
+    is combiner-first (per-batch pandas partials, one tiny groupby)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    class SplitCounter:
+        def __init__(self):
+            import duckdb
+
+            self.con = duckdb.connect()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            self.con.register("b", t)
+            return self.con.execute(
+                "select case when md5_number_lower(cast(doc_id as varchar))"
+                " % 10 = 0 then 'test' else 'train' end as split, lang,"
+                " count(*) as p_docs, cast(sum(n_chars) as bigint) as p_chars"
+                " from b group by 1, 2"
+            ).arrow()
+
+    parts = ds.map_batches(SplitCounter, batch_format="pyarrow",
+                           batch_size=65536, concurrency=2)
+    return (parts.groupby(["split", "lang"])
+            .aggregate(Sum("p_docs", alias_name="n_docs"),
+                       Sum("p_chars", alias_name="sum_chars")))
+
+
 CHUNK_SIZE, CHUNK_STEP = 64, 48  # 16-token overlap
 
 
@@ -3143,6 +3174,7 @@ QUERIES = {
     "chunk_tokens": q_chunk_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_keep_best": q_dedup_keep_best,
+    "train_test_split": q_train_test_split,
     "histogram": q_histogram,
     "mode_per_group": q_mode_per_group,
     "stratified_sample": q_stratified_sample,
@@ -3499,6 +3531,12 @@ ORACLE_SQL = {
     "sample_hash": (
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0"
+    ),
+    "train_test_split": (
+        "SELECT CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 "
+        "= 0 THEN 'test' ELSE 'train' END AS split, lang, "
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY 1, 2"
     ),
     "read_json": "SELECT doc_id, lang, n_chars FROM documents",
     # sliding window: each event joins the 4 window indices covering it
