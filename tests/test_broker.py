@@ -232,18 +232,14 @@ def test_late_arrival_in_gap_is_never_dropped(tmp_path):
 def test_compacted_log_mode_advances_past_holes(tmp_path):
     """complete_log=False: offset holes are real (log compaction) — the
     position advances past them instead of stalling the partition."""
-    landing = str(tmp_path / "landing")
     broker = GappyBroker()
-    broker.values.append(None)  # never delivered
-    consumer = BrokerConsumer(broker, landing, complete_log=False)
 
     class Holey:
         def partitions(self):
             return [0]
 
         def fetch(self, partition, offset, max_messages):
-            vals = broker.values[:4]
-            return [(o, v) for o, v in enumerate(vals)
+            return [(o, v) for o, v in enumerate(broker.values)
                     if o >= offset and o != 2]  # offset 2 is GONE
 
     c = BrokerConsumer(Holey(), str(tmp_path / "l2"), complete_log=False)
@@ -282,3 +278,44 @@ def test_disjoint_owners_share_landing_without_clobber(tmp_path):
     assert a2.poll_once()["rows"] == 0
     assert b2.poll_once()["rows"] == 0
     assert len(pq.read_table(landing)) == corpus.num_rows
+
+
+def test_truncated_log_resets_to_earliest_instead_of_stalling(tmp_path):
+    """Retention expiry: the committed position falls below the broker's
+    earliest retained offset. A client exposing earliest() triggers the
+    auto.offset.reset-style jump (with the gap logged as unrecoverable);
+    ingestion continues instead of stalling forever."""
+    msgs = [json.dumps({"conv_id": f"c{i}", "turn_idx": 0,
+                        "text": f"Msg {i}"}).encode() for i in range(8)]
+
+    class Truncated:
+        retained_from = 0
+
+        def partitions(self):
+            return [0]
+
+        def earliest(self, partition):
+            return self.retained_from
+
+        def fetch(self, partition, offset, max_messages):
+            lo = max(offset, self.retained_from)
+            return [(o, v) for o, v in enumerate(msgs) if o >= lo]
+
+    landing = str(tmp_path / "landing")
+    broker = Truncated()
+    consumer = BrokerConsumer(broker, landing)
+    m1 = consumer.poll_once()
+    assert m1["rows"] == 8
+
+    # simulate: consumer down, retention deleted everything < 12, and 4
+    # new messages (8..11) ALSO expired before we came back
+    msgs.extend(json.dumps({"conv_id": f"c{i}", "turn_idx": 0,
+                            "text": f"Msg {i}"}).encode() for i in range(8, 16))
+    broker.retained_from = 12
+    c2 = BrokerConsumer(broker, landing)  # restart at committed 8 < 12
+    m2 = c2.poll_once()
+    assert m2["rows"] == 4  # offsets 12..15; 8..11 are gone, logged
+    assert m2["positions"][0] == 16
+    landed = pq.read_table(landing)
+    assert sorted(landed["_broker_offset"].to_pylist()) == \
+        list(range(8)) + [12, 13, 14, 15]

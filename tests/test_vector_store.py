@@ -189,3 +189,49 @@ def test_spec_rejects_unknown_vector_store_keys():
                      "vector_store": {"kind": "memory", "collection": "c",
                                       "dim": 8, "feilds": {}}},
         }).validate()
+
+
+def test_stream_push_is_delta_not_corpus(tmp_path):
+    """O(delta): a trickle append re-pushes only the rewritten mention
+    partitions, not the whole corpus; the store still converges to the
+    full mention set."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from vectrain_ray.config import PipelineSpec, stream_driver_from_spec
+    from vectrain_ray.synth import write_transcripts
+
+    src = str(tmp_path / "in")
+    write_transcripts(src, num_convs=16, turns_per_conv=4, seed=61,
+                      num_files=3)
+    spec = PipelineSpec.from_dict({
+        "source": {"path": src},
+        "sink": {"out_dir": str(tmp_path / "out"), "num_parts": 4,
+                 "vector_store": {"kind": "memory", "collection": "d",
+                                  "dim": 64,
+                                  "options": {"name": "vr_delta_store"}}},
+    })
+    drv = stream_driver_from_spec(spec, poll_sec=0.01)
+    m1 = drv.poll_once()
+    total_after_m1 = InMemoryVectorStore("vr_delta_store").count("d")
+    assert m1["vectors_pushed"] == total_after_m1 > 0
+
+    # trickle: ONE new conversation -> at most one shard's mentions change
+    t = pa.table({
+        "conv_id": pa.array(["convZ-1"] * 2),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": pa.array(["user", "assistant"]),
+        "text": pa.array(["Zzyx Corp acquired Qwerty Labs.",
+                          "Zzyx Corp is based in Oslo."]),
+        "tool": pa.array([None, None], pa.string()),
+        "ts": pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+    })
+    _pq.write_table(t, os.path.join(src, "zz_late.parquet"))
+    m2 = drv.poll_once()
+    assert m2["ran_pipeline"]
+    # pushed only the touched partition(s): far less than the corpus
+    assert 0 < m2["vectors_pushed"] < m1["vectors_pushed"]
+    store = InMemoryVectorStore("vr_delta_store")
+    assert store.count("d") > total_after_m1  # new mentions arrived

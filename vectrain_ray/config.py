@@ -136,6 +136,13 @@ class PipelineSpec:
         self.encoder.validate()
         self.linker.validate()
         self.sink.validate()
+        vs = self.sink.vector_store
+        if vs and int(vs.get("dim", 0)) != self.encoder.dim:
+            # fail FAST: otherwise the mismatch only surfaces in the
+            # store writer after the whole pipeline has run
+            raise ValueError(
+                f"sink.vector_store.dim ({vs.get('dim')}) must equal "
+                f"encoder.dim ({self.encoder.dim})")
         return self
 
     @classmethod

@@ -39,20 +39,14 @@ from .tpch_kg import tpch_transcripts
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    """Column-pruned parquet read with an explicit METADATA-FREE schema.
-    pandas-written parquet carries a b'pandas' schema-metadata blob; a
-    schema with metadata is unhashable, which makes Ray's unify_schemas
-    early-exit fail and spams every downstream shuffle (and the read
-    operator itself) with 'Failed to hash the schemas' warnings from worker
-    processes. Passing the stripped schema fixes it at the source — one
-    driver-side footer read per call."""
-    import pyarrow.parquet as pq
+    """Column-pruned parquet read with an explicit METADATA-FREE schema
+    (see sources.readers._stripped_schema — ONE shared implementation of
+    the unhashable-pandas-metadata fix; a second copy here would drift)."""
+    from ..sources.readers import _stripped_schema
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    sch = pq.read_schema(path).remove_metadata()
-    if columns is not None:
-        sch = pa.schema([sch.field(c) for c in columns])
-    return rd.read_parquet(path, columns=columns, schema=sch)
+    return rd.read_parquet(path, columns=columns,
+                           schema=_stripped_schema(path, columns))
 
 
 def _doc_tokens(t: pa.Table, text_col: str = "text"):
@@ -2927,8 +2921,11 @@ def q_tfidf_top_terms(sf_dir: str):
         g = pt.group_by(["word", "doc_id"]).aggregate([("doc_id", "count")])
         return g.rename_columns(["word", "doc_id", "tf"])
 
+    # no materialize: the pair table has exactly ONE downstream consumer,
+    # so the lazy plan executes once and streams (pinning it in the object
+    # store would hold the op's largest intermediate for no benefit)
     pair_ds = ds.map_batches(pairs, batch_format="pyarrow",
-                             batch_size=65536).materialize()
+                             batch_size=65536)
     n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -3219,10 +3216,11 @@ QUERIES = {
     "hash_join": q_hash_join,
     "dedup_minhash": q_dedup_minhash,
     "sample_hash": q_sample_hash,
-    "ann_index_topk": q_ann_index_topk,
+    "wordcount": q_wordcount,  # refactored onto _doc_tokens this round
     # below here: ops the driver already value-certified in an earlier
     # round AND untouched since (its gate checks the first 50 entries;
     # changed/new ops stay above this line)
+    "ann_index_topk": q_ann_index_topk,
     "sessionize": q_sessionize,
     "kg_components": q_kg_components,
     "pagerank": q_pagerank,
@@ -3257,7 +3255,6 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "transcript_turns": q_transcript_turns,
     "left_join": q_left_join,
-    "wordcount": q_wordcount,
     "pivot_counts": q_pivot_counts,
     "count_distinct": q_count_distinct,
     "range_join": q_range_join,
@@ -3439,7 +3436,11 @@ ORACLE_SQL = {
         "starts AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk),1), "
         f"{CHUNK_STEP})) AS st FROM toks) "
         f"SELECT doc_id, CAST(st // {CHUNK_STEP} AS INTEGER) AS chunk_idx, "
-        f"array_to_string(tk[st+1:st+{CHUNK_SIZE}], ' ') AS chunk_text, "
+        # coalesce: array_to_string of an EMPTY list is NULL in DuckDB,
+        # while the engine's binary_join emits '' — zero-token documents
+        # produce one empty chunk on both sides
+        f"coalesce(array_to_string(tk[st+1:st+{CHUNK_SIZE}], ' '), '') "
+        "AS chunk_text, "
         f"len(tk[st+1:st+{CHUNK_SIZE}]) AS n_tokens FROM starts"
     ),
     "filter_project": (

@@ -328,6 +328,7 @@ def run_kg_resumable(
         if man3.is_done(part, ext_files):
             metrics["skipped_p3"] += 1
             continue
+        metrics.setdefault("p3_parts_run", []).append(part)
         t0 = time.time()
         clear_partition_outputs(out_dir, TABLES_P3, part)
         ext = rd.read_parquet(ext_files)

@@ -141,12 +141,7 @@ class StreamDriver:
             **self.resume_kwargs,
         )
         if self.vector_store:
-            # the embed→store tail per micro-batch: idempotent (deterministic
-            # point ids), so re-pushing the rewritten mentions after each
-            # poll upserts in place; a crash mid-push re-upserts next poll
-            from ..stages.vector_store import push_mentions
-
-            vectors_pushed = push_mentions(self.out_dir, self.vector_store)
+            vectors_pushed = self._push_vectors_delta()
         offsets = self._load_offsets()
         offsets["__completed__"] = files  # commit LAST: pipeline succeeded
         self._commit_offsets(offsets)
@@ -159,6 +154,49 @@ class StreamDriver:
                   skipped_p1=metrics.get("skipped_p1"),
                   skipped_p3=metrics.get("skipped_p3"))
         return metrics
+
+    def _push_vectors_delta(self) -> int:
+        """The embed→store tail per micro-batch, O(delta): push ONLY the
+        mention partitions whose files changed since the last successful
+        push. Change detection is a durable per-partition file fingerprint
+        (name+size+mtime_ns, like the manifests) committed AFTER the push
+        — a crash mid-push leaves stale fingerprints, so the next poll
+        re-pushes those partitions; upserts are idempotent (deterministic
+        point ids), so replays only overwrite. Pushes never DELETE points;
+        neither did the full re-push this replaces (external stores need a
+        separate retention sweep for mentions that vanish on re-send)."""
+        import glob as _glob
+
+        from ..stages.vector_store import push_mentions
+
+        state_path = os.path.join(self.out_dir, "_vector_push_state.json")
+        state = (json.load(open(state_path))
+                 if os.path.exists(state_path) else {})
+
+        def fp(part_dir: str) -> list:
+            return [[os.path.basename(f), os.stat(f).st_size,
+                     os.stat(f).st_mtime_ns]
+                    for f in sorted(_glob.glob(
+                        os.path.join(part_dir, "*.parquet")))]
+
+        part_dirs = sorted(_glob.glob(
+            os.path.join(self.out_dir, "mentions", "part=*")))
+        changed, fresh = [], {}
+        for d in part_dirs:
+            key = os.path.basename(d)
+            fresh[key] = fp(d)
+            if state.get(key) != fresh[key]:
+                changed.append(int(key.split("=")[1]))
+        if not changed:
+            return 0
+        n = push_mentions(self.out_dir, self.vector_store,
+                          parts=sorted(changed))
+        state.update(fresh)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, state_path)  # commit AFTER the push succeeded
+        return n
 
     def run(self, max_iterations: int | None = None,
             idle_stop_after: int | None = None,

@@ -151,6 +151,7 @@ class BrokerConsumer:
         self.decode = DECODERS[decode] if isinstance(decode, str) else decode
         self.complete_log = complete_log
         self._positions: dict[int, int] | None = None
+        self._gap_polls: dict[int, int] = {}  # consecutive stalled polls
 
     # --- offset store (the group.id committed-offsets role) --------------
     # '_'-prefixed so pyarrow dataset discovery over the landing dir
@@ -217,6 +218,43 @@ class BrokerConsumer:
                 while (upto < len(cleaned)
                        and cleaned[upto][0] == start + upto):
                     upto += 1
+                if upto == 0 and cleaned:
+                    # nothing at `start` although the broker HAS later
+                    # offsets: either late data (wait) or the log was
+                    # truncated past our position (retention expiry) —
+                    # waiting on a truncated log would stall forever.
+                    # Kafka resolves this via OffsetOutOfRange +
+                    # auto.offset.reset; here the client may expose
+                    # earliest(partition) for the same decision.
+                    earliest = getattr(self.client, "earliest", None)
+                    if earliest is not None and earliest(part) > start:
+                        e = earliest(part)
+                        log_event(_LOG,
+                                  f"partition {part} truncated: committed "
+                                  f"position {start} < earliest {e}; "
+                                  f"resetting (offsets {start}..{e - 1} "
+                                  f"are unrecoverable)",
+                                  partition=part, committed=start,
+                                  earliest=e, level="warning")
+                        self._positions[part] = e
+                        self._commit_offset(part)
+                        upto = 0
+                        while (upto < len(cleaned)
+                               and cleaned[upto][0] == e + upto):
+                            upto += 1
+                    else:
+                        self._gap_polls[part] = self._gap_polls.get(part, 0) + 1
+                        if self._gap_polls[part] % 10 == 0:
+                            log_event(_LOG,
+                                      f"partition {part} waiting on offset "
+                                      f"{start} for {self._gap_polls[part]} "
+                                      "polls (late message, or a truncated "
+                                      "log on a client without earliest())",
+                                      partition=part, committed=start,
+                                      next_available=cleaned[0][0],
+                                      level="warning")
+                else:
+                    self._gap_polls.pop(part, None)
                 cleaned = cleaned[:upto]
             if not cleaned:
                 continue

@@ -194,11 +194,15 @@ class InMemoryVectorStore:
 VECTOR_STORES = {"memory": InMemoryVectorStore}
 
 
-def push_mentions(out_dir: str, cfg: dict) -> int:
+def push_mentions(out_dir: str, cfg: dict,
+                  parts: list[int] | None = None) -> int:
     """Post-run sink step: stream ``out_dir/mentions`` (embedded by the
     encoder stage) into the configured vector store — the reference's
     embed→store tail (pipeline.go:181-209) as a separate idempotent pass
     over the durable parquet, so a crash mid-push just re-upserts.
+
+    ``parts`` bounds the read to specific ``mentions/part=K`` partitions
+    (the stream driver's O(delta) per-poll push); None = the whole table.
 
     cfg keys: kind (registry), collection, dim, fields?, distance?,
     concurrency?, batch_size?, options? (client constructor kwargs)."""
@@ -214,7 +218,19 @@ def push_mentions(out_dir: str, cfg: dict) -> int:
             f"unknown vector store kind {cfg.get('kind')!r} "
             f"(have {sorted(VECTOR_STORES)})") from None
     opts = dict(cfg.get("options", {}))
-    ds = rd.read_parquet(os.path.join(out_dir, "mentions"))
+    if parts is not None:
+        if not parts:
+            return 0
+        import glob
+
+        # expand to files: read_parquet rejects directories inside a list
+        paths = [f for p in parts for f in sorted(glob.glob(
+            os.path.join(out_dir, "mentions", f"part={p}", "*.parquet")))]
+        if not paths:
+            return 0
+        ds = rd.read_parquet(paths)
+    else:
+        ds = rd.read_parquet(os.path.join(out_dir, "mentions"))
     # dead-lettered rows (encoder error column, null embedding) stay in the
     # parquet for inspection but never reach the store
     ds = ds.map_batches(
