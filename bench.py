@@ -148,6 +148,11 @@ def run_bench() -> dict:
         ("decontaminate", Q.q_decontaminate),
         ("event_throttle", Q.q_event_throttle),
         ("mixture_sample", Q.q_mixture_sample),
+        ("bm25_topk", Q.q_bm25_topk),
+        ("chunk_tokens", Q.q_chunk_tokens),
+        ("tfidf_top_terms", Q.q_tfidf_top_terms),
+        ("dedup_keep_best", Q.q_dedup_keep_best),
+        ("train_test_split", Q.q_train_test_split),
     ]
     for name, fn in secondary:
         t0 = time.time()
