@@ -2959,7 +2959,9 @@ def q_pmi_bigrams(sf_dir: str):
                          "cnt": pa.array([], pa.int64()),
                          "pmi": pa.array([], pa.float64())})
 
-    cands = bigrams.filter(lambda r: r["cnt"] >= PMI_MIN_CNT)
+    cands = bigrams.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], PMI_MIN_CNT)),
+        batch_format="pyarrow")  # vectorized: the bigram vocab is huge
     u1 = unigrams.map_batches(
         lambda t: t.rename_columns(["u1_word", "c1"]), batch_format="pyarrow")
     u2 = unigrams.map_batches(
