@@ -710,12 +710,26 @@ def q_sample_hash(sf_dir: str):
     return ds.map_batches(HashSampler, batch_format="pyarrow", concurrency=2)
 
 
+_MINHASH_CLUSTERS_CACHE: dict[str, object] = {}
+
+
+def _minhash_clusters(sf_dir: str):
+    """Session-scoped clustering artifact shared by dedup_minhash and
+    dedup_keep_best (the _KG_CACHE pattern): one process computes the
+    MinHash clustering once; blocks live in the spillable object store
+    (MaterializedDataset), never the driver heap."""
+    if sf_dir not in _MINHASH_CLUSTERS_CACHE:
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        _MINHASH_CLUSTERS_CACHE[sf_dir] = dedup_minhash(
+            ds, threshold=0.8).materialize()
+    return _MINHASH_CLUSTERS_CACHE[sf_dir]
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dedup, fully SQL-mirrored (ORACLE_SQL reproduces the
     md5 shingles, affine-mod-2^64 permutations, banding, Jaccard verify and
     recursive-CTE clustering bit-for-bit)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup_minhash(ds, threshold=0.8)
+    return _minhash_clusters(sf_dir)
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -3062,8 +3076,7 @@ def q_dedup_keep_best(sf_dir: str):
     join, and picks winners inside ONE cluster-bucketed exchange."""
     from ..functions.dedup_exact import key_buckets
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    clustered = dedup_minhash(ds, threshold=0.8)  # doc_id, cluster_id, ...
+    clustered = _minhash_clusters(sf_dir)  # doc_id, cluster_id, ...
     meta = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     joined = clustered.select_columns(["doc_id", "cluster_id"]).join(
         meta.map_batches(lambda t: t.rename_columns(["m_doc_id", "n_chars"]),
