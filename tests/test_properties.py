@@ -146,3 +146,51 @@ def test_lev_le1_matches_dp(a, b):
             prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
                                    prev + (a[i - 1] != b[j - 1]))
     assert _lev_le1(a, b) == (d[lb] <= 1)
+
+
+@given(st.lists(st.lists(st.sampled_from(
+    ["alpha", "Beta", "g7", "x", "Zz", ""]), min_size=0, max_size=150),
+    min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_chunk_tokens_kernel_properties(token_lists):
+    """Chunker invariants for arbitrary token lists: the k-th chunk is
+    exactly tokens[k*STEP : k*STEP+SIZE] (after the empty-token filter),
+    the per-doc chunk count covers every token with the documented stride,
+    and every token index is inside at least one chunk."""
+    from vectrain_ray.pipelines.queries import (
+        CHUNK_SIZE,
+        CHUNK_STEP,
+        _chunk_tokens_batch,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(token_lists)), pa.int64()),
+        "text": pa.array([" ".join(ws) for ws in token_lists]),
+    })
+    out = _chunk_tokens_batch(t).to_pylist()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(token_lists)))  # every doc chunks
+    for doc_id, ws in enumerate(token_lists):
+        toks = [w.lower() for w in ws if w]  # the oracle-locked tokenizer
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        n_expected = max(1, -(-max(len(toks) - CHUNK_SIZE, 0) // CHUNK_STEP)
+                         + 1) if toks else 1
+        # chunk count: k ranges over {0} ∪ {k : k*STEP < len(toks)}
+        n_by_rule = 1 + sum(1 for k in range(1, len(toks))
+                            if len(toks) > k * CHUNK_STEP)
+        assert len(rows) == n_by_rule
+        for r in rows:
+            k = r["chunk_idx"]
+            want = toks[k * CHUNK_STEP: k * CHUNK_STEP + CHUNK_SIZE]
+            assert r["chunk_text"] == " ".join(want)
+            assert r["n_tokens"] == len(want)
+        # coverage: every token index lies in some chunk's window
+        covered = set()
+        for r in rows:
+            k = r["chunk_idx"]
+            covered.update(range(k * CHUNK_STEP,
+                                 k * CHUNK_STEP + r["n_tokens"]))
+        assert covered == set(range(len(toks)))

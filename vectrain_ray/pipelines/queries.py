@@ -3144,49 +3144,52 @@ def q_chunk_tokens(sf_dir: str):
     max chunks-per-doc in the batch (small constant), never over rows.
     Stateless per batch, so it streams at any scale."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_chunk_tokens_batch, batch_format="pyarrow",
+                          batch_size=65536)
 
-    def chunks(t: pa.Table) -> pa.Table:
-        # rebuild lists with empty tokens dropped INSIDE each list (the
-        # SQL list_filter equivalent; split of "" yields [""])
-        _, words, keep, parents = _doc_tokens(t)
-        keep = keep.to_numpy(zero_copy_only=False)
-        parents = parents.to_numpy(zero_copy_only=False)
-        n = t.num_rows
-        dl = np.bincount(parents[keep], minlength=n)
-        offsets = np.zeros(n + 1, np.int32)
-        np.cumsum(dl, out=offsets[1:])
-        toks = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                        words.filter(pa.array(keep)))
-        out_id, out_k, out_text, out_n = [], [], [], []
-        max_k = int(max(1, -(-dl.max() // CHUNK_STEP))) if n else 0
-        doc_ids = t["doc_id"].combine_chunks()
-        for k in range(max_k):
-            mask = pa.array(dl > k * CHUNK_STEP) if k else pa.array(
-                np.ones(n, bool))
-            sub = toks.filter(mask)
-            sl = pc.list_slice(sub, start=k * CHUNK_STEP,
-                               stop=k * CHUNK_STEP + CHUNK_SIZE)
-            out_id.append(doc_ids.filter(mask))
-            out_k.append(pa.array(np.full(len(sub), k, np.int32)))
-            out_text.append(pc.binary_join(sl, " "))
-            out_n.append(pc.cast(pc.list_value_length(sl), pa.int64()))
-        if not out_id:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "chunk_idx": pa.array([], pa.int32()),
-                             "chunk_text": pa.array([], pa.string()),
-                             "n_tokens": pa.array([], pa.int64())})
-        concat = pa.concat_arrays
-        return pa.table({
-            "doc_id": concat([a.combine_chunks() if isinstance(
-                a, pa.ChunkedArray) else a for a in out_id]),
-            "chunk_idx": concat(out_k),
-            "chunk_text": concat([a.combine_chunks() if isinstance(
-                a, pa.ChunkedArray) else a for a in out_text]),
-            "n_tokens": concat([a.combine_chunks() if isinstance(
-                a, pa.ChunkedArray) else a for a in out_n]),
-        })
 
-    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=65536)
+def _chunk_tokens_batch(t: pa.Table) -> pa.Table:
+    """q_chunk_tokens' pure per-batch kernel (module-level so the
+    property tests can drive it without a Ray session)."""
+    # rebuild lists with empty tokens dropped INSIDE each list (the
+    # SQL list_filter equivalent; split of "" yields [""])
+    _, words, keep, parents = _doc_tokens(t)
+    keep = keep.to_numpy(zero_copy_only=False)
+    parents = parents.to_numpy(zero_copy_only=False)
+    n = t.num_rows
+    dl = np.bincount(parents[keep], minlength=n)
+    offsets = np.zeros(n + 1, np.int32)
+    np.cumsum(dl, out=offsets[1:])
+    toks = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    words.filter(pa.array(keep)))
+    out_id, out_k, out_text, out_n = [], [], [], []
+    max_k = int(max(1, -(-dl.max() // CHUNK_STEP))) if n else 0
+    doc_ids = t["doc_id"].combine_chunks()
+    for k in range(max_k):
+        mask = pa.array(dl > k * CHUNK_STEP) if k else pa.array(
+            np.ones(n, bool))
+        sub = toks.filter(mask)
+        sl = pc.list_slice(sub, start=k * CHUNK_STEP,
+                           stop=k * CHUNK_STEP + CHUNK_SIZE)
+        out_id.append(doc_ids.filter(mask))
+        out_k.append(pa.array(np.full(len(sub), k, np.int32)))
+        out_text.append(pc.binary_join(sl, " "))
+        out_n.append(pc.cast(pc.list_value_length(sl), pa.int64()))
+    if not out_id:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "chunk_idx": pa.array([], pa.int32()),
+                         "chunk_text": pa.array([], pa.string()),
+                         "n_tokens": pa.array([], pa.int64())})
+    concat = pa.concat_arrays
+    return pa.table({
+        "doc_id": concat([a.combine_chunks() if isinstance(
+            a, pa.ChunkedArray) else a for a in out_id]),
+        "chunk_idx": concat(out_k),
+        "chunk_text": concat([a.combine_chunks() if isinstance(
+            a, pa.ChunkedArray) else a for a in out_text]),
+        "n_tokens": concat([a.combine_chunks() if isinstance(
+            a, pa.ChunkedArray) else a for a in out_n]),
+    })
 
 
 BM25_TERMS = ("vector", "join", "stream")  # fixed OR-query, seed-free
