@@ -176,9 +176,9 @@ def test_chunk_tokens_kernel_properties(token_lists):
     for doc_id, ws in enumerate(token_lists):
         toks = [w.lower() for w in ws if w]  # the oracle-locked tokenizer
         rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
-        n_expected = max(1, -(-max(len(toks) - CHUNK_SIZE, 0) // CHUNK_STEP)
-                         + 1) if toks else 1
-        # chunk count: k ranges over {0} ∪ {k : k*STEP < len(toks)}
+        # chunk count rule: k ranges over {0} ∪ {k : k*STEP < len(toks)}
+        # (the kernel emits a trailing chunk even when it is fully inside
+        # the previous window — matching the SQL generate_series mirror)
         n_by_rule = 1 + sum(1 for k in range(1, len(toks))
                             if len(toks) > k * CHUNK_STEP)
         assert len(rows) == n_by_rule

@@ -710,19 +710,37 @@ def q_sample_hash(sf_dir: str):
     return ds.map_batches(HashSampler, batch_format="pyarrow", concurrency=2)
 
 
-_MINHASH_CLUSTERS_CACHE: dict[str, object] = {}
+def _cache_key(sf_dir: str) -> tuple:
+    """(input fingerprint, Ray job id): a cached MaterializedDataset is
+    valid only while BOTH hold — regenerating the sf_dir in place
+    invalidates by file stats, and ray.shutdown()+init invalidates by job
+    id (the old object-store blocks are gone)."""
+    import glob as _glob
+
+    fp = tuple(
+        (os.path.basename(f), os.stat(f).st_size, os.stat(f).st_mtime_ns)
+        for f in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))))
+    job = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else None)
+    return (fp, job)
+
+
+_MINHASH_CLUSTERS_CACHE: dict[str, tuple] = {}
 
 
 def _minhash_clusters(sf_dir: str):
     """Session-scoped clustering artifact shared by dedup_minhash and
     dedup_keep_best (the _KG_CACHE pattern): one process computes the
     MinHash clustering once; blocks live in the spillable object store
-    (MaterializedDataset), never the driver heap."""
-    if sf_dir not in _MINHASH_CLUSTERS_CACHE:
+    (MaterializedDataset), never the driver heap. Invalidated by input
+    fingerprint + Ray job id (_cache_key)."""
+    key = _cache_key(sf_dir)
+    hit = _MINHASH_CLUSTERS_CACHE.get(sf_dir)
+    if hit is None or hit[0] != key:
         ds = _read(sf_dir, "documents", ["doc_id", "text"])
-        _MINHASH_CLUSTERS_CACHE[sf_dir] = dedup_minhash(
-            ds, threshold=0.8).materialize()
-    return _MINHASH_CLUSTERS_CACHE[sf_dir]
+        _MINHASH_CLUSTERS_CACHE[sf_dir] = (
+            key, dedup_minhash(ds, threshold=0.8).materialize())
+    return _MINHASH_CLUSTERS_CACHE[sf_dir][1]
 
 
 def q_dedup_minhash(sf_dir: str):
@@ -985,9 +1003,12 @@ _KG_CACHE: dict[str, dict] = {}
 def _run_tpch_kg(sf_dir: str) -> dict:
     """kg_edges and kg_nodes share one pipeline run per sf_dir (results are
     small → materialize once instead of re-running the whole DAG)."""
-    if sf_dir not in _KG_CACHE:
+    key = _cache_key(sf_dir)
+    hit = _KG_CACHE.get(sf_dir)
+    if hit is None or hit.get("_key") != key:
         res = run_kg(tpch_transcripts(sf_dir), out_dir=None, write_outputs=False)
         _KG_CACHE[sf_dir] = {
+            "_key": key,  # input fingerprint + Ray job id (see _cache_key)
             "edges": res["edges"].materialize(),
             "nodes": res["nodes"].materialize(),
         }
@@ -2968,10 +2989,11 @@ def q_pmi_bigrams(sf_dir: str):
     p_total = float(bigrams.sum("cnt") or 0)
     t_total = float(unigrams.sum("c") or 0)
     if p_total == 0 or t_total == 0:
-        return pa.table({"w1": pa.array([], pa.string()),
-                         "w2": pa.array([], pa.string()),
-                         "cnt": pa.array([], pa.int64()),
-                         "pmi": pa.array([], pa.float64())})
+        # registry contract: every op returns a ray.data.Dataset
+        return rd.from_arrow(pa.table({"w1": pa.array([], pa.string()),
+                                       "w2": pa.array([], pa.string()),
+                                       "cnt": pa.array([], pa.int64()),
+                                       "pmi": pa.array([], pa.float64())}))
 
     cands = bigrams.map_batches(
         lambda t: t.filter(pc.greater_equal(t["cnt"], PMI_MIN_CNT)),
@@ -3158,10 +3180,15 @@ def _chunk_tokens_batch(t: pa.Table) -> pa.Table:
     parents = parents.to_numpy(zero_copy_only=False)
     n = t.num_rows
     dl = np.bincount(parents[keep], minlength=n)
-    offsets = np.zeros(n + 1, np.int32)
+    offsets = np.zeros(n + 1, np.int64)
     np.cumsum(dl, out=offsets[1:])
-    toks = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                    words.filter(pa.array(keep)))
+    if offsets[-1] >= 2**31:  # int32 ListArray offset ceiling
+        raise ValueError(
+            f"batch holds {offsets[-1]} tokens (> int32 offsets); "
+            "lower batch_size for this corpus")
+    toks = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()),
+        words.filter(pa.array(keep)))
     out_id, out_k, out_text, out_n = [], [], [], []
     max_k = int(max(1, -(-dl.max() // CHUNK_STEP))) if n else 0
     doc_ids = t["doc_id"].combine_chunks()
