@@ -437,3 +437,69 @@ def test_real_and_fake_decode_paths_share_schemas_via_stub_codecs(monkeypatch):
     real_vid = vs(t_vid)
     assert real_vid.schema == fake_vid.schema
     assert real_vid.num_rows == 2 * 3
+
+
+# --- vectorized minhash kernel parity (round-4: DuckDB/numpy hot path) -----
+def _tricky_corpus():
+    return pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog",  # normal
+            "",                                             # empty
+            None,                                           # null
+            "ab",                                           # shorter than k
+            "ÀBçDeF✓ héllo wörld ünïcode",                   # non-ASCII
+            "aaaaaaaaaaaaaaaa",                              # 1 distinct shingle
+            "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+            "x" * 3000,                                      # long, 1 shingle
+        ]),
+    })
+
+
+def test_sketcher_matches_scalar_reference():
+    from vectrain_ray.functions.dedup import ShingleSketcher, char_shingles
+
+    batch = _tricky_corpus()
+    out = ShingleSketcher(k=5)(batch)
+    assert out.column_names == ["doc_id", "sh"]
+    for row, txt in zip(out["sh"].to_pylist(), batch["text"].to_pylist()):
+        assert row == char_shingles(txt or "", 5).tolist()
+
+
+def test_bander_matches_scalar_reference_text_and_sketch_paths():
+    import hashlib
+
+    from vectrain_ray.functions.dedup import (
+        MinHashBander,
+        ShingleSketcher,
+        char_shingles,
+        minhash_signature,
+    )
+
+    batch = _tricky_corpus()
+    bander = MinHashBander(num_perm=64, bands=8, shingle_k=5)
+
+    # scalar reference: the pre-round-4 per-row implementation
+    ref_id, ref_band, ref_hash = [], [], []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        sig = minhash_signature(char_shingles(t or "", 5), bander.a, bander.b)
+        for band in range(8):
+            chunk = sig[band * 8:(band + 1) * 8]
+            key = ",".join(str(int(v)) for v in chunk)
+            h = int.from_bytes(hashlib.md5(key.encode()).digest()[8:], "little")
+            ref_id.append(i)
+            ref_band.append(band)
+            ref_hash.append(h - (1 << 64) if h >= (1 << 63) else h)
+    ref = pa.table({"doc_id": pa.array(ref_id, pa.int64()),
+                    "band_id": pa.array(ref_band, pa.int32()),
+                    "band_hash": pa.array(ref_hash, pa.int64())})
+
+    assert bander(batch).equals(ref)
+
+    # sketch-column path, including a SLICED sketch table (regression: Arrow
+    # .values is unsliced — offsets must be trimmed+rebased)
+    sk = ShingleSketcher(k=5)(batch)
+    sketch_bander = MinHashBander(num_perm=64, bands=8, sketch_col="sh")
+    assert sketch_bander(sk).equals(ref)
+    assert sketch_bander(sk.slice(2, 4)).equals(
+        ref.filter(pa.compute.is_in(ref["doc_id"], value_set=pa.array([2, 3, 4, 5]))))
