@@ -64,6 +64,7 @@ def run_bench() -> dict:
 
     from vectrain_ray.pipelines import queries as Q
     from vectrain_ray.pipelines.kg import run_kg
+    from vectrain_ray.sources.readers import read_transcripts
 
     tpath = _bench_transcripts_path()
     n_turns = sum(
@@ -76,7 +77,7 @@ def run_bench() -> dict:
     rd.range(1000, override_num_blocks=NUM_CPUS).map_batches(
         lambda b: b, batch_format="pyarrow"
     ).count()
-    rd.read_parquet(tpath).count()
+    read_transcripts(tpath).count()
 
     timings: dict[str, float] = {}
     mode = os.environ.get("GRAFT_BENCH_MODE", "full")
@@ -93,7 +94,8 @@ def run_bench() -> dict:
 
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        ds = rd.read_parquet(in_path, columns=["conv_id", "turn_idx", "text"])
+        ds = read_transcripts(in_path,
+                              columns=["conv_id", "turn_idx", "text"])
         ds = dedup_exact_local(ds, ["conv_id", "turn_idx"], sort_within=["text"])
         ds.map_batches(filter_nonempty_text, batch_format="pyarrow",
                        batch_size=8192).map_batches(

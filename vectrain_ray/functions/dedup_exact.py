@@ -14,8 +14,18 @@ measured 100×+ slower.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 _BUCKET = "__dedup_bucket"
+
+
+def _to_arrow_stripped(df: pd.DataFrame) -> pa.Table:
+    """pandas → metadata-free Arrow: Ray's own pandas→block conversion
+    attaches the b'pandas' schema-metadata blob, which makes the schema
+    unhashable and defeats unify_schemas on every downstream stage (the
+    'Failed to hash the schemas' warning). Emitting Arrow directly with the
+    metadata stripped fixes it at the stage boundary."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def key_buckets(df: pd.DataFrame, key_cols: list[str], n: int) -> pd.Series:
@@ -33,18 +43,18 @@ def dedup_exact(ds, key_cols, sort_within: list[str] | None = None,
     key_cols = list(key_cols)
     order = list(dict.fromkeys((sort_within or []) + key_cols))
 
-    def pre(df: pd.DataFrame) -> pd.DataFrame:
+    def pre(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(order, kind="stable").drop_duplicates(
             subset=key_cols, keep="first"
         )
         df[_BUCKET] = key_buckets(df, key_cols, num_buckets)
-        return df
+        return _to_arrow_stripped(df)  # shuffle input: hashable schema
 
-    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_dedup(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(order, kind="stable").drop_duplicates(
             subset=key_cols, keep="first"
         )
-        return g.drop(columns=[_BUCKET])
+        return _to_arrow_stripped(g.drop(columns=[_BUCKET]))
 
     pre_ds = ds.map_batches(pre, batch_format="pandas", batch_size=65536)
     return pre_ds.groupby(_BUCKET).map_groups(bucket_dedup, batch_format="pandas")
@@ -63,9 +73,8 @@ def dedup_exact_local(ds, key_cols, sort_within: list[str] | None = None):
     key_cols = list(key_cols)
     order = list(dict.fromkeys((sort_within or []) + key_cols))
 
-    def block_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(order, kind="stable").drop_duplicates(
-            subset=key_cols, keep="first"
-        )
+    def block_dedup(df: pd.DataFrame) -> pa.Table:
+        return _to_arrow_stripped(df.sort_values(order, kind="stable")
+                                  .drop_duplicates(subset=key_cols, keep="first"))
 
     return ds.map_batches(block_dedup, batch_format="pandas", batch_size=None)

@@ -38,6 +38,7 @@ import ray
 import ray.data as rd
 
 from ..functions.dedup_exact import dedup_exact, dedup_exact_local
+from ..sources.readers import read_transcripts
 from ..stages import canonicalize, materialize
 from ..stages.encode import ENCODERS
 from ..stages.extract import (
@@ -118,7 +119,11 @@ def run_kg(
                 pass
 
     if isinstance(transcripts, str):
-        ds = rd.read_parquet(transcripts, columns=["conv_id", "turn_idx", "text"])
+        # read_transcripts strips the pandas schema-metadata blob at the
+        # source — raw read_parquet defeats Ray's unify_schemas early exit
+        # and spams 'Failed to hash the schemas' on every downstream shuffle
+        ds = read_transcripts(transcripts,
+                              columns=["conv_id", "turn_idx", "text"])
     else:
         ds = transcripts.select_columns(["conv_id", "turn_idx", "text"])
 

@@ -104,7 +104,7 @@ def _broadcast_keyset_filter(ds, col: str, keys: pa.Array, keep: bool,
             return t.filter(mask)
 
     return probe.map_batches(KeySetFilter, batch_format="pyarrow",
-                             concurrency=2)
+                             concurrency=(1, 2))
 
 
 def _bucketed(ds, keys: list[str], n: int = 64):
@@ -353,7 +353,7 @@ def q_broadcast_join(sf_dir: str):
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
     out = (
-        ds.map_batches(AddRegion, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("r_name")
         .aggregate(Sum("p_cnt", alias_name="n_customers"),
                    Sum("p_bal", alias_name="sum_acctbal"))
@@ -608,7 +608,7 @@ def q_asof_join(sf_dir: str):
             )
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    return ds.map_batches(AsOf, batch_format="pandas", concurrency=2)
+    return ds.map_batches(AsOf, batch_format="pandas", concurrency=(1, 2))
 
 
 def q_anti_join(sf_dir: str):
@@ -707,7 +707,7 @@ def q_sample_hash(sf_dir: str):
             self.con.unregister("b")
             return t.filter(mask)
 
-    return ds.map_batches(HashSampler, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(HashSampler, batch_format="pyarrow", concurrency=(1, 2))
 
 
 def _cache_key(sf_dir: str) -> tuple:
@@ -857,8 +857,13 @@ def q_kmeans_assign(sf_dir: str):
         order = pc.array_sort_indices(t["vec_id"])[:KMEANS_K]
         return t.take(order)
 
+    # two-level min-K reduce: per-batch partials, then ONE reduce task over
+    # the K x n_batches partial rows — the driver receives exactly K rows
+    # regardless of batch count (at 100 TB the single-level take_all would
+    # pull K x ~10^6 partial embeddings through the driver)
     crows = sorted(
-        ds.map_batches(min_k, batch_format="pyarrow").take_all(),
+        ds.map_batches(min_k, batch_format="pyarrow")
+        .repartition(1).map_batches(min_k, batch_format="pyarrow").take_all(),
         key=lambda r: r["vec_id"])[:KMEANS_K]
     dim = _embedding_dim(sf_dir)
     C = (np.asarray([r["embedding"] for r in crows], dtype=np.float64)
@@ -879,12 +884,14 @@ def q_kmeans_assign(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             X = _to_matrix(t["embedding"], dim=self.C.shape[1])
-            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
-                               1e-30)
+            xnorm = np.linalg.norm(X, axis=1, keepdims=True)
+            X = X / np.maximum(xnorm, 1e-30)
             sims = X @ self.C.T
-            # DuckDB list_cosine_similarity(x, 0-vector) = -1.0; mirror it
-            # so a degenerate centroid ranks LAST on both sides
+            # DuckDB list_cosine_similarity = -1.0 whenever EITHER side is a
+            # 0-vector; mirror both directions so degenerate centroids rank
+            # last and zero query rows tie at -1.0 → argmax → cluster 0
             sims[:, self.c_zero] = -1.0
+            sims[(xnorm <= 1e-30).reshape(-1), :] = -1.0
             cluster = np.argmax(sims, axis=1)  # first max = min j
             return pa.table({
                 "vec_id": t["vec_id"],
@@ -892,7 +899,7 @@ def q_kmeans_assign(sf_dir: str):
             })
 
     return ds.map_batches(Assign, batch_format="pyarrow", batch_size=4096,
-                          concurrency=2)
+                          concurrency=(1, 2))
 
 
 def q_ann_index_topk(sf_dir: str):
@@ -1119,7 +1126,7 @@ def name_edges(edges, nodes, broadcast_max: int | None = None):
                 )
 
         return edges.map_batches(NameEdges, batch_format="pyarrow",
-                                 concurrency=2)
+                                 concurrency=(1, 2))
     # scale path: LEFT join once per key side (scalar columns only) — left,
     # not inner, so an edge whose endpoint id is missing from nodes keeps a
     # null name exactly like the broadcast path (the two deployment shapes
@@ -2560,7 +2567,7 @@ def q_decontaminate(sf_dir: str):
     # doc-sized batches used here); still merge defensively per doc_id in
     # one bucketed pass to stay partition-agnostic
     parts = ds.map_batches(ScanContaminated, batch_format="pyarrow",
-                           batch_size=65536, concurrency=2)
+                           batch_size=65536, concurrency=(1, 2))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("doc_id", sort=False)["n_hits"].sum().reset_index()
@@ -2849,7 +2856,7 @@ def q_validate(sf_dir: str):
 
     return (
         ds.map_batches(Validate, batch_format="pyarrow", batch_size=65536,
-                       concurrency=2)
+                       concurrency=(1, 2))
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
@@ -2886,7 +2893,7 @@ def q_multi_join(sf_dir: str):
                              "n_name": pc.take(self.names, idx)})
 
     cust_n = cust.map_batches(AddNation, batch_format="pyarrow",
-                              concurrency=2)
+                              concurrency=(1, 2))
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = orders.join(cust_n, join_type="inner",
                          num_partitions=_join_partitions(),
@@ -2948,7 +2955,7 @@ def q_multimodal_meta(sf_dir: str):
     return (
         ds.map_batches(to_payload, batch_format="pyarrow", batch_size=4096)
         .map_batches(MetaExtract, batch_format="pyarrow", batch_size=1024,
-                     concurrency=2)
+                     concurrency=(1, 2))
     )
 
 
@@ -3209,7 +3216,7 @@ def q_train_test_split(sf_dir: str):
             ).arrow()
 
     parts = ds.map_batches(SplitCounter, batch_format="pyarrow",
-                           batch_size=65536, concurrency=2)
+                           batch_size=65536, concurrency=(1, 2))
     return (parts.groupby(["split", "lang"])
             .aggregate(Sum("p_docs", alias_name="n_docs"),
                        Sum("p_chars", alias_name="sum_chars")))
@@ -3333,9 +3340,9 @@ def q_bm25_topk(sf_dir: str):
 
     parts = stats_ds.map_batches(totals, batch_format="pyarrow").to_pandas()
     n_docs = float(parts["n"].sum())
-    if n_docs == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "score": pa.array([], pa.float64())})
+    if n_docs == 0:  # Dataset, not pa.Table — run.py materialize()s results
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "score": pa.array([], pa.float64())}))
     avgdl = float(parts["sum_dl"].sum()) / n_docs
     idf = [math.log((n_docs - float(parts[f"df{i}"].sum()) + 0.5)
                     / (float(parts[f"df{i}"].sum()) + 0.5) + 1.0)

@@ -27,6 +27,7 @@ import ray
 import ray.data as rd
 
 from ..schema import TRANSCRIPT_SCHEMA
+from ..sources.readers import read_transcripts
 
 _BASE_TS = 1_700_000_000_000_000
 
@@ -78,8 +79,9 @@ def tpch_transcripts(sf_dir: str) -> rd.Dataset:
     nations_ref = ray.put(
         dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
     )
-    cust = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    cust = read_transcripts(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
     ).map_batches(
         _ToTranscript,
         fn_constructor_kwargs=dict(nations_ref=nations_ref, prefix="C",
@@ -87,8 +89,9 @@ def tpch_transcripts(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
         concurrency=2,
     )
-    supp = rd.read_parquet(
-        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    supp = read_transcripts(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
     ).map_batches(
         _ToTranscript,
         fn_constructor_kwargs=dict(nations_ref=nations_ref, prefix="S",

@@ -34,6 +34,12 @@ def _stripped_schema(path: str, columns: list[str] | None):
                                  recursive=True))
         if not files:
             return None
+        # hive-partitioned layouts (key=value dirs) carry columns that are
+        # NOT in any file footer; an explicit footer-only schema would
+        # silently drop them — let Ray infer instead
+        rel = os.path.relpath(files[0], path)
+        if any("=" in part for part in rel.split(os.sep)[:-1]):
+            return None
         path = files[0]
     sch = pq.read_schema(path).remove_metadata()
     if columns is not None:

@@ -63,9 +63,16 @@ class VectorStoreWriter:
         self.vector_col = vector_col
         self.id_cols = tuple(id_cols)
         self.client = client_factory()  # once per actor
-        # ensure-collection (store.go:92-114)
+        # ensure-collection (store.go:92-114). Pool actors race this check:
+        # two actors can both see exists()==False, so a duplicate-create
+        # from a real client (qdrant raises 409) is re-checked — create is
+        # effectively create-if-missing regardless of client semantics.
         if not self.client.collection_exists(collection):
-            self.client.create_collection(collection, dim, distance)
+            try:
+                self.client.create_collection(collection, dim, distance)
+            except Exception:
+                if not self.client.collection_exists(collection):
+                    raise
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
