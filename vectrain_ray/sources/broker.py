@@ -303,3 +303,84 @@ class BrokerConsumer:
                 return history
             if idle_stop_after is not None and idle >= idle_stop_after:
                 return history
+
+
+class KafkaBrokerClient:
+    """Real Kafka binding for the client protocol — import-guarded like
+    functions/multimodal.py's codecs (confluent-kafka is not in this
+    container; the contract test drives the mapping with an injected fake
+    SDK module instead).
+
+    Mirrors the reference's consumer (internal/app/sources/kafka/client.go):
+    metadata-discovered partitions assigned explicitly (client.go:49-62),
+    reads positioned by OUR offset store rather than the broker's committed
+    group offsets (the poll-from-beginning + resume-from-landing semantics,
+    client.go:63-74), batched value polls (client.go:76-92). Messages with
+    broker-side errors fail the fetch loudly, like the reference's
+    unmarshal failures (fetch_messages.go:66-69).
+
+    One instance per BrokerConsumer → one broker connection per consumer
+    process; fetch() seeks, so interleaved partitions are safe."""
+
+    def __init__(self, topic: str,
+                 bootstrap_servers: str = "localhost:9092",
+                 group_id: str = "vectrain", poll_timeout: float = 1.0,
+                 _sdk=None):
+        if _sdk is None:  # pragma: no cover — exercised via injected fake
+            try:
+                import confluent_kafka as _sdk  # noqa: PLC0415
+            except ImportError as exc:
+                raise ImportError(
+                    "KafkaBrokerClient needs the 'confluent-kafka' package; "
+                    "inject a fake client (tests/test_broker.py) or use the "
+                    "parquet/push sources when it is unavailable") from exc
+        self._sdk = _sdk
+        self.topic = topic
+        self.poll_timeout = poll_timeout
+        self._consumer = _sdk.Consumer({
+            "bootstrap.servers": bootstrap_servers,
+            "group.id": group_id,
+            # offsets are OURS (BrokerConsumer's per-partition files commit
+            # after the durable landing flush) — never the broker's
+            "enable.auto.commit": False,
+            "auto.offset.reset": "earliest",
+        })
+
+    def partitions(self) -> list[int]:
+        meta = self._consumer.list_topics(self.topic)
+        topic_meta = meta.topics[self.topic]
+        if getattr(topic_meta, "error", None):
+            raise RuntimeError(
+                f"topic metadata error for {self.topic!r}: {topic_meta.error}")
+        return sorted(topic_meta.partitions.keys())
+
+    def fetch(self, partition: int, offset: int,
+              max_messages: int) -> list[tuple[int, bytes]]:
+        tp = self._sdk.TopicPartition(self.topic, partition, offset)
+        self._consumer.assign([tp])
+        out: list[tuple[int, bytes]] = []
+        while len(out) < max_messages:
+            msgs = self._consumer.consume(
+                num_messages=max_messages - len(out),
+                timeout=self.poll_timeout)
+            if not msgs:
+                break  # caught up
+            for m in msgs:
+                err = m.error()
+                if err is not None:
+                    if getattr(err, "code", lambda: None)() == getattr(
+                            self._sdk.KafkaError, "_PARTITION_EOF", object()):
+                        return out
+                    raise RuntimeError(f"kafka fetch error: {err}")
+                out.append((m.offset(), m.value()))
+        return out
+
+    def earliest(self, partition: int) -> int:
+        """Low watermark — BrokerConsumer calls this to recover from
+        truncation (retention deleted the committed position)."""
+        lo, _hi = self._consumer.get_watermark_offsets(
+            self._sdk.TopicPartition(self.topic, partition))
+        return int(lo)
+
+    def close(self) -> None:
+        self._consumer.close()

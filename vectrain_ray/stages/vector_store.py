@@ -196,9 +196,62 @@ class InMemoryVectorStore:
         return self._ray.get(self._actor.get.remote(collection, point_id))
 
 
+class QdrantVectorStoreClient:
+    """Real Qdrant binding for the client protocol — import-guarded like
+    functions/multimodal.py's codecs (qdrant-client is not in this
+    container; the contract test drives the mapping with an injected fake
+    SDK module instead).
+
+    Mirrors the reference's client (internal/app/storages/qdrant/client.go):
+    collection create with (size, distance) (client.go:55-68, distance map
+    client.go:24-35) and batched point upsert (store.go:40-48).
+
+    One instance per writer actor → one gRPC/HTTP connection per actor,
+    exactly the reference's one-client-per-store topology."""
+
+    _DISTANCE = {"cosine": "Cosine", "euclid": "Euclid", "dot": "Dot"}
+
+    def __init__(self, url: str = "http://localhost:6333",
+                 api_key: str | None = None, timeout: float = 10.0,
+                 _sdk=None):
+        if _sdk is None:  # pragma: no cover — exercised via injected fake
+            try:
+                import qdrant_client as _sdk  # noqa: PLC0415
+            except ImportError as exc:
+                raise ImportError(
+                    "QdrantVectorStoreClient needs the 'qdrant-client' "
+                    "package; use kind='memory' (InMemoryVectorStore) when "
+                    "it is unavailable") from exc
+        self._sdk = _sdk
+        self._client = _sdk.QdrantClient(url=url, api_key=api_key,
+                                         timeout=timeout)
+
+    def collection_exists(self, name):
+        return bool(self._client.collection_exists(name))
+
+    def create_collection(self, name, dim, distance):
+        m = self._sdk.models
+        self._client.create_collection(
+            collection_name=name,
+            vectors_config=m.VectorParams(
+                size=dim, distance=getattr(m.Distance,
+                                           self._DISTANCE[distance].upper(),
+                                           self._DISTANCE[distance])),
+        )
+
+    def upsert(self, collection, ids, vectors, payloads):
+        m = self._sdk.models
+        self._client.upsert(
+            collection_name=collection,
+            points=[m.PointStruct(id=i, vector=list(v), payload=dict(p))
+                    for i, v, p in zip(ids, vectors, payloads)],
+        )
+
+
 # Open registry — the reference's storage factory surface (factory.go:31-38);
 # production registers real network clients here (qdrant, pgvector, ...)
-VECTOR_STORES = {"memory": InMemoryVectorStore}
+VECTOR_STORES = {"memory": InMemoryVectorStore,
+                 "qdrant": QdrantVectorStoreClient}
 
 
 def push_mentions(out_dir: str, cfg: dict,
