@@ -137,12 +137,15 @@ def test_spec_wires_vector_store_push(tmp_path):
 def test_spec_rejects_bad_vector_store():
     from vectrain_ray.config import PipelineSpec
 
+    # "qdrant" is a REGISTERED kind since the import-guarded adapter landed
+    # (stages/vector_store.py QdrantVectorStoreClient) — the unknown-kind
+    # rejection needs a kind no registry entry claims
     with pytest.raises(ValueError, match="vector_store.kind"):
         PipelineSpec.from_dict({
             "source": {"path": "/x"},
             "sink": {"out_dir": "/y",
-                     "vector_store": {"kind": "qdrant", "collection": "c",
-                                      "dim": 8}},
+                     "vector_store": {"kind": "no_such_store",
+                                      "collection": "c", "dim": 8}},
         }).validate()
     with pytest.raises(ValueError, match="collection"):
         PipelineSpec.from_dict({

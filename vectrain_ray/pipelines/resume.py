@@ -186,9 +186,28 @@ def run_kg_resumable(
     link_ann_cells: int = 64,
     link_ann_probe: int | None = None,
     source_kind: str = "parquet",
+    shard_parallelism: int | None = None,
 ) -> dict:
     """Run (or resume) the partitioned pipeline. ``fail_after_phase1_parts``
-    injects a crash after N phase-1 shards (kill-point testing only)."""
+    injects a crash after N phase-1 shards (kill-point testing only).
+
+    ``shard_parallelism``: phases 1 and 3 are independent per shard, so up
+    to this many shard pipelines run CONCURRENTLY on driver threads (each
+    is its own streaming Ray Data execution; Ray schedules their tasks onto
+    the shared CPU pool). This overlaps the per-pipeline fixed cost
+    (planning + actor spin-up, ~2 s each) that a serial loop pays P times —
+    the difference between O(P) and O(P/threads) wall for small micro-
+    batches. Default (None) auto-sizes to cluster CPUs // 8: each shard
+    pipeline reserves ~4-6 CPU slots (two 2-actor pools + read/write
+    tasks), and pool actors HOLD their slot while idle — oversubscribing a
+    small cluster makes competing pipelines starve each other (measured:
+    the 4-CPU test session crawled at 4 threads). Manifests are per-part
+    files, so concurrent commits of DIFFERENT parts never race; the
+    kill-injection path stays serial so "fail after N shards" remains
+    deterministic for the resume tests."""
+    if shard_parallelism is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        shard_parallelism = max(1, min(8, cpus // 8))
     os.makedirs(out_dir, exist_ok=True)
     man1 = PartitionManifest(os.path.join(out_dir, "p1_extract"))
     man3 = PartitionManifest(os.path.join(out_dir, "p3_link"))
@@ -197,7 +216,7 @@ def run_kg_resumable(
     shards = _shard(input_path, out_dir, num_parts, source_kind)
 
     # ---- phase 1: per-shard extraction ----------------------------------
-    done1 = 0
+    p1_todo: list[tuple[int, list[str]]] = []
     for part in range(num_parts):
         files = _shard_files(shards, part)
         if not files:
@@ -205,6 +224,9 @@ def run_kg_resumable(
         if man1.is_done(part, files):
             metrics["skipped_p1"] += 1
             continue
+        p1_todo.append((part, files))
+
+    def _run_p1(part: int, files: list[str]) -> None:
         t0 = time.time()
         clear_partition_outputs(out_dir, TABLES_P1, part)
         ext_dir = partition_output_dir(out_dir, "extracted", part)
@@ -228,10 +250,23 @@ def run_kg_resumable(
         log_event(_LOG, f"p1 extract part={part} committed", phase="p1",
                   part=part, rows_out=n,
                   wall_sec=round(time.time() - t0, 3))
-        done1 += 1
-        if fail_after_phase1_parts is not None and done1 >= fail_after_phase1_parts:
-            raise RuntimeError("injected kill after phase-1 shard "
-                               f"{part} (testing resume)")
+
+    if fail_after_phase1_parts is not None:
+        # deterministic kill-point path (serial): exactly the first N todo
+        # shards commit before the injected crash
+        for done1, (part, files) in enumerate(p1_todo, start=1):
+            _run_p1(part, files)
+            if done1 >= fail_after_phase1_parts:
+                raise RuntimeError("injected kill after phase-1 shard "
+                                   f"{part} (testing resume)")
+    elif p1_todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+                max_workers=max(1, min(shard_parallelism, len(p1_todo)))
+        ) as pool:
+            # list() drains the iterator → first worker exception re-raises
+            list(pool.map(lambda pf: _run_p1(*pf), p1_todo))
 
     # ---- phase 2: global canonicalization (small) -----------------------
     # The marker stores the fingerprint of the extracted/part=* inputs: if
@@ -316,9 +351,13 @@ def run_kg_resumable(
         linker_kwargs = {"index_ref": index_ref, "dim": dim,
                          "fuzzy_threshold": fuzzy_threshold}
 
-    mapping_norms = None  # lazily loaded for the n_unsafe skip criterion
-    n_map_rows = None  # mapping row count (parquet footers), lazily read
+    import threading
+
+    _norms_lock = threading.Lock()
+    _metrics_lock = threading.Lock()
+    _lazy: dict = {"mapping_norms": None, "n_map_rows": None}
     # ---- phase 3: per-shard linking + mention encoding + edge partials --
+    p3_todo: list[tuple[int, list[str]]] = []
     for part in range(num_parts):
         ext_files = sorted(
             glob.glob(os.path.join(out_dir, "extracted", f"part={part}", "*.parquet"))
@@ -328,7 +367,11 @@ def run_kg_resumable(
         if man3.is_done(part, ext_files):
             metrics["skipped_p3"] += 1
             continue
-        metrics.setdefault("p3_parts_run", []).append(part)
+        p3_todo.append((part, ext_files))
+
+    def _run_p3(part: int, ext_files: list[str]) -> None:
+        with _metrics_lock:
+            metrics.setdefault("p3_parts_run", []).append(part)
         t0 = time.time()
         clear_partition_outputs(out_dir, TABLES_P3, part)
         ext = rd.read_parquet(ext_files)
@@ -343,8 +386,35 @@ def run_kg_resumable(
             concurrency=2,
             **({"max_task_retries": max_task_retries} if max_task_retries else {}),
         )
-        mentions.write_parquet(partition_output_dir(out_dir, "mentions", part))
+        # overlap the encode+write with the link→edges chain below (the
+        # kg.py driver-thread write-overlap pattern): the two sinks share no
+        # state, and the shard's wall was 3 serial executions' fixed cost.
+        # Gated on cluster size: concurrent executions mean BOTH actor
+        # pools (2 encoders + 2 linkers) hold CPU slots at once, which on a
+        # ≤4-CPU session leaves zero slots for the map/write tasks feeding
+        # them — same starvation mode as the shard_parallelism auto-gate
+        mentions_dir = partition_output_dir(out_dir, "mentions", part)
+        if int(ray.cluster_resources().get("CPU", 8)) >= 16:
+            from concurrent.futures import ThreadPoolExecutor as _TPE
 
+            with _TPE(max_workers=1) as _mw:
+                mentions_fut = _mw.submit(mentions.write_parquet,
+                                          mentions_dir)
+                n_tr, n_unsafe = _run_p3_tail(part, ext)
+                mentions_fut.result()  # propagate encode/write failures
+        else:
+            mentions.write_parquet(mentions_dir)
+            n_tr, n_unsafe = _run_p3_tail(part, ext)
+        # commit LAST, after BOTH sinks are durable — a commit racing the
+        # mentions write could mark a shard done with missing mentions
+        man3.commit(part, ext_files,
+                    {"triples_out": n_tr, "n_unsafe": n_unsafe,
+                     "wall_sec": round(time.time() - t0, 3)})
+        log_event(_LOG, f"p3 link part={part} committed", phase="p3",
+                  part=part, triples_out=n_tr,
+                  wall_sec=round(time.time() - t0, 3))
+
+    def _run_p3_tail(part: int, ext) -> tuple[int, int]:
         triples = ext.map_batches(triples_table, batch_format="pyarrow")
         linked = triples.map_batches(
             linker_cls,
@@ -382,13 +452,15 @@ def run_kg_resumable(
         from ..stages.link import (count_unsafe_links,
                                    count_unsafe_links_distributed)
 
-        if n_map_rows is None:  # mapping size from parquet footers only
-            n_map_rows = sum(
-                pq.read_metadata(f).num_rows
-                for f in glob.glob(os.path.join(mapping_dir, "*.parquet")))
+        with _norms_lock:  # footer scan once per run, reuse per part
+            if _lazy["n_map_rows"] is None:
+                _lazy["n_map_rows"] = sum(
+                    pq.read_metadata(f).num_rows
+                    for f in glob.glob(os.path.join(mapping_dir,
+                                                    "*.parquet")))
         if not tr_files:
             n_unsafe = 0
-        elif (n_map_rows >= UNSAFE_SET_MAX_ENTITIES
+        elif (_lazy["n_map_rows"] >= UNSAFE_SET_MAX_ENTITIES
               or n_tr >= UNSAFE_SET_MAX_ENTITIES):
             # distributed when EITHER side is driver-hostile: a small
             # vocabulary over a huge corpus still means shard-sized
@@ -397,21 +469,27 @@ def run_kg_resumable(
             # mapping norms touch the driver (stages/link.py)
             n_unsafe = count_unsafe_links_distributed(tr_files, mapping_dir)
         else:
-            if mapping_norms is None:  # load once per run, reuse per part
-                mapping_norms = set(
-                    pq.read_table(mapping_dir, columns=["surface_norm"])
-                    ["surface_norm"].to_pylist())
+            with _norms_lock:  # load once per run, reuse per part
+                if _lazy["mapping_norms"] is None:
+                    _lazy["mapping_norms"] = set(
+                        pq.read_table(mapping_dir, columns=["surface_norm"])
+                        ["surface_norm"].to_pylist())
             n_unsafe = count_unsafe_links(
                 pq.read_table(tr_files, columns=["subj", "obj", "subj_id",
                                                  "obj_id"]).to_pandas(),
-                mapping_norms,
+                _lazy["mapping_norms"],
             )
-        man3.commit(part, ext_files,
-                    {"triples_out": n_tr, "n_unsafe": n_unsafe,
-                     "wall_sec": round(time.time() - t0, 3)})
-        log_event(_LOG, f"p3 link part={part} committed", phase="p3",
-                  part=part, triples_out=n_tr,
-                  wall_sec=round(time.time() - t0, 3))
+        return n_tr, n_unsafe
+
+    if p3_todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+                max_workers=max(1, min(shard_parallelism, len(p3_todo)))
+        ) as pool:
+            list(pool.map(lambda pf: _run_p3(*pf), p3_todo))
+    if "p3_parts_run" in metrics:
+        metrics["p3_parts_run"].sort()  # thread completion order varies
 
     for a in shard_actors:  # linking done → free the index actors
         ray.kill(a)
