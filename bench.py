@@ -160,6 +160,14 @@ def run_bench() -> dict:
         ("dedup_keep_best", Q.q_dedup_keep_best),
         ("pmi_bigrams", Q.q_pmi_bigrams),
         ("train_test_split", Q.q_train_test_split),
+        # round-4 ops. NOTE: bm25/tfidf/pmi/chunk warmed the shared
+        # _tokenized_docs cache above, so these rows time the op's own
+        # compute, not tokenization
+        ("pack_sequences", Q.q_pack_sequences),
+        ("semantic_dedup", Q.q_semantic_dedup),
+        ("knn_join", Q.q_knn_join),
+        ("dup_ngram_spans", Q.q_dup_ngram_spans),
+        ("skew_join", Q.q_skew_join),
     ]
     for name, fn in secondary:
         t0 = time.time()

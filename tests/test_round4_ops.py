@@ -152,6 +152,20 @@ def test_skew_join_matches_plain_join(tmp_path, ray_session):
     assert (fact["l_orderkey"] == 1).sum() >= Q.SKEW_HOT_MIN
 
 
+def test_tokenized_docs_cache_invalidates_on_rewrite(tmp_path, ray_session):
+    """The tokenize-once intermediate must not serve stale lists after the
+    input is regenerated in place (same _cache_key discipline as the
+    MinHash clustering artifact)."""
+    sf = str(tmp_path)
+    _write_docs(sf, ["a b", "c"])
+    first = _df(Q.q_wordcount(sf))
+    assert set(first["word"]) == {"a", "b", "c"}
+    # rewrite the table in place → fingerprint (size/mtime) changes
+    _write_docs(sf, ["x y z", "x"])
+    second = _df(Q.q_wordcount(sf))
+    assert set(second["word"]) == {"x", "y", "z"}
+
+
 def test_empty_corpus_contracts(tmp_path, ray_session):
     """Empty inputs return DATASETS (run.py materialize()s every result)."""
     import ray.data as rd
