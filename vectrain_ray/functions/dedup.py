@@ -586,6 +586,10 @@ def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",
         sketch_batch,
         fn_kwargs={"k": shingle_k, "id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
+        # NOTE: 256 halves the sketch stage in isolation (more concurrent
+        # single-threaded DuckDB tasks) but the smaller materialized blocks
+        # fan the downstream band+verify execution out 2x slower overall —
+        # measured 6.7 → 14.9 s end-to-end at sf0.1. Keep 1024.
         batch_size=1024,
     ).materialize()
     cands = minhash_candidate_pairs(

@@ -3738,18 +3738,23 @@ def q_skew_join(sf_dir: str):
     dim = _read(sf_dir, "orders",
                 ["o_orderkey", "o_totalprice", "o_orderpriority"])
 
-    def key_partial(t: pa.Table) -> pa.Table:
+    # Hot-key detection is BATCH-LOCAL and zero-shuffle: a key is hot when
+    # any single batch holds >= SKEW_HOT_MIN of its rows. This catches
+    # storage-contiguous skew exactly — the pathological shape, since a
+    # hot entity's rows are co-located by the upstream partitioning — and
+    # is a ROUTING decision only: a missed (diffusely spread) hot key just
+    # takes the ordinary hash-join path, so the output is identical either
+    # way (the plain-join oracle checks exactly that). The exact global
+    # count would itself be the all-to-all this op exists to avoid
+    # (measured: 6.3 s groupby vs 0.3 s batch-local at sf0.1/32 CPUs).
+    def hot_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("l_orderkey").aggregate([([], "count_all")])
-        return g.rename_columns(["l_orderkey", "p_cnt"])
+        g = g.rename_columns(["l_orderkey", "cnt"])
+        return g.filter(pc.greater_equal(g["cnt"], SKEW_HOT_MIN))
 
-    hot_rows = (fact.map_batches(key_partial, batch_format="pyarrow")
-                .groupby("l_orderkey").aggregate(Sum("p_cnt",
-                                                     alias_name="cnt"))
-                .map_batches(lambda t: t.filter(
-                    pc.greater_equal(t["cnt"], SKEW_HOT_MIN)),
-                    batch_format="pyarrow")
-                .take_all())  # bounded: hot keys are few BY DEFINITION
-    hot_keys = pa.array(sorted(r["l_orderkey"] for r in hot_rows),
+    hot_rows = fact.map_batches(hot_partial, batch_format="pyarrow",
+                                batch_size=65536).take_all()
+    hot_keys = pa.array(sorted({r["l_orderkey"] for r in hot_rows}),
                         pa.int64())
 
     # plain TASK-based map_batches throughout this op (no actor pools):
