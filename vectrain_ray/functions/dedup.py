@@ -36,8 +36,15 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
 
     Scalar REFERENCE implementation (per-row Python): the hot path uses the
     vectorized `_sketch_table` below, which is regression-tested
-    bit-identical to this function (tests/test_functions.py)."""
-    t = (text or "").lower()
+    bit-identical to this function (tests/test_functions.py).
+
+    Case folding is Arrow utf8_lower (utf8proc, 1:1 codepoint mapping —
+    identical to DuckDB's lower(), verified on final-sigma/dotted-İ
+    probes), NOT Python str.lower() (full case mapping: 'Σ'→'ς' at word
+    end, 'İ'→'i'+combining dot) — str.lower() silently breaks the
+    bit-identity with the DuckDB kernel and the SQL oracle on Greek and
+    Turkish text."""
+    t = pc.utf8_lower(pa.scalar(text or "")).as_py()
     if not t:
         return np.array([], dtype=np.uint64)
     if len(t) < k:

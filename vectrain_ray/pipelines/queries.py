@@ -727,9 +727,9 @@ def _cache_key(sf_dir: str) -> tuple:
 
 _TOKENIZED_DOCS_CACHE: dict[str, tuple] = {}
 
-
-def _as_array(a):
-    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+# ONE ChunkedArray-combining helper for the whole package (it also has the
+# single-chunk fast path); a second copy here would drift
+from ..functions.dedup import _as_array  # noqa: E402
 
 
 def _doc_tokens_from_lists(t: pa.Table):
@@ -1485,7 +1485,10 @@ def q_ngram_jaccard(sf_dir: str):
         return out
 
     def _shingles(t) -> set:
-        t = (t or "").lower()
+        # Arrow utf8_lower ≡ DuckDB lower (both utf8proc, 1:1 codepoint);
+        # Python str.lower() diverges on final-sigma/dotted-İ and would
+        # silently break oracle parity on Greek/Turkish corpora
+        t = pc.utf8_lower(pa.scalar(t or "")).as_py()
         if not t:
             return set()
         if len(t) < 5:
@@ -3560,10 +3563,13 @@ def q_semantic_dedup(sf_dir: str):
     assigned = ds.map_batches(AssignKeepVec, batch_format="pyarrow",
                               batch_size=4096, concurrency=(1, 2))
 
-    def prune_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id", kind="stable")
-        X = np.vstack([np.asarray(e, dtype=np.float64)
-                       for e in g["embedding"].to_numpy()])
+    emb_dim = C.shape[1]
+
+    def prune_cluster(g: pa.Table) -> pa.Table:
+        order = pc.array_sort_indices(g["vec_id"])
+        g = g.take(order)
+        X = _to_matrix(g["embedding"], dim=emb_dim)  # vectorized, no
+        # per-row Python (the _to_matrix kernel the assign stage uses)
         norm = np.linalg.norm(X, axis=1, keepdims=True)
         Xn = X / np.maximum(norm, 1e-30)
         S = Xn @ Xn.T
@@ -3572,14 +3578,14 @@ def q_semantic_dedup(sf_dir: str):
         S[:, zero] = -1.0
         # drop row i iff ANY j < i (by vec_id, kept or not) has sim >= T —
         # the greedy-vs-all variant the SQL NOT EXISTS reproduces exactly
-        dropped = np.tril(S >= SEMDEDUP_T, -1).any(axis=1)
-        return pd.DataFrame({
-            "vec_id": g["vec_id"].to_numpy()[~dropped],
-            "cluster": g["cluster"].to_numpy()[~dropped].astype("int64"),
+        keep = pa.array(~np.tril(S >= SEMDEDUP_T, -1).any(axis=1))
+        return pa.table({
+            "vec_id": _as_array(g["vec_id"]).filter(keep),
+            "cluster": _as_array(g["cluster"]).filter(keep),
         })
 
     return assigned.groupby("cluster").map_groups(prune_cluster,
-                                                  batch_format="pandas")
+                                                  batch_format="pyarrow")
 
 
 KNN_QUERY_MOD = 50  # vec_id % MOD == 0 defines the (bounded) query workload
@@ -3657,9 +3663,14 @@ def q_knn_join(sf_dir: str):
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "n_id"], ascending=[False, True],
                           kind="stable").head(KNN_K)
+        # _round_half_away, NOT np.round: DuckDB round() is half away from
+        # zero, numpy is half-to-even — they differ on exactly-representable
+        # 4-decimal midpoints (np.round(0.40625, 4)=0.4062, DuckDB=0.4063)
+        score = _round_half_away(
+            pa.array(g["sim"].to_numpy(), pa.float64()), 4)
         return pd.DataFrame({"q_id": g["q_id"].to_numpy(),
                              "n_id": g["n_id"].to_numpy(),
-                             "score": np.round(g["sim"].to_numpy(), 4)})
+                             "score": score.to_numpy(zero_copy_only=False)})
 
     return partials.groupby("q_id").map_groups(final_topk,
                                                batch_format="pandas")
