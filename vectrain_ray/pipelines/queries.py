@@ -144,16 +144,29 @@ def _round_cols(cols: dict[str, int]):
 
 # --- per-batch / projection ops (T2–T5) -----------------------------------
 def q_filter_project(sf_dir: str):
-    """Empty-text admission + predicate filter + projection, all pushed to
-    Arrow kernels inside map_batches."""
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+    """Empty-text admission + predicate filter + projection, pushed TO THE
+    READ: the predicates ride read_parquet's fragment ``filter`` (pyarrow
+    dataset expression → row-group statistics pruning + scan-level row
+    filtering, so non-matching rows never leave storage) and only the
+    needed columns are scanned. The map stage is a pure projection. This
+    is the prune-at-the-read shape every 100 TB ingest wants — the same
+    predicate as a kernel-side filter would move every row off disk
+    first."""
+    import pyarrow.dataset as pads
 
-    def fn(t: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.not_equal(pc.fill_null(t["text"], ""), ""),
-                       pc.greater(t["n_chars"], 100))
-        return t.filter(mask).select(["doc_id", "lang", "n_chars"])
+    from ..sources.readers import _stripped_schema
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    path = os.path.join(sf_dir, "documents.parquet")
+    cols = ["doc_id", "lang", "n_chars", "text"]
+    # fill_null(text,'') <> '' ≡ text IS NOT NULL AND text <> ''
+    expr = ((pads.field("n_chars") > 100)
+            & pads.field("text").is_valid()
+            & (pads.field("text") != ""))
+    ds = rd.read_parquet(path, columns=cols, filter=expr,
+                         schema=_stripped_schema(path, cols))
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_chars"]),
+        batch_format="pyarrow")
 
 
 def q_id_backfill(sf_dir: str):
@@ -3867,8 +3880,9 @@ QUERIES = {
     "union": q_union,
     "latest_per_key": q_latest_per_key,
     "except_all": q_except_all,
-    "session_stats": q_session_stats,
+    "filter_project": q_filter_project,  # r4: predicate pushed to the read
     # ---- below: certified in an earlier round and untouched since ----
+    "session_stats": q_session_stats,
     "time_to_convert": q_time_to_convert,
     "daily_series": q_daily_series,
     "rolling_count": q_rolling_count,
@@ -3887,7 +3901,6 @@ QUERIES = {
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
     "khop": q_khop,
-    "filter_project": q_filter_project,
     "id_backfill": q_id_backfill,
     "typed_projection": q_typed_projection,
     "read_json": q_read_json,
