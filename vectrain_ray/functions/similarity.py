@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array, dim: int = 0) -> np.ndarray:
@@ -23,8 +24,19 @@ def _to_matrix(col: pa.ChunkedArray | pa.Array, dim: int = 0) -> np.ndarray:
         col = col.combine_chunks()
     if len(col) == 0:
         return np.empty((0, dim), dtype=np.float64)
-    lists = col.to_pylist()
-    return np.asarray(lists, dtype=np.float64)
+    # vectorized: flatten the list values and reshape — no per-row Python.
+    # float32→float64 widening is exact, so cosine parity with DuckDB's
+    # double-precision list_cosine_similarity is unchanged.
+    if col.null_count == 0:
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        if len(lens) and lens.min() == lens.max():
+            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(
+                len(col), int(lens[0]))
+    # ragged / null rows: fall back to the per-row path (never hit by the
+    # fixed-width embedding tables; kept so a malformed row errors the old
+    # way instead of silently mis-reshaping)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
 def _cosine_to_query(mat: np.ndarray, q: np.ndarray) -> np.ndarray:

@@ -154,19 +154,18 @@ def q_filter_project(sf_dir: str):
     first."""
     import pyarrow.dataset as pads
 
-    from ..sources.readers import _stripped_schema
-
     path = os.path.join(sf_dir, "documents.parquet")
-    cols = ["doc_id", "lang", "n_chars", "text"]
     # fill_null(text,'') <> '' ≡ text IS NOT NULL AND text <> ''
     expr = ((pads.field("n_chars") > 100)
             & pads.field("text").is_valid()
             & (pads.field("text") != ""))
-    ds = rd.read_parquet(path, columns=cols, filter=expr,
-                         schema=_stripped_schema(path, cols))
-    return ds.map_batches(
-        lambda t: t.select(["doc_id", "lang", "n_chars"]),
-        batch_format="pyarrow")
+    # pyarrow evaluates the filter on NON-projected columns, so the wide
+    # text column never enters the object store at all — and the read IS
+    # the whole op (no map stage). No explicit schema here: a filter field
+    # outside the projection is incompatible with a user schema, and the
+    # schema-hash warning this guards against only fires on shuffles.
+    return rd.read_parquet(path, columns=["doc_id", "lang", "n_chars"],
+                           filter=expr)
 
 
 def q_id_backfill(sf_dir: str):
@@ -1488,20 +1487,23 @@ def q_ngram_jaccard(sf_dir: str):
     from ..functions.dedup_exact import key_buckets
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
+        # lower ONCE per batch with the Arrow kernel (≡ DuckDB lower —
+        # both utf8proc; Python str.lower() full-case-maps final-sigma/
+        # dotted-İ and would break oracle parity), not per pair below
+        lowered = pc.utf8_lower(pc.fill_null(
+            pa.array(df["text"], pa.string()), "")).to_pandas()
         a = pd.DataFrame({"pair_id": df["doc_id"], "role": 0,
-                          "text": df["text"]})
+                          "text": lowered})
         b = pd.DataFrame({"pair_id": df["doc_id"] - 1, "role": 1,
-                          "text": df["text"]})
+                          "text": lowered})
         out = pd.concat([a, b], ignore_index=True)
         out = out[out["pair_id"] >= 0].copy()
         out["bucket"] = key_buckets(out, ["pair_id"], 64)
         return out
 
     def _shingles(t) -> set:
-        # Arrow utf8_lower ≡ DuckDB lower (both utf8proc, 1:1 codepoint);
-        # Python str.lower() diverges on final-sigma/dotted-İ and would
-        # silently break oracle parity on Greek/Turkish corpora
-        t = pc.utf8_lower(pa.scalar(t or "")).as_py()
+        # text arrives ALREADY lowered (vectorized utf8_lower in explode)
+        t = t or ""
         if not t:
             return set()
         if len(t) < 5:
