@@ -166,6 +166,34 @@ def test_tokenized_docs_cache_invalidates_on_rewrite(tmp_path, ray_session):
     assert set(second["word"]) == {"x", "y", "z"}
 
 
+def test_window_dedup_keeps_first_per_tumbling_window(tmp_path, ray_session):
+    sf = str(tmp_path)
+    base = 1_700_000_000_000_000  # epoch µs, on an hour boundary? derive wins
+    rows = [
+        # same user/type, same hour window → only the earliest survives
+        (0, 7, "click", base),
+        (1, 7, "click", base + 10_000_000),
+        # same user/type, NEXT hour window → emitted again
+        (2, 7, "click", base + 3_600_000_000),
+        # different type in the first window → kept independently
+        (3, 7, "view", base + 5_000_000),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[3] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    }), os.path.join(sf, "events.parquet"))
+    out = _df(Q.QUERIES["window_dedup"](sf)).sort_values("event_id")
+    assert out["event_id"].tolist() == [0, 2, 3]
+    w = out.set_index("event_id")["window_start"]
+    assert w[0] == (base // 1_000_000) // 3600 * 3600
+    assert w[2] == w[0] + 3600
+
+
 def test_empty_corpus_contracts(tmp_path, ray_session):
     """Empty inputs return DATASETS (run.py materialize()s every result)."""
     import ray.data as rd
