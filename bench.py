@@ -168,6 +168,9 @@ def run_bench() -> dict:
         ("knn_join", Q.q_knn_join),
         ("dup_ngram_spans", Q.q_dup_ngram_spans),
         ("skew_join", Q.q_skew_join),
+        ("window_dedup", Q.q_window_dedup),
+        # runs the full templated-TPC-H KG build (fresh in this session)
+        ("kg_degree_hist", Q.q_kg_degree_hist),
     ]
     for name, fn in secondary:
         t0 = time.time()
