@@ -194,6 +194,46 @@ def test_window_dedup_keeps_first_per_tumbling_window(tmp_path, ray_session):
     assert w[2] == w[0] + 3600
 
 
+def test_window_dedup_pre_epoch_and_null_ts_match_oracle(tmp_path,
+                                                         ray_session):
+    """The two oracle-parity corners a clean fixture never hits: DuckDB //
+    TRUNCATES toward zero (pre-epoch timestamps), and NULL ts rows form
+    ONE partition per key with a NULL window_start."""
+    import duckdb
+
+    sf = str(tmp_path)
+    hour_us = 3_600_000_000
+    rows = [  # (event_id, ts_us or None)
+        (0, -1800_000_000),   # 23:30 before epoch → trunc window 0
+        (1, 1800_000_000),    # 00:30 after epoch → window 0 too
+        (2, -2 * hour_us),    # exactly -2h → trunc window -2
+        (3, None),            # NULL ts
+        (4, None),            # same key, NULL ts → deduped with 3
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([7] * len(rows), pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    }), os.path.join(sf, "events.parquet"))
+    got = _df(Q.QUERIES["window_dedup"](sf))
+    got = got.sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{os.path.join(sf, 'events.parquet')}')")
+    from vectrain_ray.pipelines.queries import ORACLE_SQL
+
+    want = con.execute(ORACLE_SQL["window_dedup"]).df().sort_values(
+        "event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert [None if pd.isna(v) else int(v)
+            for v in got["window_start"]] == \
+           [None if pd.isna(v) else int(v) for v in want["window_start"]]
+
+
 def test_empty_corpus_contracts(tmp_path, ray_session):
     """Empty inputs return DATASETS (run.py materialize()s every result)."""
     import ray.data as rd

@@ -3838,16 +3838,34 @@ def q_window_dedup(sf_dir: str):
     BUCKET, never per key or per window)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
 
+    _NULL_WIN = np.iinfo(np.int64).min  # sentinel: the SQL NULL partition
+
     def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
-        # epoch-hour index, unit-robust (pandas may carry ns or us)
-        g["win"] = ((g["ts"] - pd.Timestamp(0)) //
-                    pd.Timedelta(hours=1)).astype("int64")
-        g = g.sort_values(["user_id", "event_type", "win", "ts", "event_id"],
-                          kind="stable")
+        us = g["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        nat = g["ts"].isna().to_numpy()
+        us = np.where(nat, 0, us)  # NaT encodes as int64 min — negating it
+        # below would overflow; the value is sentinel-overwritten anyway
+        d = 3_600_000_000
+        # DuckDB integer // TRUNCATES toward zero (-5 // 2 = -2); a floor
+        # division would assign pre-epoch timestamps one window earlier
+        # and silently break the oracle on pre-1970 data
+        win = np.where(us >= 0, us // d, -((-us) // d))
+        # NULL ts rows group into ONE window per key, like the SQL NULL
+        # partition; their ordering falls to event_id (ts all NULL)
+        win[nat] = _NULL_WIN
+        g["win"] = win
+        g["us_key"] = np.where(nat, _NULL_WIN, us)
+        g = g.sort_values(
+            ["user_id", "event_type", "win", "us_key", "event_id"],
+            kind="stable")
         first = ~g.duplicated(["user_id", "event_type", "win"])
         out = g.loc[first, ["event_id", "user_id", "event_type"]].copy()
-        out["window_start"] = (g.loc[first, "win"] * 3600).astype("int64")
+        w = g.loc[first, "win"].to_numpy()
+        out["window_start"] = pd.array(
+            np.where(w == _NULL_WIN, 0, w * 3600),
+            dtype="Int64")  # nullable int64, NULL on the NaT window
+        out.loc[w == _NULL_WIN, "window_start"] = pd.NA
         return out
 
     return (_bucketed(ds, ["user_id", "event_type"])
