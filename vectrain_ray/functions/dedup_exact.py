@@ -37,9 +37,18 @@ def key_buckets(df: pd.DataFrame, key_cols: list[str], n: int) -> pd.Series:
 
 
 def dedup_exact(ds, key_cols, sort_within: list[str] | None = None,
-                num_buckets: int = 64):
+                num_buckets: int = 64, pre_batch: int = 65536):
     """Distinct rows by ``key_cols``; deterministic winner = first row after
-    sorting the bucket by ``sort_within + key_cols`` (default: the key)."""
+    sorting the bucket by ``sort_within + key_cols`` (default: the key).
+
+    ``pre_batch``: combiner batch size. It also bounds DOWNSTREAM
+    parallelism: the groupby's sort partitions track the combiner's output
+    block count, and Ray fuses whatever map stages follow into the
+    post-sort operator — a small input that collapses to one combiner
+    block therefore runs the entire downstream chain as ONE task. Callers
+    that hang heavy stages (e.g. extraction) off the dedup should size
+    ``pre_batch ≈ rows / (2 × CPUs)`` so the post-shuffle operator keeps
+    the cluster busy."""
     key_cols = list(key_cols)
     order = list(dict.fromkeys((sort_within or []) + key_cols))
 
@@ -56,7 +65,7 @@ def dedup_exact(ds, key_cols, sort_within: list[str] | None = None,
         )
         return _to_arrow_stripped(g.drop(columns=[_BUCKET]))
 
-    pre_ds = ds.map_batches(pre, batch_format="pandas", batch_size=65536)
+    pre_ds = ds.map_batches(pre, batch_format="pandas", batch_size=pre_batch)
     return pre_ds.groupby(_BUCKET).map_groups(bucket_dedup, batch_format="pandas")
 
 

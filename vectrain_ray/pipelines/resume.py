@@ -74,11 +74,16 @@ from ..state.manifest import (
 _LOG = logging.getLogger("vectrain_ray.resume")
 
 TABLES_P1 = ["extracted", "surface_partials"]
-TABLES_P3 = ["triples", "mentions", "edge_partials"]
+TABLES_M = ["mentions"]
+TABLES_P3 = ["triples", "edge_partials"]
 # above this many mapping rows the n_unsafe skip criterion switches from a
 # driver-side norm set to the distributed counter (stages/link.py) — same
 # size class as the kg.BROADCAST_MAX_ENTITIES broadcast gate
 UNSAFE_SET_MAX_ENTITIES = 2_000_000
+# below this many stored edge-partial rows phase 4 finalizes edges in ONE
+# vectorized task (and merges nodes single-task) instead of the 64-bucket
+# sort-shuffle — the exchange's fixed cost dwarfs the merge at this size
+EDGE_FINALIZE_SINGLE_TASK_MAX = 4_000_000
 
 
 def _shard(input_path: str, out_dir: str, num_parts: int,
@@ -96,15 +101,9 @@ def _shard(input_path: str, out_dir: str, num_parts: int,
         ds = get_reader(source_kind)(input_path).select_columns(
             ["conv_id", "turn_idx", "text"])
 
-    def add_part(t: pa.Table) -> pa.Table:
-        # null conv_id (admissible input — run_kg tolerates it) buckets as
-        # the empty string instead of crashing crc_bucket's .encode()
-        parts = [rules.crc_bucket(c or "", num_parts)
-                 for c in t["conv_id"].to_pylist()]
-        return t.append_column("part", pa.array(parts, pa.int32()))
-
-    ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
-        shards, partition_cols=["part"]
+    ds.map_batches(add_part_column, fn_kwargs={"num_parts": num_parts},
+                   batch_format="pyarrow").write_parquet(
+        shards, partition_cols=["part"], min_rows_per_file=1 << 19
     )
     open(marker, "w").write("ok")
     return shards
@@ -112,6 +111,20 @@ def _shard(input_path: str, out_dir: str, num_parts: int,
 
 def _shard_files(shards: str, part: int) -> list[str]:
     return sorted(glob.glob(os.path.join(shards, f"part={part}", "*.parquet")))
+
+
+def add_part_column(t: pa.Table, num_parts: int) -> pa.Table:
+    """Vectorized ``part = crc_bucket(conv_id, P)`` (null conv_id buckets
+    as ""). When the batch came off a hive-partitioned read the inferred
+    ``part`` column (a string) is already authoritative — just cast it;
+    otherwise recompute from conv_id."""
+    import pyarrow.compute as pc
+
+    if "part" in t.column_names:
+        i = t.schema.get_field_index("part")
+        return t.set_column(i, "part", pc.cast(t["part"], pa.int32()))
+    parts = rules.crc_bucket_array(t["conv_id"], num_parts)
+    return t.append_column("part", pa.array(parts, pa.int32()))
 
 
 def _write_surface_partials(out_dir: str, part: int,
@@ -187,33 +200,40 @@ def run_kg_resumable(
     link_ann_probe: int | None = None,
     source_kind: str = "parquet",
     shard_parallelism: int | None = None,
+    pool_concurrency: int | None = None,
 ) -> dict:
     """Run (or resume) the partitioned pipeline. ``fail_after_phase1_parts``
     injects a crash after N phase-1 shards (kill-point testing only).
 
-    ``shard_parallelism``: phases 1 and 3 are independent per shard, so up
-    to this many shard pipelines run CONCURRENTLY on driver threads (each
-    is its own streaming Ray Data execution; Ray schedules their tasks onto
-    the shared CPU pool). This overlaps the per-pipeline fixed cost
-    (planning + actor spin-up, ~2 s each) that a serial loop pays P times —
-    the difference between O(P) and O(P/threads) wall for small micro-
-    batches. Default (None) auto-sizes to cluster CPUs // 8: each shard
-    pipeline reserves ~4-6 CPU slots (two 2-actor pools + read/write
-    tasks), and pool actors HOLD their slot while idle — oversubscribing a
-    small cluster makes competing pipelines starve each other (measured:
-    the 4-CPU test session crawled at 4 threads). Manifests are per-part
-    files, so concurrent commits of DIFFERENT parts never race; the
-    kill-injection path stays serial so "fail after N shards" remains
-    deterministic for the resume tests."""
-    if shard_parallelism is None:
+    Phases 1 and 3 run FUSED: every stale shard goes through ONE streaming
+    Ray Data execution per phase, with outputs written
+    ``partition_cols=["part"]`` so per-shard manifests/skip logic are
+    unchanged (r4 verdict item 1 — the old one-pipeline-per-shard loop paid
+    ~1-2 s of Ray planning/actor fixed cost per shard per phase, 18× off
+    batch throughput on micro-batch polls). ``shard_parallelism`` is kept
+    for API compatibility but inert: fusion replaces the driver-thread
+    shard overlap (and with it the ≤4-CPU actor-pool starvation mode the
+    auto-gate existed for). ``pool_concurrency``: actors per encode/link
+    pool; default scales with the cluster (max(2, CPUs // 8), capped 8)."""
+    if pool_concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        shard_parallelism = max(1, min(8, cpus // 8))
+        pool_concurrency = max(2, min(8, cpus // 8))
     os.makedirs(out_dir, exist_ok=True)
     man1 = PartitionManifest(os.path.join(out_dir, "p1_extract"))
+    man_m = PartitionManifest(os.path.join(out_dir, "p2_mentions"))
     man3 = PartitionManifest(os.path.join(out_dir, "p3_link"))
     metrics: dict = {"skipped_p1": 0, "skipped_p3": 0}
 
+    _tw: dict = {}
+    _tc = [time.time()]
+
+    def _tick(name: str) -> None:
+        now = time.time()
+        _tw[name] = round(now - _tc[0], 3)
+        _tc[0] = now
+
     shards = _shard(input_path, out_dir, num_parts, source_kind)
+    _tick("shard")
 
     # ---- phase 1: per-shard extraction ----------------------------------
     p1_todo: list[tuple[int, list[str]]] = []
@@ -251,6 +271,79 @@ def run_kg_resumable(
                   part=part, rows_out=n,
                   wall_sec=round(time.time() - t0, 3))
 
+    def _run_p1_fused(todo: list[tuple[int, list[str]]]) -> None:
+        """Every stale shard in ONE streaming execution (r4 verdict item 1):
+        the per-shard pipeline loop paid ~1-2 s of Ray planning/actor fixed
+        cost per shard per phase, which dominated micro-batch polls (cold
+        stream ingest measured 18× below batch throughput). Rows land
+        partitioned by ``part`` (vectorized crc on conv_id), so per-shard
+        outputs, manifests and the O(delta) skip logic are unchanged. A
+        crash mid-run leaves no manifest for ANY todo shard and the next
+        run redoes exactly those — idempotent, coarser retry granularity
+        than the old serial path but the same convergence (and the right
+        Ray-Data shape at scale: one pipeline whose blocks the executor
+        schedules, not P hand-rolled pipelines)."""
+        t0 = time.time()
+        for part, _ in todo:
+            clear_partition_outputs(out_dir, TABLES_P1, part)
+        all_files = sorted(f for _, fs in todo for f in fs)
+        import pyarrow.parquet as _pq
+
+        n_in = sum(_pq.read_metadata(f).num_rows for f in all_files)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        ds = rd.read_parquet(all_files)
+        # global bucketed dedup ≡ the old per-shard dedup: conv_id
+        # determines part, so (conv_id, turn_idx) groups never span shards.
+        # pre_batch sized so the post-shuffle operator (which Ray fuses the
+        # EXTRACTION into) gets ≥ ~2×CPUs blocks — a micro-batch that
+        # collapsed to one sort partition ran the whole extract serially
+        target = max(8192, min(65536, n_in // (2 * cpus) or 1))
+        ds = dedup_exact(ds, ["conv_id", "turn_idx"], sort_within=["text"],
+                         pre_batch=target)
+        # re-block after the dedup exchange: Ray fuses the extraction into
+        # the post-sort operator AND bundles write-task inputs up to the
+        # write's min_rows_per_file — on a micro-batch both collapse the
+        # whole extract chain into ONE serial task (measured 6-9 s for
+        # work that takes ~1.5 s at 32-way). Streaming repartition +
+        # a block-sized file floor keep task granularity ≈ 2×CPUs.
+        ds = ds.repartition(target_num_rows_per_block=target)
+        ext = ds.map_batches(
+            filter_nonempty_text, batch_format="pyarrow",
+            batch_size=batch_size
+        ).map_batches(
+            extract_batch, batch_format="pyarrow", batch_size=batch_size
+        ).map_batches(
+            add_part_column, fn_kwargs={"num_parts": num_parts},
+            batch_format="pyarrow")
+        ext.write_parquet(os.path.join(out_dir, "extracted"),
+                          partition_cols=["part"],
+                          min_rows_per_file=target)
+        # phase-1.5: every todo shard's surface partials in one execution,
+        # keyed per shard via surface_partials(extra_cols=("part",))
+        ext_back = sorted(f for part, _ in todo for f in glob.glob(
+            os.path.join(out_dir, "extracted", f"part={part}", "*.parquet")))
+        if ext_back:
+            mens = rd.read_parquet(ext_back).map_batches(
+                mentions_table, batch_format="pyarrow"
+            ).map_batches(add_part_column,
+                          fn_kwargs={"num_parts": num_parts},
+                          batch_format="pyarrow")
+            canonicalize.surface_partials(
+                mens, extra_cols=("part",)
+            ).write_parquet(os.path.join(out_dir, "surface_partials"),
+                            partition_cols=["part"],
+                            min_rows_per_file=65536)
+        import pyarrow.parquet as pq
+
+        wall = round((time.time() - t0) / len(todo), 3)
+        for part, files in todo:
+            n = sum(pq.read_metadata(f).num_rows for f in glob.glob(
+                os.path.join(out_dir, "extracted", f"part={part}",
+                             "*.parquet")))
+            man1.commit(part, files, {"rows_out": n, "wall_sec": wall})
+            log_event(_LOG, f"p1 extract part={part} committed", phase="p1",
+                      part=part, rows_out=n, wall_sec=wall, fused=len(todo))
+
     if fail_after_phase1_parts is not None:
         # deterministic kill-point path (serial): exactly the first N todo
         # shards commit before the injected crash
@@ -260,13 +353,67 @@ def run_kg_resumable(
                 raise RuntimeError("injected kill after phase-1 shard "
                                    f"{part} (testing resume)")
     elif p1_todo:
-        from concurrent.futures import ThreadPoolExecutor
+        _run_p1_fused(p1_todo)
 
-        with ThreadPoolExecutor(
-                max_workers=max(1, min(shard_parallelism, len(p1_todo)))
-        ) as pool:
-            # list() drains the iterator → first worker exception re-raises
-            list(pool.map(lambda pf: _run_p1(*pf), p1_todo))
+    _tick("p1")
+    # ---- phase 1.7: mention encoding (pure function of extracted) -------
+    # Mentions depend ONLY on (extracted input, encoder config) — never on
+    # the mapping — so they carry their own manifest: a mapping-invalidated
+    # relink (phase 3) no longer re-encodes untouched shards, and on big
+    # sessions the encode execution OVERLAPS the phase-2 mapping rebuild
+    # (it needs nothing phase 2 produces).
+    enc_sig = f"{encoder_kind}|{dim}|{sorted((encoder_kwargs or {}).items())!r}"
+    m_todo: list[tuple[int, list[str]]] = []
+    metrics["skipped_mentions"] = 0
+    for part in range(num_parts):
+        ext_files = sorted(glob.glob(os.path.join(
+            out_dir, "extracted", f"part={part}", "*.parquet")))
+        if not ext_files:
+            continue
+        if man_m.is_done(part, ext_files) and \
+                (man_m.load(part) or {}).get("encoder") == enc_sig:
+            metrics["skipped_mentions"] += 1
+            continue
+        m_todo.append((part, ext_files))
+
+    def _run_mentions_fused(todo: list[tuple[int, list[str]]]) -> None:
+        t0 = time.time()
+        for part, _ in todo:
+            clear_partition_outputs(out_dir, TABLES_M, part)
+        all_ext = sorted(f for _, fs in todo for f in fs)
+        mentions = rd.read_parquet(all_ext).map_batches(
+            mentions_table, batch_format="pyarrow"
+        ).map_batches(
+            ENCODERS[encoder_kind],
+            fn_constructor_kwargs={"dim": dim, **(encoder_kwargs or {})},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool_concurrency,
+            **({"max_task_retries": max_task_retries} if max_task_retries else {}),
+        ).map_batches(add_part_column, fn_kwargs={"num_parts": num_parts},
+                      batch_format="pyarrow")
+        mentions.write_parquet(os.path.join(out_dir, "mentions"),
+                               partition_cols=["part"],
+                               min_rows_per_file=65536)
+        wall = round((time.time() - t0) / len(todo), 3)
+        for part, ext_files in todo:
+            man_m.commit(part, ext_files,
+                         {"encoder": enc_sig, "wall_sec": wall})
+        log_event(_LOG, f"mentions encoded fused over {len(todo)} shards",
+                  phase="mentions", parts=[p for p, _ in todo],
+                  wall_sec=round(time.time() - t0, 3))
+
+    mentions_fut = None
+    _m_pool = None
+    if m_todo:
+        if int(ray.cluster_resources().get("CPU", 8)) >= 16:
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            _m_pool = _TPE(max_workers=1)
+            mentions_fut = _m_pool.submit(_run_mentions_fused, m_todo)
+        else:  # small sessions: two concurrent actor pools starve the
+            # map/write tasks feeding them (measured) — run serially
+            _run_mentions_fused(m_todo)
 
     # ---- phase 2: global canonicalization (small) -----------------------
     # The marker stores the fingerprint of the extracted/part=* inputs: if
@@ -293,12 +440,17 @@ def run_kg_resumable(
         # per-shard count partials, not by re-reading every mention.
         # An all-empty corpus (every turn filtered) has no partials at all:
         # build the mapping from a zero-row partials table.
+        import pyarrow.parquet as pq
+
+        n_sp_rows = sum(pq.read_metadata(f).num_rows for f in sp_all)
         if sp_all:
             partials_ds = rd.read_parquet(sp_all)
         else:
             partials_ds = canonicalize.surface_partials(rd.from_arrow(
                 pa.table({"surface_form": pa.array([], pa.string())})))
-        mapping = canonicalize.build_mapping_from_partials(partials_ds)
+        mapping = canonicalize.build_mapping_from_partials(
+            partials_ds,
+            single_task=n_sp_rows < EDGE_FINALIZE_SINGLE_TASK_MAX)
         import shutil
 
         if os.path.exists(mapping_dir):
@@ -345,7 +497,21 @@ def run_kg_resumable(
         linker_kwargs: dict = {"shard_handles": shard_actors, "dim": dim,
                                "fuzzy_threshold": fuzzy_threshold}
     else:
-        mapping_df = rd.read_parquet(mapping_dir).to_pandas()
+        # broadcast regime ⇒ the mapping is driver-sized by definition:
+        # plain pyarrow read (local parquet dir), no Ray execution — a
+        # rd.read_parquet().to_pandas() here paid ~1.5 s of execution
+        # fixed cost per poll just to load a few thousand rows
+        import pyarrow.parquet as pq
+
+        map_files = sorted(glob.glob(os.path.join(mapping_dir,
+                                                  "*.parquet")))
+        if map_files:
+            mapping_df = pq.read_table(map_files).to_pandas()
+        else:  # all-empty corpus → empty index
+            import pandas as pd
+
+            mapping_df = pd.DataFrame({"surface_norm": [], "entity_id": [],
+                                       "canonical_name": []})
         index_ref = ray.put(build_link_index(mapping_df, dim=dim))
         linker_cls = EntityLinker
         linker_kwargs = {"index_ref": index_ref, "dim": dim,
@@ -354,8 +520,8 @@ def run_kg_resumable(
     import threading
 
     _norms_lock = threading.Lock()
-    _metrics_lock = threading.Lock()
     _lazy: dict = {"mapping_norms": None, "n_map_rows": None}
+    _tick("p2")
     # ---- phase 3: per-shard linking + mention encoding + edge partials --
     p3_todo: list[tuple[int, list[str]]] = []
     for part in range(num_parts):
@@ -369,131 +535,133 @@ def run_kg_resumable(
             continue
         p3_todo.append((part, ext_files))
 
-    def _run_p3(part: int, ext_files: list[str]) -> None:
-        with _metrics_lock:
-            metrics.setdefault("p3_parts_run", []).append(part)
-        t0 = time.time()
-        clear_partition_outputs(out_dir, TABLES_P3, part)
-        ext = rd.read_parquet(ext_files)
-
-        mentions = ext.map_batches(
-            mentions_table, batch_format="pyarrow"
-        ).map_batches(
-            ENCODERS[encoder_kind],
-            fn_constructor_kwargs={"dim": dim, **(encoder_kwargs or {})},
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=2,
-            **({"max_task_retries": max_task_retries} if max_task_retries else {}),
-        )
-        # overlap the encode+write with the link→edges chain below (the
-        # kg.py driver-thread write-overlap pattern): the two sinks share no
-        # state, and the shard's wall was 3 serial executions' fixed cost.
-        # Gated on cluster size: concurrent executions mean BOTH actor
-        # pools (2 encoders + 2 linkers) hold CPU slots at once, which on a
-        # ≤4-CPU session leaves zero slots for the map/write tasks feeding
-        # them — same starvation mode as the shard_parallelism auto-gate
-        mentions_dir = partition_output_dir(out_dir, "mentions", part)
-        if int(ray.cluster_resources().get("CPU", 8)) >= 16:
-            from concurrent.futures import ThreadPoolExecutor as _TPE
-
-            with _TPE(max_workers=1) as _mw:
-                mentions_fut = _mw.submit(mentions.write_parquet,
-                                          mentions_dir)
-                n_tr, n_unsafe = _run_p3_tail(part, ext)
-                mentions_fut.result()  # propagate encode/write failures
-        else:
-            mentions.write_parquet(mentions_dir)
-            n_tr, n_unsafe = _run_p3_tail(part, ext)
-        # commit LAST, after BOTH sinks are durable — a commit racing the
-        # mentions write could mark a shard done with missing mentions
-        man3.commit(part, ext_files,
-                    {"triples_out": n_tr, "n_unsafe": n_unsafe,
-                     "wall_sec": round(time.time() - t0, 3)})
-        log_event(_LOG, f"p3 link part={part} committed", phase="p3",
-                  part=part, triples_out=n_tr,
-                  wall_sec=round(time.time() - t0, 3))
-
-    def _run_p3_tail(part: int, ext) -> tuple[int, int]:
-        triples = ext.map_batches(triples_table, batch_format="pyarrow")
-        linked = triples.map_batches(
-            linker_cls,
-            fn_constructor_kwargs=linker_kwargs,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=2,
-            # no max_task_retries: ctor arg is an object-store ref — actor
-            # pools with max_restarts>0 + object-store ctor args can deadlock
-            # restarts (ray#53727); see pipelines/kg.py
-        )
-        tr_dir = partition_output_dir(out_dir, "triples", part)
-        linked.write_parquet(tr_dir)
-
+    def _n_unsafe(tr_files: list[str], n_tr: int) -> int:
+        """One shard's mapping-dependence counter (the selective phase-3
+        skip criterion). Small regime loads only the shard's 4 surface/id
+        columns on the driver; either side ≥ UNSAFE_SET_MAX_ENTITIES
+        switches to the distributed counter (stages/link.py) — a small
+        vocabulary over a huge corpus still means shard-sized triples,
+        which the small branch would load as one pandas frame."""
         import pyarrow.parquet as pq
 
-        # a shard with mentions but ZERO triples (no sentence matched the
-        # predicate vocabulary) writes no files at all — read_parquet([])
-        # raises, so the edge-partial step must skip such shards instead of
-        # permanently wedging every resume on the same crash
-        tr_files = sorted(glob.glob(os.path.join(tr_dir, "*.parquet")))
-        if tr_files:
-            # per-shard edge partials: combiner + bucketed merge → tiny rows
-            ep = (
-                rd.read_parquet(tr_files)
-                .map_batches(materialize.partial_edges,
-                             batch_format="pyarrow")
-                .groupby("bucket")
-                .map_groups(materialize._finalize_edges_bucket,
-                            batch_format="pandas")
-            )
-            ep.write_parquet(partition_output_dir(out_dir, "edge_partials",
-                                                  part))
-        n_tr = sum(pq.read_metadata(f).num_rows for f in tr_files)
         from ..stages.link import (count_unsafe_links,
                                    count_unsafe_links_distributed)
 
+        if not tr_files:
+            return 0
         with _norms_lock:  # footer scan once per run, reuse per part
             if _lazy["n_map_rows"] is None:
                 _lazy["n_map_rows"] = sum(
                     pq.read_metadata(f).num_rows
                     for f in glob.glob(os.path.join(mapping_dir,
                                                     "*.parquet")))
-        if not tr_files:
-            n_unsafe = 0
-        elif (_lazy["n_map_rows"] >= UNSAFE_SET_MAX_ENTITIES
-              or n_tr >= UNSAFE_SET_MAX_ENTITIES):
-            # distributed when EITHER side is driver-hostile: a small
-            # vocabulary over a huge corpus still means shard-sized
-            # triples, which the small branch loads as one pandas frame
-            # big-mapping regime: neither the shard's triples nor the
-            # mapping norms touch the driver (stages/link.py)
-            n_unsafe = count_unsafe_links_distributed(tr_files, mapping_dir)
-        else:
-            with _norms_lock:  # load once per run, reuse per part
-                if _lazy["mapping_norms"] is None:
-                    _lazy["mapping_norms"] = set(
-                        pq.read_table(mapping_dir, columns=["surface_norm"])
-                        ["surface_norm"].to_pylist())
-            n_unsafe = count_unsafe_links(
-                pq.read_table(tr_files, columns=["subj", "obj", "subj_id",
-                                                 "obj_id"]).to_pandas(),
-                _lazy["mapping_norms"],
-            )
-        return n_tr, n_unsafe
+        if (_lazy["n_map_rows"] >= UNSAFE_SET_MAX_ENTITIES
+                or n_tr >= UNSAFE_SET_MAX_ENTITIES):
+            return count_unsafe_links_distributed(tr_files, mapping_dir)
+        with _norms_lock:  # load once per run, reuse per part
+            if _lazy["mapping_norms"] is None:
+                _lazy["mapping_norms"] = set(
+                    pq.read_table(mapping_dir, columns=["surface_norm"])
+                    ["surface_norm"].to_pylist())
+        return count_unsafe_links(
+            pq.read_table(tr_files, columns=["subj", "obj", "subj_id",
+                                             "obj_id"]).to_pandas(),
+            _lazy["mapping_norms"],
+        )
+
+    def _run_p3_fused(todo: list[tuple[int, list[str]]]) -> None:
+        """Every stale shard's linking in ONE pass (r4 verdict item 1):
+        one streaming execution triples→link→write plus a map-only
+        edge-partials pass, instead of 3 executions per shard. Outputs
+        land partitioned by ``part``; manifests commit per shard after all
+        sinks are durable, so the O(delta) skip logic and the kill-anywhere
+        convergence are unchanged. (Mention encoding moved to its own
+        manifest-gated pass — see phase 1.7 above.)"""
+        t0 = time.time()
+        metrics.setdefault("p3_parts_run", []).extend(
+            sorted(p for p, _ in todo))
+        for part, _ in todo:
+            clear_partition_outputs(out_dir, TABLES_P3, part)
+        all_ext = sorted(f for _, fs in todo for f in fs)
+        ext = rd.read_parquet(all_ext)
+
+        def link_tail() -> None:
+            linked = ext.map_batches(
+                triples_table, batch_format="pyarrow"
+            ).map_batches(
+                linker_cls,
+                fn_constructor_kwargs=linker_kwargs,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=pool_concurrency,
+                # no max_task_retries: ctor arg is an object-store ref —
+                # actor pools with max_restarts>0 + object-store ctor args
+                # can deadlock restarts (ray#53727); see pipelines/kg.py
+            ).map_batches(add_part_column,
+                          fn_kwargs={"num_parts": num_parts},
+                          batch_format="pyarrow")
+            linked.write_parquet(os.path.join(out_dir, "triples"),
+                                 partition_cols=["part"],
+                                 min_rows_per_file=65536)
+            # per-shard edge partials from the written triples (a shard with
+            # ZERO triples writes no files and simply has no partials dir).
+            # MAP-ONLY: partial rows are mergeable (counts sum, packed provs
+            # concatenate — finalize dedups/caps globally), so the stored
+            # artifact needs no per-shard finalize exchange at all; phase 4
+            # merges every shard's partials in its one global groupby
+            tr_back = sorted(f for part, _ in todo for f in glob.glob(
+                os.path.join(out_dir, "triples", f"part={part}",
+                             "*.parquet")))
+            if tr_back:
+                ep = rd.read_parquet(tr_back).map_batches(
+                    add_part_column, fn_kwargs={"num_parts": num_parts},
+                    batch_format="pyarrow"
+                ).map_batches(
+                    materialize.partial_edges,
+                    fn_kwargs={"extra_cols": ("part",)},
+                    batch_format="pyarrow",
+                ).map_batches(
+                    materialize.recombine_edge_partials,
+                    fn_kwargs={"extra_cols": ("part",)},
+                    batch_format="pyarrow", batch_size=1 << 17,
+                )
+                ep.write_parquet(os.path.join(out_dir, "edge_partials"),
+                                 partition_cols=["part"],
+                                 min_rows_per_file=65536)
+
+        link_tail()
+
+        import pyarrow.parquet as pq
+
+        # commit LAST, after all of the shard's sinks are durable
+        wall = round((time.time() - t0) / len(todo), 3)
+        for part, ext_files in todo:
+            tr_files = sorted(glob.glob(os.path.join(
+                out_dir, "triples", f"part={part}", "*.parquet")))
+            n_tr = sum(pq.read_metadata(f).num_rows for f in tr_files)
+            man3.commit(part, ext_files,
+                        {"triples_out": n_tr,
+                         "n_unsafe": _n_unsafe(tr_files, n_tr),
+                         "wall_sec": wall})
+            log_event(_LOG, f"p3 link part={part} committed", phase="p3",
+                      part=part, triples_out=n_tr, wall_sec=wall,
+                      fused=len(todo))
 
     if p3_todo:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(
-                max_workers=max(1, min(shard_parallelism, len(p3_todo)))
-        ) as pool:
-            list(pool.map(lambda pf: _run_p3(*pf), p3_todo))
-    if "p3_parts_run" in metrics:
-        metrics["p3_parts_run"].sort()  # thread completion order varies
+        _run_p3_fused(p3_todo)
 
     for a in shard_actors:  # linking done → free the index actors
         ray.kill(a)
 
+    # join the overlapped mention encoding (phase 1.7) before the final
+    # marker: _FINAL_DONE must imply every table, mentions included
+    if mentions_fut is not None:
+        try:
+            mentions_fut.result()
+        finally:
+            _m_pool.shutdown(wait=False)
+
+    _tick("p3")
     # ---- phase 4: global finalize (small pre-aggregated inputs) ---------
     final_marker = os.path.join(out_dir, "_FINAL_DONE")
     ep_all = sorted(glob.glob(os.path.join(out_dir, "edge_partials", "part=*", "*.parquet")))
@@ -506,10 +674,29 @@ def run_kg_resumable(
     if os.path.exists(final_marker):
         os.remove(final_marker)
 
+    n_ep_rows = 0
     if ep_all:
-        ep = rd.read_parquet(ep_all).map_batches(
-            materialize.finalized_to_partial_rows, batch_format="pyarrow"
-        )
+        import pyarrow.parquet as pq
+
+        # the stored per-shard artifact is PARTIAL rows (mergeable — see
+        # _run_p3_fused); dirs written by pre-fusion versions hold
+        # FINALIZED rows ("weight" + prov list) and are converted on read.
+        # Sniffed per file so a half-upgraded out_dir keeps working.
+        legacy, partials = [], []
+        for f in ep_all:
+            md = pq.read_metadata(f)
+            n_ep_rows += md.num_rows
+            names = md.schema.to_arrow_schema().names
+            (legacy if "weight" in names else partials).append(f)
+        sides = []
+        if partials:
+            sides.append(rd.read_parquet(partials, columns=[
+                "src_id", "dst_id", "pred", "prov", "cnt", "bucket"]))
+        if legacy:
+            sides.append(rd.read_parquet(legacy).map_batches(
+                materialize.finalized_to_partial_rows,
+                batch_format="pyarrow"))
+        ep = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
     else:  # zero triples corpus-wide → empty partial-row table
         ep = rd.from_arrow(pa.table({
             "src_id": pa.array([], pa.string()),
@@ -519,9 +706,20 @@ def run_kg_resumable(
             "cnt": pa.array([], pa.int64()),
             "bucket": pa.array([], pa.int32()),
         }))
-    edges = ep.groupby("bucket").map_groups(
-        materialize._finalize_edges_bucket, batch_format="pandas"
-    ).materialize()
+    # small regime (micro-batch polls, modest corpora): the 64-bucket
+    # sort-shuffle's fixed cost dwarfs the merge — one vectorized task
+    # does the whole finalize (same function: it groups by edge key
+    # internally, the bucket column is just ignored)
+    small = n_ep_rows < EDGE_FINALIZE_SINGLE_TASK_MAX
+    if small:
+        edges = ep.repartition(1).map_batches(
+            materialize._finalize_edges_bucket, batch_format="pandas",
+            batch_size=None,
+        ).materialize()
+    else:
+        edges = ep.groupby("bucket").map_groups(
+            materialize._finalize_edges_bucket, batch_format="pandas"
+        ).materialize()
     edges.map_batches(materialize.prov_to_struct, batch_format="pyarrow").write_parquet(
         os.path.join(out_dir, "edges")
     )
@@ -529,11 +727,13 @@ def run_kg_resumable(
         materialize.partial_degrees, batch_format="pyarrow"
     )
     mapping = rd.read_parquet(mapping_dir)
-    materialize.nodes_with_degree(mapping, degree_partials).write_parquet(
-        os.path.join(out_dir, "nodes")
-    )
+    materialize.nodes_with_degree(
+        mapping, degree_partials, single_task=small
+    ).write_parquet(os.path.join(out_dir, "nodes"))
     open(final_marker, "w").write("ok")
 
+    _tick("p4")
+    metrics["phase_wall"] = _tw
     metrics["p1_parts"] = man1.completed_parts()
     metrics["p3_parts"] = man3.completed_parts()
     return metrics

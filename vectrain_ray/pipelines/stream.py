@@ -34,10 +34,8 @@ import time
 
 import logging
 
-import pyarrow as pa
 import ray.data as rd
 
-from .. import rules
 from ..logs import log_event
 from .resume import run_kg_resumable
 
@@ -58,6 +56,7 @@ class StreamDriver:
         self.resume_kwargs = resume_kwargs
         self.shards_dir = os.path.join(out_dir, "shards")
         self.offsets_path = os.path.join(out_dir, "stream_offsets.json")
+        self._pending_path = os.path.join(out_dir, "stream_pending_batch.json")
         os.makedirs(self.shards_dir, exist_ok=True)
         # the stream driver owns the shard layout: mark it so the resumable
         # runner's one-shot _shard() never re-shards over it
@@ -78,31 +77,106 @@ class StreamDriver:
         os.replace(tmp, self.offsets_path)  # atomic commit, Kafka-style
 
     # --- idempotent shard append -----------------------------------------
-    def _append_file(self, path: str) -> int:
-        """Shard ONE landing file into shards/part=K/ under filenames
-        derived from the source path — a retry after a crash replaces its
-        own partial output instead of duplicating rows. Returns rows."""
-        src_tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
-        for old in glob.glob(os.path.join(
-                self.shards_dir, "part=*", f"src{src_tag}_*.parquet")):
-            os.remove(old)
-        num_parts = self.num_parts
+    @staticmethod
+    def _batch_tag(paths: list[str]) -> str:
+        """Deterministic tag for a batch of landing files. For a single
+        file this equals the legacy per-file tag (md5 of its abspath), so
+        outputs written by older per-file appends are replaced by the same
+        delete-before-write rule."""
+        key = "|".join(sorted(os.path.abspath(p) for p in paths))
+        return hashlib.md5(key.encode()).hexdigest()[:16]
 
-        def add_part(t: pa.Table) -> pa.Table:
-            # null conv_id buckets as '' instead of crashing .encode()
-            parts = [rules.crc_bucket(c or "", num_parts)
-                     for c in t["conv_id"].to_pylist()]
-            return t.append_column("part", pa.array(parts, pa.int32()))
+    def _delete_tagged(self, tags: set[str]) -> None:
+        for tag in tags:
+            for old in glob.glob(os.path.join(
+                    self.shards_dir, "part=*", f"src{tag}_*.parquet")):
+                os.remove(old)
 
-        ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
-        ds = ds.map_batches(add_part, batch_format="pyarrow")
+    def _recover_pending_batch(self) -> None:
+        """Crash recovery for the fused batch append. The intent journal
+        names the batch tag + file list written BEFORE the parquet write;
+        it is removed only after the batch's offsets commit. On entry:
+        journal present + every journal file committed ⇒ the crash hit
+        after the offset commit — the data is live, just drop the journal;
+        otherwise the write (or its offset commit) died ⇒ delete the batch
+        tag's files (orphans a later differently-composed batch would
+        otherwise duplicate) and let the caller re-append."""
+        if not os.path.exists(self._pending_path):
+            return
+        try:
+            rec = json.load(open(self._pending_path))
+        except (json.JSONDecodeError, OSError):
+            rec = None
+        if rec is not None:
+            offsets = self._load_offsets()
+            if not all(f in offsets for f in rec.get("files", [])):
+                self._delete_tagged({rec["tag"]})
+        os.remove(self._pending_path)
+
+    def _append_files(self, paths: list[str]) -> int:
+        """Shard a BATCH of landing files into shards/part=K/ in ONE
+        streaming execution (per-file appends paid one Ray execution per
+        file and wrote one file per part per input block — the resulting
+        tiny-file explosion dominated every downstream read; r4 verdict
+        item 1). Filenames carry the batch tag, so a retry after a crash
+        REPLACES its own partial output (journal protocol in
+        _recover_pending_batch). Returns {path: rows}. Caller commits
+        offsets for all ``paths`` after this returns, then calls
+        _commit_batch()."""
+        import pyarrow.parquet as pq
+
+        from .resume import add_part_column
+
+        tag = self._batch_tag(paths)
+        # per-file tags cover re-appends of files first ingested alone or
+        # in a previously differently-composed (crashed) batch
+        self._delete_tagged({self._batch_tag([p]) for p in paths} | {tag})
+        tmp = self._pending_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tag": tag,
+                       "files": sorted(os.path.abspath(p) for p in paths)},
+                      f)
+        os.replace(tmp, self._pending_path)
+        ds = rd.read_parquet(sorted(paths),
+                             columns=["conv_id", "turn_idx", "text"])
+        ds = ds.map_batches(add_part_column,
+                            fn_kwargs={"num_parts": self.num_parts},
+                            batch_format="pyarrow")
         ds.write_parquet(
             self.shards_dir,
             partition_cols=["part"],
-            filename_provider=_SrcFilenameProvider(src_tag),
+            filename_provider=_SrcFilenameProvider(tag),
+            min_rows_per_file=1 << 20,  # coalesce: micro-batches must not
+            # shatter into per-block-per-part tiny files
         )
+        return {p: pq.read_metadata(p).num_rows for p in paths}
+
+    def _commit_batch(self) -> None:
+        try:
+            os.remove(self._pending_path)
+        except FileNotFoundError:
+            pass
+
+    def _append_file(self, path: str) -> int:
+        """Single-file append (kept for the crash-window tests and manual
+        repair): a batch of one, WITHOUT the journal — its idempotency is
+        the legacy per-file delete-before-write."""
         import pyarrow.parquet as pq
 
+        from .resume import add_part_column
+
+        tag = self._batch_tag([path])
+        self._delete_tagged({tag})
+        ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+        ds = ds.map_batches(add_part_column,
+                            fn_kwargs={"num_parts": self.num_parts},
+                            batch_format="pyarrow")
+        ds.write_parquet(
+            self.shards_dir,
+            partition_cols=["part"],
+            filename_provider=_SrcFilenameProvider(tag),
+            min_rows_per_file=1 << 20,
+        )
         return pq.read_metadata(path).num_rows  # no lazy re-execution
 
     # --- the poll loop ----------------------------------------------------
@@ -113,6 +187,7 @@ class StreamDriver:
         ``_FINAL_DONE`` from an earlier poll does NOT mask files that were
         ingested but whose pipeline run crashed (the ``__completed__``
         marker commits only after a successful run)."""
+        self._recover_pending_batch()  # crashed fused append, if any
         offsets = self._load_offsets()
         files = sorted(glob.glob(os.path.join(self.input_dir, "*.parquet")))
         if not files and not offsets:
@@ -124,32 +199,19 @@ class StreamDriver:
         new = [f for f in files if f not in offsets]
         rows_in = 0
         if new:
-            # per-file append pipelines are independent (distinct src tags,
-            # distinct offset entries) → overlap their fixed cost on driver
-            # threads; offsets still commit per file under a lock, so the
-            # crash granularity is unchanged (append is idempotent → crash
-            # between a file's append and its commit stays safe)
-            import threading
-            from concurrent.futures import ThreadPoolExecutor
-
-            lock = threading.Lock()
-
-            def ingest_one(f: str) -> int:
-                n = self._append_file(f)
-                with lock:
-                    cur = self._load_offsets()
-                    cur[f] = {"rows": n, "ingested_at": time.time()}
-                    self._commit_offsets(cur)
-                return n
-
-            import ray as _ray
-
-            cpus = int(_ray.cluster_resources().get("CPU", 8)) \
-                if _ray.is_initialized() else 8
-            workers = max(1, min(8, cpus // 4, len(new)))
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                rows_in = sum(pool.map(ingest_one, new))
-            offsets = self._load_offsets()
+            # ONE fused append execution for the whole batch; offsets for
+            # every file commit together afterwards (append is idempotent
+            # via the batch-tag journal → a crash anywhere in the window
+            # stays exactly-once)
+            rows_by_file = self._append_files(new)
+            rows_in = sum(rows_by_file.values())
+            cur = self._load_offsets()
+            now = time.time()
+            for f in new:
+                cur[f] = {"rows": rows_by_file[f], "ingested_at": now}
+            self._commit_offsets(cur)
+            self._commit_batch()
+            offsets = cur
         up_to_date = (
             not new
             and offsets.get("__completed__") == files

@@ -100,6 +100,68 @@ def crc_bucket(s: str, n: int) -> int:
     return zlib.crc32(s.encode()) % n
 
 
+# --- vectorized crc_bucket (the hot-path variant) ---------------------------
+_CRC32_TABLE = None
+
+
+def _crc32_table():
+    import numpy as np
+
+    global _CRC32_TABLE
+    if _CRC32_TABLE is None:
+        tab = np.empty(256, np.uint32)
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+            tab[i] = c
+        _CRC32_TABLE = tab
+    return _CRC32_TABLE
+
+
+def crc_bucket_array(arr, n: int):
+    """``crc_bucket`` over an Arrow string array/chunked-array → int32
+    numpy array (nulls bucket as ""). Table-driven CRC-32 with the byte
+    loop over MAX string length only — all rows advance together in numpy,
+    so a batch of short keys (conv ids, surface norms) costs a handful of
+    vector ops instead of one ``zlib.crc32`` call per row. Bit-identical to
+    the scalar path (tests/test_functions.py asserts it)."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    a = _pc.fill_null(arr, "")
+    if isinstance(a, _pa.ChunkedArray):
+        a = a.combine_chunks()
+    m = len(a)
+    if m == 0:
+        return np.empty(0, np.int32)
+    bufs = a.buffers()
+    odt = np.int64 if _pa.types.is_large_string(a.type) else np.int32
+    offsets = np.frombuffer(bufs[1], odt, count=m + 1 + a.offset)
+    offsets = offsets[a.offset:]
+    data = np.frombuffer(bufs[2], np.uint8)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    maxlen = int(lens.max()) if m else 0
+    if maxlen > 4096:  # pathological keys: cap the padded matrix
+        return np.array([crc_bucket(s or "", n) for s in a.to_pylist()],
+                        np.int32)
+    crc = np.full(m, 0xFFFFFFFF, np.uint32)
+    if maxlen:
+        col = np.arange(maxlen, dtype=np.int64)
+        idx = offsets[:-1, None].astype(np.int64) + col[None, :]
+        mask = col[None, :] < lens[:, None]
+        mat = np.zeros((m, maxlen), np.uint8)
+        mat[mask] = data[idx[mask]]
+        tab = _crc32_table()
+        for j in range(maxlen):
+            act = mask[:, j]
+            c = crc[act]
+            crc[act] = (c >> np.uint32(8)) ^ tab[(c ^ mat[act, j]) & 0xFF]
+    crc ^= np.uint32(0xFFFFFFFF)
+    return (crc % np.uint32(n)).astype(np.int32)
+
+
 def extract_mentions(sentence: str):
     """All mentions in one sentence → list of (surface, start, end).
 

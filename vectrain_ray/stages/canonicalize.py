@@ -64,20 +64,26 @@ _NORM_MEMO: dict = {}
 _NORM_MEMO_MAX = 2_000_000
 
 
-def partial_surface_counts(batch: pa.Table) -> pa.Table:
+def partial_surface_counts(batch: pa.Table,
+                           extra_cols: tuple = ()) -> pa.Table:
     """Combiner: batch of mentions → ≤1 row per (surface_norm, surface_form)
     with a partial count + shuffle bucket. The bucket hashes the MERGE KEY,
     so all norms of one entity cluster land in the same bucket and a SINGLE
-    groupby computes both per-norm stats and cluster assignment."""
+    groupby computes both per-norm stats and cluster assignment.
+
+    ``extra_cols`` (e.g. ``("part",)``) joins the group key so ONE fused
+    execution can emit per-shard partials for every stale shard at once —
+    the resumable runner's phase-1 fusion (pipelines/resume.py)."""
     # count per DISTINCT raw surface first (Arrow C++), then normalize only
     # the distinct forms (memoized)
-    g = batch.select(["surface_form"]).group_by(["surface_form"])
-    out = g.aggregate([("surface_form", "count")])
-    out = out.rename_columns(["surface_form", "cnt"])
+    keys = ["surface_form", *extra_cols]
+    g = batch.select(keys).group_by(keys)
+    out = g.aggregate([([], "count_all")])
+    out = out.rename_columns(keys + ["cnt"])
     forms = out["surface_form"].to_pylist()
     memo = _NORM_MEMO
     norms: list = []
-    keys: list = []
+    mkeys: list = []
     for f in forms:
         hit = memo.get(f)
         if hit is None:
@@ -86,34 +92,33 @@ def partial_surface_counts(batch: pa.Table) -> pa.Table:
             if len(memo) < _NORM_MEMO_MAX:
                 memo[f] = hit
         norms.append(hit[0])
-        keys.append(hit[1])
+        mkeys.append(hit[1])
     import pandas as pd
 
     from ..functions.dedup_exact import key_buckets
 
     out = out.append_column("surface_norm", pa.array(norms, pa.string()))
-    out = out.append_column("merge_key", pa.array(keys, pa.string()))
-    df = pd.DataFrame({"merge_key": keys})
+    out = out.append_column("merge_key", pa.array(mkeys, pa.string()))
+    df = pd.DataFrame({"merge_key": mkeys})
     buckets = key_buckets(df, ["merge_key"], NUM_BUCKETS)
     out = out.append_column("bucket", pa.array(buckets.values, pa.int32()))
     return out.select(["surface_norm", "surface_form", "cnt", "merge_key",
-                       "bucket"])
+                       "bucket", *extra_cols])
 
 
-def recombine_surface_partials(t: pa.Table) -> pa.Table:
+def recombine_surface_partials(t: pa.Table,
+                               extra_cols: tuple = ()) -> pa.Table:
     """Second-level combiner: collapses same-key partial rows ACROSS upstream
     blocks before the all-to-all. A Zipf-hot surface contributes one partial
     row per extraction batch; bundling B blocks per recombine task (large
     ``batch_size`` on this stage) cuts the shuffle's row count up to B× at
     the cost of one cheap Arrow C++ group_by per bundle — no new shuffle."""
-    g = t.group_by(
-        ["surface_norm", "surface_form", "merge_key", "bucket"]
-    ).aggregate([("cnt", "sum")])
-    g = g.rename_columns(
-        ["surface_norm", "surface_form", "merge_key", "bucket", "cnt"]
-    )
+    keys = ["surface_norm", "surface_form", "merge_key", "bucket",
+            *extra_cols]
+    g = t.group_by(keys).aggregate([("cnt", "sum")])
+    g = g.rename_columns(keys + ["cnt"])
     return g.select(["surface_norm", "surface_form", "cnt", "merge_key",
-                     "bucket"])
+                     "bucket", *extra_cols])
 
 
 def _canonicalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -186,7 +191,8 @@ def build_mapping(mentions_ds, extra_pairs: list[tuple[str, str]] | None = None,
     return mapping
 
 
-def surface_partials(mentions_ds, collapse_batch: int = 1 << 20):
+def surface_partials(mentions_ds, collapse_batch: int = 1 << 20,
+                     extra_cols: tuple = ()):
     """mentions Dataset → per-shard surface-count partials
     (surface_norm, surface_form, cnt, merge_key, bucket) — the resumable
     pipeline's phase-1.5 artifact. Counts are mergeable, so the GLOBAL
@@ -195,24 +201,41 @@ def surface_partials(mentions_ds, collapse_batch: int = 1 << 20):
     re-reading every mention: the streaming-append path's mapping rebuild
     cost stops scaling with corpus size. ``collapse_batch`` bundles the
     per-batch partials through one Arrow group_by so the stored artifact
-    is ≈ one row per distinct (norm, form) per shard."""
+    is ≈ one row per distinct (norm, form) per shard. ``extra_cols``
+    (e.g. ``("part",)``) keys the partials per shard so one fused execution
+    covers every stale shard (written with ``partition_cols=extra_cols``,
+    which strips them from the stored files — the artifact schema is
+    unchanged either way)."""
     return mentions_ds.map_batches(
-        partial_surface_counts, batch_format="pyarrow", batch_size=65536
+        partial_surface_counts, fn_kwargs={"extra_cols": extra_cols},
+        batch_format="pyarrow", batch_size=65536
     ).map_batches(
-        recombine_surface_partials, batch_format="pyarrow",
-        batch_size=collapse_batch,
+        recombine_surface_partials, fn_kwargs={"extra_cols": extra_cols},
+        batch_format="pyarrow", batch_size=collapse_batch,
     )
 
 
 def build_mapping_from_partials(partials_ds,
-                                extra_pairs: list[tuple[str, str]] | None = None):
+                                extra_pairs: list[tuple[str, str]] | None = None,
+                                single_task: bool = False):
     """Stored surface partials (any number of shards) → mapping Dataset,
     byte-identical to build_mapping over the union of the shards' mentions
     (equivalence-tested): sums are associative and _canonicalize_bucket
-    sees the same per-bucket totals either way."""
-    mapping = partials_ds.groupby("bucket").map_groups(
-        _canonicalize_bucket, batch_format="pandas"
-    )
+    sees the same per-bucket totals either way.
+
+    ``single_task=True`` (caller measured the partials small, e.g. via
+    parquet footers) replaces the 64-bucket sort-shuffle with
+    repartition(1) + one vectorized canonicalize task — the function
+    groups by merge_key internally, so one frame covering all buckets
+    yields identical rows, without the exchange's fixed cost."""
+    if single_task:
+        mapping = partials_ds.repartition(1).map_batches(
+            _canonicalize_bucket, batch_format="pandas", batch_size=None
+        )
+    else:
+        mapping = partials_ds.groupby("bucket").map_groups(
+            _canonicalize_bucket, batch_format="pandas"
+        )
     if extra_pairs:
         mapping = _apply_union_find(mapping, extra_pairs)
     return mapping

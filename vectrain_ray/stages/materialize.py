@@ -25,7 +25,7 @@ PROV_CAP = 20
 NUM_BUCKETS = 64
 
 
-def partial_edges(batch: pa.Table) -> pa.Table:
+def partial_edges(batch: pa.Table, extra_cols: tuple = ()) -> pa.Table:
     """Combiner: linked-triples batch → ONE narrow partial row per
     (src_id, dst_id, pred): cnt = triple count, prov = the batch's first
     PROV_CAP distinct prov strings packed with \\x1f (prov strings are
@@ -37,20 +37,25 @@ def partial_edges(batch: pa.Table) -> pa.Table:
     among the global first-k is among its batch's first-k.
 
     The per-occurrence aggregation runs in Arrow C++ (prov string build +
-    hash group_by); pandas touches only the COLLAPSED rows."""
-    keys = ["src_id", "dst_id", "pred"]
-    t = pa.table(
-        {
-            "src_id": batch["subj_id"],
-            "dst_id": batch["obj_id"],
-            "pred": batch["pred"],
-            "prov": pc.binary_join_element_wise(
-                batch["conv_id"],
-                pc.utf8_lpad(pc.cast(batch["turn_idx"], pa.string()), 6, "0"),
-                "|",
-            ),
-        }
-    )
+    hash group_by); pandas touches only the COLLAPSED rows.
+
+    ``extra_cols`` (e.g. ``("part",)``) joins the group key AND the output
+    so one fused execution emits per-shard partials for every stale shard
+    (the resumable runner's phase-3 fusion)."""
+    keys = ["src_id", "dst_id", "pred", *extra_cols]
+    cols = {
+        "src_id": batch["subj_id"],
+        "dst_id": batch["obj_id"],
+        "pred": batch["pred"],
+        "prov": pc.binary_join_element_wise(
+            batch["conv_id"],
+            pc.utf8_lpad(pc.cast(batch["turn_idx"], pa.string()), 6, "0"),
+            "|",
+        ),
+    }
+    for c in extra_cols:
+        cols[c] = batch[c]
+    t = pa.table(cols)
     # count(*) semantics: a null prov (null conv_id/turn_idx input) must
     # still add its triples to the edge WEIGHT — pyarrow's column count is
     # only_valid and would emit weight 0 for such groups
@@ -70,17 +75,22 @@ def partial_edges(batch: pa.Table) -> pa.Table:
     out = out.reset_index()
     from ..functions.dedup_exact import key_buckets
 
-    out["bucket"] = key_buckets(out, keys, NUM_BUCKETS)
-    return pa.table(
-        {
-            "src_id": pa.array(out["src_id"], pa.string()),
-            "dst_id": pa.array(out["dst_id"], pa.string()),
-            "pred": pa.array(out["pred"], pa.string()),
-            "prov": pa.array(out["prov"], pa.string()),
-            "cnt": pa.array(out["cnt"], pa.int64()),
-            "bucket": pa.array(out["bucket"], pa.int32()),
-        }
-    )
+    # bucket hashes ONLY the edge identity — never extra_cols: the same
+    # edge can occur in several shards, and phase 4's global merge needs
+    # all its partial rows in ONE bucket group
+    out["bucket"] = key_buckets(out, ["src_id", "dst_id", "pred"],
+                                NUM_BUCKETS)
+    res = {
+        "src_id": pa.array(out["src_id"], pa.string()),
+        "dst_id": pa.array(out["dst_id"], pa.string()),
+        "pred": pa.array(out["pred"], pa.string()),
+        "prov": pa.array(out["prov"], pa.string()),
+        "cnt": pa.array(out["cnt"], pa.int64()),
+        "bucket": pa.array(out["bucket"], pa.int32()),
+    }
+    for c in extra_cols:
+        res[c] = pa.array(out[c])
+    return pa.table(res)
 
 
 def _finalize_edges_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -105,7 +115,7 @@ def _finalize_edges_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index()
 
 
-def recombine_edge_partials(t: pa.Table) -> pa.Table:
+def recombine_edge_partials(t: pa.Table, extra_cols: tuple = ()) -> pa.Table:
     """Second-level combiner: merges same-key PACKED partial rows across
     upstream blocks before the edge all-to-all (a dense edge key appears
     once per linked batch; bundling B blocks per task cuts shuffle rows up
@@ -117,21 +127,22 @@ def recombine_edge_partials(t: pa.Table) -> pa.Table:
     earlier pandas explode/min-k recombiner cost more than the shuffle it
     saved (edges 15.0 → 18.1 s at 25M turns), while this one cuts the
     sort input from per-block partials to ~#distinct keys per bundle."""
-    keys = ["src_id", "dst_id", "pred", "bucket"]
+    keys = ["src_id", "dst_id", "pred", "bucket", *extra_cols]
     t = t.set_column(t.schema.get_field_index("prov"), "prov",
                      pc.fill_null(t["prov"], ""))
     g = t.group_by(keys).aggregate([("cnt", "sum"), ("prov", "list")])
     g = g.rename_columns(keys + ["cnt", "prov_list"])
-    return pa.table(
-        {
-            "src_id": g["src_id"],
-            "dst_id": g["dst_id"],
-            "pred": g["pred"],
-            "prov": pc.binary_join(g["prov_list"], "\x1f"),
-            "cnt": pc.cast(g["cnt"], pa.int64()),
-            "bucket": pc.cast(g["bucket"], pa.int32()),
-        }
-    )
+    res = {
+        "src_id": g["src_id"],
+        "dst_id": g["dst_id"],
+        "pred": g["pred"],
+        "prov": pc.binary_join(g["prov_list"], "\x1f"),
+        "cnt": pc.cast(g["cnt"], pa.int64()),
+        "bucket": pc.cast(g["bucket"], pa.int32()),
+    }
+    for c in extra_cols:
+        res[c] = g[c]
+    return pa.table(res)
 
 
 def finalized_to_partial_rows(batch: pa.Table) -> pa.Table:
