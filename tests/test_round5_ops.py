@@ -1,0 +1,93 @@
+"""Round-5 changes: as-of join broadcast gate + bucketed scale path,
+knn_join chunked matmul, vectorized crc bucketing. The sf0.01 oracle gate
+covers value parity; these pin path equivalence and edge semantics."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from vectrain_ray import rules
+from vectrain_ray.pipelines import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns), kind="stable").reset_index(
+        drop=True)
+
+
+def test_asof_join_bucketed_equals_broadcast(ray_session):
+    a = _sorted(Q.q_asof_join(SF).to_pandas())
+    b = _sorted(Q.q_asof_join_bucketed(SF).to_pandas())
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_asof_join_gate_routes_to_bucketed(ray_session, monkeypatch):
+    """Force the broadcast gate shut: q_asof_join must take the bucketed
+    path (no driver materialization) and return identical rows."""
+    want = _sorted(Q.q_asof_join(SF).to_pandas())
+    monkeypatch.setattr(Q, "ASOF_BROADCAST_MAX_ROWS", 0)
+    got = _sorted(Q.q_asof_join(SF).to_pandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_knn_join_chunked_matmul_equals_wide(ray_session, monkeypatch):
+    """Slab width must not affect results — chunk=1 (degenerate) equals
+    the default."""
+    want = _sorted(Q.q_knn_join(SF).to_pandas())
+    monkeypatch.setattr(Q, "KNN_QUERY_CHUNK", 1)
+    got = _sorted(Q.q_knn_join(SF).to_pandas())
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_crc_bucket_array_matches_scalar():
+    vals = ["", None, "conv-000123", "a" * 5000, "Zzyx Corp", "élève 中文",
+            "x" * 4097] + [f"key-{i}" for i in range(500)]
+    arr = pa.chunked_array([pa.array(vals[:4], pa.string()),
+                            pa.array(vals[4:], pa.string())])
+    for n in (3, 8, 64):
+        got = rules.crc_bucket_array(arr, n)
+        want = np.array([rules.crc_bucket(v or "", n) for v in vals],
+                        np.int32)
+        assert (got == want).all()
+    # sliced array (non-zero offset into the parent buffers)
+    s = pa.array(vals[1:], pa.string()).slice(3, 200)
+    got = rules.crc_bucket_array(s, 8)
+    want = np.array([rules.crc_bucket(v or "", 8) for v in s.to_pylist()],
+                    np.int32)
+    assert (got == want).all()
+    assert len(rules.crc_bucket_array(pa.array([], pa.string()), 8)) == 0
+
+
+def test_skew_join_no_hot_keys_fast_path(tmp_path, ray_session):
+    """A corpus with NO hot keys must return the plain join's rows (the
+    empty-hot fast path skips the split entirely)."""
+    sf = str(tmp_path)
+    keys = list(range(1, 30))  # every key unique → nothing reaches hot
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(keys, pa.int64()),
+        "l_linenumber": pa.array(range(len(keys)), pa.int32()),
+        "l_extendedprice": pa.array([float(i) for i in range(len(keys))]),
+    }), os.path.join(sf, "lineitem.parquet"))
+    okeys = list(range(1, 25))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(okeys, pa.int64()),
+        "o_totalprice": pa.array([100.0 + k for k in okeys]),
+        "o_orderpriority": pa.array([f"p{k % 3}" for k in okeys]),
+    }), os.path.join(sf, "orders.parquet"))
+    got = _sorted(Q.q_skew_join(sf).to_pandas())
+    fact = pq.read_table(os.path.join(sf, "lineitem.parquet")).to_pandas()
+    dim = pq.read_table(os.path.join(sf, "orders.parquet")).to_pandas()
+    want = _sorted(fact.merge(dim, left_on="l_orderkey",
+                              right_on="o_orderkey")[
+        ["l_orderkey", "l_linenumber", "l_extendedprice",
+         "o_totalprice", "o_orderpriority"]])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
