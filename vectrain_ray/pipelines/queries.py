@@ -879,8 +879,11 @@ def _minhash_clusters(sf_dir: str):
     hit = _MINHASH_CLUSTERS_CACHE.get(sf_dir)
     if hit is None or hit[0] != key:
         ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        n_docs = pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")).num_rows
         _MINHASH_CLUSTERS_CACHE[sf_dir] = (
-            key, dedup_minhash(ds, threshold=0.8).materialize())
+            key, dedup_minhash(ds, threshold=0.8,
+                               approx_rows=n_docs).materialize())
     return _MINHASH_CLUSTERS_CACHE[sf_dir][1]
 
 
