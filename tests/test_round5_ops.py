@@ -91,3 +91,30 @@ def test_skew_join_no_hot_keys_fast_path(tmp_path, ray_session):
         ["l_orderkey", "l_linenumber", "l_extendedprice",
          "o_totalprice", "o_orderpriority"]])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the forced-split path (the >gate plan) must agree row-for-row even
+    # when its detector finds nothing (empty-hot fast path inside split)
+    split = _sorted(Q.q_skew_join(sf, _force_split=True).to_pandas())
+    pd.testing.assert_frame_equal(split, want, check_dtype=False)
+
+
+def test_skew_join_hot_split_equals_broadcast(tmp_path, ray_session):
+    """With a genuinely hot key (>= SKEW_HOT_MIN rows in one batch) the
+    forced-split plan routes it through the broadcast hot branch; output
+    must still equal the gated broadcast plan's."""
+    sf = str(tmp_path)
+    keys = [7] * (Q.SKEW_HOT_MIN * 3) + list(range(100, 120))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(keys, pa.int64()),
+        "l_linenumber": pa.array(range(len(keys)), pa.int32()),
+        "l_extendedprice": pa.array([float(i) for i in range(len(keys))]),
+    }), os.path.join(sf, "lineitem.parquet"))
+    okeys = [7] + list(range(100, 115))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(okeys, pa.int64()),
+        "o_totalprice": pa.array([100.0 + k for k in okeys]),
+        "o_orderpriority": pa.array([f"p{k % 3}" for k in okeys]),
+    }), os.path.join(sf, "orders.parquet"))
+    bcast = _sorted(Q.q_skew_join(sf).to_pandas())
+    split = _sorted(Q.q_skew_join(sf, _force_split=True).to_pandas())
+    assert (split["l_orderkey"] == 7).sum() == Q.SKEW_HOT_MIN * 3
+    pd.testing.assert_frame_equal(split, bcast, check_dtype=False)

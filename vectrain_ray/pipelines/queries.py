@@ -16,6 +16,7 @@ built from the templated TPC-H transcripts (pipelines/tpch_kg.py).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 
@@ -3836,20 +3837,51 @@ def q_dup_ngram_spans(sf_dir: str):
 
 
 SKEW_HOT_MIN = 8  # fact-side keys at least this frequent are "hot"
+# dim sides at most this big take the broadcast map-side plan (no shuffle
+# → skew moot); the same 2M-row bar as kg.BROADCAST_MAX_ENTITIES /
+# ASOF_BROADCAST_MAX_ROWS
+SKEW_DIM_BROADCAST_MAX = 2_000_000
 
 
-def q_skew_join(sf_dir: str):
-    """Skew-aware fact⋈dim join (lineitem ⋈ orders): hot keys are detected
-    with a combiner-first frequency count, their dim rows BROADCAST
-    (ray.put once, read per actor) and joined map-side with zero shuffle,
-    while the cold majority takes the normal hash-partitioned join — the
-    standard hot-key split that keeps one reducer from receiving a
-    pathological partition at 100 TB. (Salting the hot keys S ways is the
-    alternative when the hot dim slice itself is too big to broadcast; here
-    the dim side is one row per key, so broadcast strictly dominates.)
-    Oracle: the plain SQL join — the split must be semantics-free."""
+def q_skew_join(sf_dir: str, _force_split: bool = False):
+    """Skew-aware fact⋈dim join (lineitem ⋈ orders), auto-gated by the
+    plan skew actually threatens. Skew hurts exactly one thing — the
+    reducer that receives a hot key's partition — so the decision tree is:
+
+    - dim ≤ SKEW_DIM_BROADCAST_MAX rows → broadcast map-side join (ray.put
+      once, merge per batch): there IS no shuffle, so no reducer to
+      overload, and the whole skew question dissolves. This is also the
+      fastest plan outright (one fact scan, zero exchanges).
+    - dim too big to broadcast → hot keys are detected with a zero-shuffle
+      batch-local frequency count, their dim rows (one per key — always
+      broadcastable even when dim isn't) joined map-side, while the cold
+      majority takes the normal hash-partitioned join. Salting S ways is
+      the fallback when even the hot dim slice is too big.
+
+    Both paths share the plain-join oracle (the split must be semantics-
+    free); the driver certifies the split via skew_join_split, which
+    forces the gate — the same two-path certification as asof_join /
+    asof_join_bucketed."""
+    out_cols = ["l_orderkey", "l_linenumber", "l_extendedprice",
+                "o_totalprice", "o_orderpriority"]
     fact = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    n_dim = pq.read_metadata(
+        os.path.join(sf_dir, "orders.parquet")).num_rows
+    if n_dim <= SKEW_DIM_BROADCAST_MAX and not _force_split:
+        dim_df = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+        ).to_pandas()
+        dim_ref = ray.put(dim_df)
+
+        def bcast_join(df: pd.DataFrame) -> pd.DataFrame:
+            m = df.merge(ray.get(dim_ref), left_on="l_orderkey",
+                         right_on="o_orderkey")
+            return m[out_cols]
+
+        return fact.map_batches(bcast_join, batch_format="pandas")
+
     dim = _read(sf_dir, "orders",
                 ["o_orderkey", "o_totalprice", "o_orderpriority"])
 
@@ -3880,8 +3912,7 @@ def q_skew_join(sf_dir: str):
         return fact.join(
             dim, join_type="inner", num_partitions=_join_partitions(),
             on=("l_orderkey",), right_on=("o_orderkey",)
-        ).select_columns(["l_orderkey", "l_linenumber", "l_extendedprice",
-                          "o_totalprice", "o_orderpriority"])
+        ).select_columns(out_cols)
 
     # plain TASK-based map_batches throughout this op (no actor pools):
     # the DAG already schedules the join's aggregator actors, and stacking
@@ -3898,9 +3929,6 @@ def q_skew_join(sf_dir: str):
             return t.filter(m if keep_hot else pc.invert(m))
 
         return fact.map_batches(fn, batch_format="pyarrow")
-
-    out_cols = ["l_orderkey", "l_linenumber", "l_extendedprice",
-                "o_totalprice", "o_orderpriority"]
 
     # cold path: normal hash join (no hot key reaches a reducer)
     cold = split(False).join(
@@ -3996,6 +4024,7 @@ def q_kg_degree_hist(sf_dir: str):
 QUERIES = {
     # ---- driver-gate window (first 50): every op NEW or with a CHANGED
     # ---- code path this round (r5: asof_join gate + bucketed variant NEW,
+    # ---- skew_join broadcast gate + skew_join_split NEW,
     # ---- window_dedup overflow mask, skew_join empty-hot fast path,
     # ---- knn_join chunked matmul, the r4-stale rotations ngram_jaccard /
     # ---- distinct / pair_similarity flagged by the r4 verdict, and every
@@ -4015,6 +4044,7 @@ QUERIES = {
     "knn_join": q_knn_join,
     "dup_ngram_spans": q_dup_ngram_spans,
     "skew_join": q_skew_join,
+    "skew_join_split": functools.partial(q_skew_join, _force_split=True),
     "dedup_minhash": q_dedup_minhash,
     "dedup_keep_best": q_dedup_keep_best,
     "simhash_pairs": q_simhash_pairs,
@@ -4302,6 +4332,13 @@ ORACLE_SQL = {
         "HAVING count(DISTINCT doc_id) >= 2"
     ),
     "skew_join": (
+        "SELECT l_orderkey, l_linenumber, l_extendedprice, "
+        "o_totalprice, o_orderpriority "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ),
+    # the forced-split certification path — identical SQL by construction
+    # (the hot/cold split must be semantics-free)
+    "skew_join_split": (
         "SELECT l_orderkey, l_linenumber, l_extendedprice, "
         "o_totalprice, o_orderpriority "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
