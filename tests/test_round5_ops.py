@@ -118,3 +118,25 @@ def test_skew_join_hot_split_equals_broadcast(tmp_path, ray_session):
     split = _sorted(Q.q_skew_join(sf, _force_split=True).to_pandas())
     assert (split["l_orderkey"] == 7).sum() == Q.SKEW_HOT_MIN * 3
     pd.testing.assert_frame_equal(split, bcast, check_dtype=False)
+
+
+def test_fsspec_http_probe_is_import_stable():
+    """Importing vectrain_ray must leave fsspec.implementations.http
+    permanently importable (real module or seeded stub): Ray Data probes
+    it on every read_parquet catching only ModuleNotFoundError, and
+    without the seed two threads racing the (failing, evicted-on-failure)
+    import can surface a plain ImportError that kills the pipeline —
+    observed at resume.py phase 2 overlapping the mentions thread."""
+    import importlib
+    import sys
+
+    import vectrain_ray  # noqa: F401  (seeds the stub on import)
+
+    assert "fsspec.implementations.http" in sys.modules
+    m = importlib.import_module("fsspec.implementations.http")
+    assert hasattr(m, "HTTPFileSystem")
+    # the probe Ray runs per read_parquet must be exception-free now
+    from ray.data.datasource.path_util import _is_http_filesystem
+    import pyarrow.fs as fs
+
+    assert _is_http_filesystem(fs.LocalFileSystem()) is False
