@@ -51,7 +51,7 @@ from .. import rules
 from ..functions.dedup_exact import dedup_exact
 from ..logs import log_event
 from ..stages import canonicalize, materialize
-from ..stages.encode import ENCODERS
+from ..stages.encode import ENCODERS, encode_batch_task
 from ..stages.extract import (
     extract_batch,
     filter_nonempty_text,
@@ -61,6 +61,7 @@ from ..stages.extract import (
 from ..stages.link import (
     EntityLinker,
     ShardedEntityLinker,
+    link_batch_task,
     build_link_index,
     make_link_shard_actors,
     write_link_index,
@@ -84,6 +85,33 @@ UNSAFE_SET_MAX_ENTITIES = 2_000_000
 # vectorized task (and merges nodes single-task) instead of the 64-bucket
 # sort-shuffle — the exchange's fixed cost dwarfs the merge at this size
 EDGE_FINALIZE_SINGLE_TASK_MAX = 4_000_000
+# below this many input rows phases 1/3 materialize their transform ONCE
+# and feed every sink (extracted + surface partials + mention encode;
+# triples + edge partials) from the in-memory handle on threads, instead
+# of write → read-back → second execution. ~8M rows × ~300 B ≈ 2.4 GB of
+# object store — comfortably under a worker heap; above the gate the
+# streaming write + read-back path keeps memory flat (micro-batch polls
+# sit far below it, big batch runs far above)
+FUSE_MATERIALIZE_MAX_ROWS = 8_000_000
+
+
+def _join_all(fns: list, max_workers: int | None = None) -> None:
+    """Run callables on threads, wait for ALL, log every failure, re-raise
+    the first. Waiting for all (not FIRST_EXCEPTION) matters: the callables
+    are parquet sinks — cancelling siblings mid-write would leave partial
+    outputs racing the caller's cleanup; and logging the non-first failures
+    keeps a multi-sink outage from hiding its second root cause."""
+    from concurrent.futures import ThreadPoolExecutor, wait
+
+    with ThreadPoolExecutor(max_workers=max_workers or len(fns)) as pool:
+        futs = [pool.submit(fn) for fn in fns]
+        wait(futs)
+    errs = [f.exception() for f in futs if f.exception() is not None]
+    for e in errs[1:]:
+        _LOG.error("parallel sink failed (suppressed, first is raised): %r",
+                   e)
+    if errs:
+        raise errs[0]
 
 
 def _shard(input_path: str, out_dir: str, num_parts: int,
@@ -271,7 +299,7 @@ def run_kg_resumable(
                   part=part, rows_out=n,
                   wall_sec=round(time.time() - t0, 3))
 
-    def _run_p1_fused(todo: list[tuple[int, list[str]]]) -> None:
+    def _run_p1_fused(todo: list[tuple[int, list[str]]]):
         """Every stale shard in ONE streaming execution (r4 verdict item 1):
         the per-shard pipeline loop paid ~1-2 s of Ray planning/actor fixed
         cost per shard per phase, which dominated micro-batch polls (cold
@@ -282,7 +310,15 @@ def run_kg_resumable(
         run redoes exactly those — idempotent, coarser retry granularity
         than the old serial path but the same convergence (and the right
         Ray-Data shape at scale: one pipeline whose blocks the executor
-        schedules, not P hand-rolled pipelines)."""
+        schedules, not P hand-rolled pipelines).
+
+        Under FUSE_MATERIALIZE_MAX_ROWS input rows, the extract chain
+        materializes ONCE and the two sinks (extracted parquet + surface
+        partials) consume the handle on threads — the write → read-back →
+        second-execution pattern cost ~3 s of pure fixed cost per
+        micro-batch poll. Returns the materialized handle (or None on the
+        streaming big-input path) so phase 1.7's mention encode and phase
+        3's linking can consume it instead of re-reading the files."""
         t0 = time.time()
         for part, _ in todo:
             clear_partition_outputs(out_dir, TABLES_P1, part)
@@ -315,24 +351,57 @@ def run_kg_resumable(
         ).map_batches(
             add_part_column, fn_kwargs={"num_parts": num_parts},
             batch_format="pyarrow")
-        ext.write_parquet(os.path.join(out_dir, "extracted"),
-                          partition_cols=["part"],
-                          min_rows_per_file=target)
-        # phase-1.5: every todo shard's surface partials in one execution,
-        # keyed per shard via surface_partials(extra_cols=("part",))
-        ext_back = sorted(f for part, _ in todo for f in glob.glob(
-            os.path.join(out_dir, "extracted", f"part={part}", "*.parquet")))
-        if ext_back:
-            mens = rd.read_parquet(ext_back).map_batches(
-                mentions_table, batch_format="pyarrow"
-            ).map_batches(add_part_column,
-                          fn_kwargs={"num_parts": num_parts},
-                          batch_format="pyarrow")
-            canonicalize.surface_partials(
-                mens, extra_cols=("part",)
-            ).write_parquet(os.path.join(out_dir, "surface_partials"),
-                            partition_cols=["part"],
-                            min_rows_per_file=65536)
+        ext_m = None
+        if n_in < FUSE_MATERIALIZE_MAX_ROWS:
+            ext_m = ext.materialize()
+
+            def _w_ext() -> None:
+                ext_m.write_parquet(os.path.join(out_dir, "extracted"),
+                                    partition_cols=["part"],
+                                    min_rows_per_file=target)
+
+            def _w_sp() -> None:
+                if ext_m.count() == 0:
+                    return  # partials dir stays absent, as on the
+                    # read-back path with zero extracted files
+                mens = ext_m.map_batches(
+                    mentions_table, batch_format="pyarrow"
+                ).map_batches(add_part_column,
+                              fn_kwargs={"num_parts": num_parts},
+                              batch_format="pyarrow")
+                canonicalize.surface_partials(
+                    mens, extra_cols=("part",)
+                ).write_parquet(os.path.join(out_dir, "surface_partials"),
+                                partition_cols=["part"],
+                                min_rows_per_file=65536)
+
+            if cpus >= 16:
+                _join_all([_w_ext, _w_sp])
+            else:  # small sessions: concurrent executions starve each
+                # other's map/write tasks (measured) — run serially
+                _w_ext()
+                _w_sp()
+        else:
+            ext.write_parquet(os.path.join(out_dir, "extracted"),
+                              partition_cols=["part"],
+                              min_rows_per_file=target)
+            # phase-1.5: every todo shard's surface partials in one
+            # execution, keyed per shard via
+            # surface_partials(extra_cols=("part",))
+            ext_back = sorted(f for part, _ in todo for f in glob.glob(
+                os.path.join(out_dir, "extracted", f"part={part}",
+                             "*.parquet")))
+            if ext_back:
+                mens = rd.read_parquet(ext_back).map_batches(
+                    mentions_table, batch_format="pyarrow"
+                ).map_batches(add_part_column,
+                              fn_kwargs={"num_parts": num_parts},
+                              batch_format="pyarrow")
+                canonicalize.surface_partials(
+                    mens, extra_cols=("part",)
+                ).write_parquet(os.path.join(out_dir, "surface_partials"),
+                                partition_cols=["part"],
+                                min_rows_per_file=65536)
         import pyarrow.parquet as pq
 
         wall = round((time.time() - t0) / len(todo), 3)
@@ -343,7 +412,13 @@ def run_kg_resumable(
             man1.commit(part, files, {"rows_out": n, "wall_sec": wall})
             log_event(_LOG, f"p1 extract part={part} committed", phase="p1",
                       part=part, rows_out=n, wall_sec=wall, fused=len(todo))
+        return ext_m
 
+    # the extracted rows p1 just produced, held in the object store under
+    # the FUSE_MATERIALIZE_MAX_ROWS gate: phases 1.7 / 3 consume this
+    # instead of re-reading the files when their todo covers the same parts
+    p1_ext_m = None
+    p1_ran_parts: list[int] = sorted(p for p, _ in p1_todo)
     if fail_after_phase1_parts is not None:
         # deterministic kill-point path (serial): exactly the first N todo
         # shards commit before the injected crash
@@ -353,7 +428,7 @@ def run_kg_resumable(
                 raise RuntimeError("injected kill after phase-1 shard "
                                    f"{part} (testing resume)")
     elif p1_todo:
-        _run_p1_fused(p1_todo)
+        p1_ext_m = _run_p1_fused(p1_todo)
 
     _tick("p1")
     # ---- phase 1.7: mention encoding (pure function of extracted) -------
@@ -376,22 +451,42 @@ def run_kg_resumable(
             continue
         m_todo.append((part, ext_files))
 
-    def _run_mentions_fused(todo: list[tuple[int, list[str]]]) -> None:
+    def _run_mentions_fused(todo: list[tuple[int, list[str]]],
+                            src=None) -> None:
         t0 = time.time()
         for part, _ in todo:
             clear_partition_outputs(out_dir, TABLES_M, part)
         all_ext = sorted(f for _, fs in todo for f in fs)
-        mentions = rd.read_parquet(all_ext).map_batches(
-            mentions_table, batch_format="pyarrow"
-        ).map_batches(
-            ENCODERS[encoder_kind],
-            fn_constructor_kwargs={"dim": dim, **(encoder_kwargs or {})},
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=pool_concurrency,
-            **({"max_task_retries": max_task_retries} if max_task_retries else {}),
-        ).map_batches(add_part_column, fn_kwargs={"num_parts": num_parts},
-                      batch_format="pyarrow")
+        import pyarrow.parquet as _pq
+
+        n_ext = sum(_pq.read_metadata(f).num_rows for f in all_ext)
+        if src is None:  # no in-memory handle covering exactly these parts
+            src = rd.read_parquet(all_ext)
+        mentions = src.map_batches(mentions_table, batch_format="pyarrow")
+        if n_ext < FUSE_MATERIALIZE_MAX_ROWS:
+            # plain tasks under the gate: encoder-pool spin-up dominates
+            # micro-batch encodes; encode_batch_task caches one encoder
+            # (and its surface memo) per worker process
+            mentions = mentions.map_batches(
+                encode_batch_task,
+                fn_kwargs={"kind": encoder_kind, "dim": dim,
+                           **(encoder_kwargs or {})},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        else:
+            mentions = mentions.map_batches(
+                ENCODERS[encoder_kind],
+                fn_constructor_kwargs={"dim": dim, **(encoder_kwargs or {})},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=pool_concurrency,
+                **({"max_task_retries": max_task_retries}
+                   if max_task_retries else {}),
+            )
+        mentions = mentions.map_batches(
+            add_part_column, fn_kwargs={"num_parts": num_parts},
+            batch_format="pyarrow")
         mentions.write_parquet(os.path.join(out_dir, "mentions"),
                                partition_cols=["part"],
                                min_rows_per_file=65536)
@@ -406,14 +501,17 @@ def run_kg_resumable(
     mentions_fut = None
     _m_pool = None
     if m_todo:
+        m_src = (p1_ext_m if p1_ext_m is not None
+                 and sorted(p for p, _ in m_todo) == p1_ran_parts else None)
         if int(ray.cluster_resources().get("CPU", 8)) >= 16:
             from concurrent.futures import ThreadPoolExecutor as _TPE
 
             _m_pool = _TPE(max_workers=1)
-            mentions_fut = _m_pool.submit(_run_mentions_fused, m_todo)
+            mentions_fut = _m_pool.submit(_run_mentions_fused, m_todo,
+                                          m_src)
         else:  # small sessions: two concurrent actor pools starve the
             # map/write tasks feeding them (measured) — run serially
-            _run_mentions_fused(m_todo)
+            _run_mentions_fused(m_todo, m_src)
 
     # ---- phase 2: global canonicalization (small) -----------------------
     # The marker stores the fingerprint of the extracted/part=* inputs: if
@@ -578,17 +676,34 @@ def run_kg_resumable(
         convergence are unchanged. (Mention encoding moved to its own
         manifest-gated pass — see phase 1.7 above.)"""
         t0 = time.time()
-        metrics.setdefault("p3_parts_run", []).extend(
-            sorted(p for p, _ in todo))
+        p3_parts = sorted(p for p, _ in todo)
+        metrics.setdefault("p3_parts_run", []).extend(p3_parts)
         for part, _ in todo:
             clear_partition_outputs(out_dir, TABLES_P3, part)
         all_ext = sorted(f for _, fs in todo for f in fs)
-        ext = rd.read_parquet(all_ext)
+        import pyarrow.parquet as _pq
 
-        def link_tail() -> None:
-            linked = ext.map_batches(
-                triples_table, batch_format="pyarrow"
-            ).map_batches(
+        n_ext = sum(_pq.read_metadata(f).num_rows for f in all_ext)
+        # reuse the extracted rows phase 1 still holds in the object store
+        # when its run covered exactly these parts (always true on a
+        # streaming poll: an extract rewrite invalidates the p3 manifest)
+        ext = (p1_ext_m if p1_ext_m is not None and p3_parts == p1_ran_parts
+               else rd.read_parquet(all_ext))
+        fuse_small = n_ext < FUSE_MATERIALIZE_MAX_ROWS
+        linked = ext.map_batches(triples_table, batch_format="pyarrow")
+        if fuse_small and linker_cls is EntityLinker:
+            # plain tasks under the gate: pool spin-up (~1 s/poll) dwarfs
+            # micro-batch linking, and tasks let Ray fuse the whole
+            # triples→link→part chain into one operator. Same kernel —
+            # link_batch_task caches one EntityLinker per worker process.
+            linked = linked.map_batches(
+                link_batch_task,
+                fn_kwargs=dict(linker_kwargs),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        else:
+            linked = linked.map_batches(
                 linker_cls,
                 fn_constructor_kwargs=linker_kwargs,
                 batch_format="pyarrow",
@@ -597,39 +712,63 @@ def run_kg_resumable(
                 # no max_task_retries: ctor arg is an object-store ref —
                 # actor pools with max_restarts>0 + object-store ctor args
                 # can deadlock restarts (ray#53727); see pipelines/kg.py
-            ).map_batches(add_part_column,
-                          fn_kwargs={"num_parts": num_parts},
-                          batch_format="pyarrow")
+            )
+        linked = linked.map_batches(add_part_column,
+                                    fn_kwargs={"num_parts": num_parts},
+                                    batch_format="pyarrow")
+
+        # edge partials are MAP-ONLY over the linked triples: partial rows
+        # are mergeable (counts sum, packed provs concatenate — finalize
+        # dedups/caps globally), so the stored artifact needs no per-shard
+        # finalize exchange at all; phase 4 merges every shard's partials
+        # in its one global groupby. A shard with ZERO triples writes no
+        # files and simply has no partials dir.
+        def _ep_from(src) -> None:
+            ep = src.map_batches(
+                materialize.partial_edges,
+                fn_kwargs={"extra_cols": ("part",)},
+                batch_format="pyarrow",
+            ).map_batches(
+                materialize.recombine_edge_partials,
+                fn_kwargs={"extra_cols": ("part",)},
+                batch_format="pyarrow", batch_size=1 << 17,
+            )
+            ep.write_parquet(os.path.join(out_dir, "edge_partials"),
+                             partition_cols=["part"],
+                             min_rows_per_file=65536)
+
+        if fuse_small:
+            # link ONCE, then feed both sinks from the in-memory handle —
+            # the written-triples read-back was a pure-fixed-cost second
+            # execution per micro-batch poll
+            linked_m = linked.materialize()
+
+            def _w_tr() -> None:
+                linked_m.write_parquet(os.path.join(out_dir, "triples"),
+                                       partition_cols=["part"],
+                                       min_rows_per_file=65536)
+
+            def _w_ep() -> None:
+                if linked_m.count() == 0:
+                    return
+                _ep_from(linked_m)
+
+            if int(ray.cluster_resources().get("CPU", 8)) >= 16:
+                _join_all([_w_tr, _w_ep])
+            else:
+                _w_tr()
+                _w_ep()
+        else:
             linked.write_parquet(os.path.join(out_dir, "triples"),
                                  partition_cols=["part"],
                                  min_rows_per_file=65536)
-            # per-shard edge partials from the written triples (a shard with
-            # ZERO triples writes no files and simply has no partials dir).
-            # MAP-ONLY: partial rows are mergeable (counts sum, packed provs
-            # concatenate — finalize dedups/caps globally), so the stored
-            # artifact needs no per-shard finalize exchange at all; phase 4
-            # merges every shard's partials in its one global groupby
             tr_back = sorted(f for part, _ in todo for f in glob.glob(
                 os.path.join(out_dir, "triples", f"part={part}",
                              "*.parquet")))
             if tr_back:
-                ep = rd.read_parquet(tr_back).map_batches(
+                _ep_from(rd.read_parquet(tr_back).map_batches(
                     add_part_column, fn_kwargs={"num_parts": num_parts},
-                    batch_format="pyarrow"
-                ).map_batches(
-                    materialize.partial_edges,
-                    fn_kwargs={"extra_cols": ("part",)},
-                    batch_format="pyarrow",
-                ).map_batches(
-                    materialize.recombine_edge_partials,
-                    fn_kwargs={"extra_cols": ("part",)},
-                    batch_format="pyarrow", batch_size=1 << 17,
-                )
-                ep.write_parquet(os.path.join(out_dir, "edge_partials"),
-                                 partition_cols=["part"],
-                                 min_rows_per_file=65536)
-
-        link_tail()
+                    batch_format="pyarrow"))
 
         import pyarrow.parquet as pq
 
@@ -720,16 +859,66 @@ def run_kg_resumable(
         edges = ep.groupby("bucket").map_groups(
             materialize._finalize_edges_bucket, batch_format="pandas"
         ).materialize()
-    edges.map_batches(materialize.prov_to_struct, batch_format="pyarrow").write_parquet(
-        os.path.join(out_dir, "edges")
-    )
-    degree_partials = edges.map_batches(
-        materialize.partial_degrees, batch_format="pyarrow"
-    )
-    mapping = rd.read_parquet(mapping_dir)
-    materialize.nodes_with_degree(
-        mapping, degree_partials, single_task=small
-    ).write_parquet(os.path.join(out_dir, "nodes"))
+    import pyarrow.parquet as _pq
+
+    map_files = sorted(glob.glob(os.path.join(mapping_dir, "*.parquet")))
+    n_map_rows = sum(_pq.read_metadata(f).num_rows for f in map_files)
+    if small and n_map_rows < UNSAFE_SET_MAX_ENTITIES:
+        # both sinks are driver-sized here BY THE GATES (edges came out of
+        # one finalize task; the mapping is broadcast-regime small): run
+        # the SAME kernels locally on the finalize task's arrow blocks —
+        # the two Ray executions this replaces were ~2 s of pure per-poll
+        # fixed cost over a few thousand rows
+        blocks = [b for b in ray.get(edges.to_arrow_refs()) if b.num_rows]
+        e_dir = os.path.join(out_dir, "edges")
+        os.makedirs(e_dir, exist_ok=True)
+        edges_tbl = pa.concat_tables(blocks) if blocks else None
+        if edges_tbl is not None:
+            _pq.write_table(materialize.prov_to_struct(edges_tbl),
+                            os.path.join(e_dir, "part-0.parquet"))
+        # a zero-triple corpus writes no edge file (≡ the Ray sink writing
+        # zero files) and contributes no degree rows to the node union
+        left = materialize._mapping_row_for_union(
+            _pq.read_table(map_files) if map_files else
+            pa.table({"surface_norm": pa.array([], pa.string()),
+                      "entity_id": pa.array([], pa.string()),
+                      "canonical_name": pa.array([], pa.string()),
+                      "n_mentions": pa.array([], pa.int64()),
+                      "aliases": pa.array([], pa.list_(pa.string()))}))
+        unioned = left
+        if edges_tbl is not None:
+            unioned = pa.concat_tables([left, materialize._degree_row_for_union(
+                materialize.partial_degrees(edges_tbl))])
+        nodes_df = materialize._merge_nodes_bucket(unioned.to_pandas())
+        n_dir = os.path.join(out_dir, "nodes")
+        os.makedirs(n_dir, exist_ok=True)
+        if len(nodes_df.columns):  # all-empty corpus → colless df → the
+            # Ray sink would write zero files; mirror that
+            _pq.write_table(pa.Table.from_pandas(nodes_df,
+                                                 preserve_index=False),
+                            os.path.join(n_dir, "part-0.parquet"))
+    else:
+        def _w_edges() -> None:
+            edges.map_batches(
+                materialize.prov_to_struct, batch_format="pyarrow"
+            ).write_parquet(os.path.join(out_dir, "edges"))
+
+        def _w_nodes() -> None:
+            degree_partials = edges.map_batches(
+                materialize.partial_degrees, batch_format="pyarrow"
+            )
+            mapping = rd.read_parquet(mapping_dir)
+            materialize.nodes_with_degree(
+                mapping, degree_partials, single_task=small
+            ).write_parquet(os.path.join(out_dir, "nodes"))
+
+        # both sinks consume the MATERIALIZED edges — overlap them; the
+        # final marker commits only after both are durable
+        if int(ray.cluster_resources().get("CPU", 8)) >= 16:
+            _join_all([_w_edges, _w_nodes])
+        else:
+            _w_edges()
+            _w_nodes()
     open(final_marker, "w").write("ok")
 
     _tick("p4")

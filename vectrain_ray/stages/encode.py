@@ -181,3 +181,23 @@ ENCODERS: dict[str, type] = {
     "hashing": HashingEncoder,
     "ollama": OllamaEncoder,
 }
+
+
+# --- plain-task mode (micro-batch polls) ------------------------------------
+# One encoder instance per WORKER PROCESS, keyed by config: the streaming
+# resume path swaps the actor pool for plain tasks under its small-input
+# gate (pool spin-up ~1 s per poll dwarfs the encode there), and Ray reuses
+# worker processes, so the per-instance surface memo keeps paying off.
+_TASK_ENCODER_CACHE: dict = {}
+
+
+def encode_batch_task(batch, kind: str = "hashing", **kwargs):
+    """Functional twin of ``map_batches(ENCODERS[kind], ...)`` for plain
+    tasks. Same kernels, same memoization — only the lifecycle differs."""
+    key = (kind, tuple(sorted(kwargs.items())))
+    enc = _TASK_ENCODER_CACHE.get(key)
+    if enc is None:
+        _TASK_ENCODER_CACHE.clear()  # one live encoder config per worker
+        enc = ENCODERS[kind](**kwargs)
+        _TASK_ENCODER_CACHE[key] = enc
+    return enc(batch)

@@ -646,3 +646,26 @@ def count_unsafe_links_distributed(tr_files: list[str], mapping_dir: str,
         missing_in_bucket, batch_format="pandas")
     n_missing = int(miss_partials.sum("n") or 0)
     return n_dep + n_missing
+
+
+# --- plain-task mode (micro-batch polls) ------------------------------------
+# One EntityLinker per WORKER PROCESS, keyed by the broadcast ref: the
+# streaming resume path swaps the actor pool for plain tasks under its
+# small-input gate — actor-pool spin-up (~1 s per poll) dominated linking
+# there. ray.get of the ref inside a task is a local object-store read;
+# the per-instance surface memo persists because Ray reuses workers.
+_TASK_LINKER_CACHE: dict = {}
+
+
+def link_batch_task(batch, index_ref, cols=("subj", "obj"), dim: int = 64,
+                    fuzzy_threshold: float = 0.85):
+    """Functional twin of ``map_batches(EntityLinker, ...)`` for plain
+    tasks. Same vectorized kernel — only the lifecycle differs."""
+    key = (index_ref.hex(), tuple(cols), dim, fuzzy_threshold)
+    lk = _TASK_LINKER_CACHE.get(key)
+    if lk is None:
+        _TASK_LINKER_CACHE.clear()  # one live index per worker
+        lk = EntityLinker(index_ref, cols=tuple(cols), dim=dim,
+                          fuzzy_threshold=fuzzy_threshold)
+        _TASK_LINKER_CACHE[key] = lk
+    return lk(batch)
