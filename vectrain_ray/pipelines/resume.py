@@ -229,6 +229,7 @@ def run_kg_resumable(
     source_kind: str = "parquet",
     shard_parallelism: int | None = None,
     pool_concurrency: int | None = None,
+    prefetched_shards=None,
 ) -> dict:
     """Run (or resume) the partitioned pipeline. ``fail_after_phase1_parts``
     injects a crash after N phase-1 shards (kill-point testing only).
@@ -242,7 +243,14 @@ def run_kg_resumable(
     for API compatibility but inert: fusion replaces the driver-thread
     shard overlap (and with it the ≤4-CPU actor-pool starvation mode the
     auto-gate existed for). ``pool_concurrency``: actors per encode/link
-    pool; default scales with the cluster (max(2, CPUs // 8), capped 8)."""
+    pool; default scales with the cluster (max(2, CPUs // 8), capped 8).
+
+    ``prefetched_shards``: streaming-poll optimization — a
+    ``(MaterializedDataset, parts)`` pair from StreamDriver holding the
+    rows its append just wrote for FRESH parts (parts with no prior shard
+    files). When phase 1's todo is exactly those parts, the handle feeds
+    extraction directly (same rows, one fewer read per poll); any mismatch
+    falls back to reading the shard files."""
     if pool_concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         pool_concurrency = max(2, min(8, cpus // 8))
@@ -327,7 +335,13 @@ def run_kg_resumable(
 
         n_in = sum(_pq.read_metadata(f).num_rows for f in all_files)
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        ds = rd.read_parquet(all_files)
+        if (prefetched_shards is not None
+                and list(prefetched_shards[1]) == [p for p, _ in todo]):
+            # the streaming append's materialized handle IS these parts'
+            # shard content (fresh parts only — see run_kg_resumable doc)
+            ds = prefetched_shards[0]
+        else:
+            ds = rd.read_parquet(all_files)
         # global bucketed dedup ≡ the old per-shard dedup: conv_id
         # determines part, so (conv_id, turn_idx) groups never span shards.
         # pre_batch sized so the post-shuffle operator (which Ray fuses the
@@ -754,10 +768,25 @@ def run_kg_resumable(
                 _ep_from(linked_m)
 
             if int(ray.cluster_resources().get("CPU", 8)) >= 16:
-                _join_all([_w_tr, _w_ep])
-            else:
-                _w_tr()
+                # phase 4 needs only the edge partials — write triples on
+                # a thread that joins right before the final marker, so
+                # the triples sink overlaps the whole finalize phase
+                from concurrent.futures import ThreadPoolExecutor as _TPE
+
+                _tr_pool = _TPE(max_workers=1)
+                tr_fut = _tr_pool.submit(_w_tr)
                 _w_ep()
+
+                def _finish() -> None:
+                    try:
+                        tr_fut.result()
+                    finally:
+                        _tr_pool.shutdown(wait=False)
+                    _commit_p3(todo, t0)
+
+                return _finish
+            _w_tr()
+            _w_ep()
         else:
             linked.write_parquet(os.path.join(out_dir, "triples"),
                                  partition_cols=["part"],
@@ -770,9 +799,13 @@ def run_kg_resumable(
                     add_part_column, fn_kwargs={"num_parts": num_parts},
                     batch_format="pyarrow"))
 
+        _commit_p3(todo, t0)
+        return None
+
+    def _commit_p3(todo: list[tuple[int, list[str]]], t0: float) -> None:
+        """Commit LAST, after all of the shard's sinks are durable."""
         import pyarrow.parquet as pq
 
-        # commit LAST, after all of the shard's sinks are durable
         wall = round((time.time() - t0) / len(todo), 3)
         for part, ext_files in todo:
             tr_files = sorted(glob.glob(os.path.join(
@@ -786,19 +819,16 @@ def run_kg_resumable(
                       part=part, triples_out=n_tr, wall_sec=wall,
                       fused=len(todo))
 
+    # p3_finish: non-None when the triples sink was deferred to a thread —
+    # it joins the write and THEN commits the p3 manifests, called right
+    # before the final marker (a crash in between redoes p3: coarser retry,
+    # same convergence, and phase 4 reads only the durable edge partials)
+    p3_finish = None
     if p3_todo:
-        _run_p3_fused(p3_todo)
+        p3_finish = _run_p3_fused(p3_todo)
 
     for a in shard_actors:  # linking done → free the index actors
         ray.kill(a)
-
-    # join the overlapped mention encoding (phase 1.7) before the final
-    # marker: _FINAL_DONE must imply every table, mentions included
-    if mentions_fut is not None:
-        try:
-            mentions_fut.result()
-        finally:
-            _m_pool.shutdown(wait=False)
 
     _tick("p3")
     # ---- phase 4: global finalize (small pre-aggregated inputs) ---------
@@ -919,6 +949,16 @@ def run_kg_resumable(
         else:
             _w_edges()
             _w_nodes()
+    # join every deferred sink, THEN commit p3 manifests, THEN the marker:
+    # _FINAL_DONE must imply every table (mentions + triples included)
+    # durable and every manifest committed
+    if mentions_fut is not None:
+        try:
+            mentions_fut.result()
+        finally:
+            _m_pool.shutdown(wait=False)
+    if p3_finish is not None:
+        p3_finish()
     open(final_marker, "w").write("ok")
 
     _tick("p4")

@@ -37,7 +37,7 @@ import logging
 import ray.data as rd
 
 from ..logs import log_event
-from .resume import run_kg_resumable
+from .resume import FUSE_MATERIALIZE_MAX_ROWS, run_kg_resumable
 
 _LOG = logging.getLogger("vectrain_ray.stream")
 
@@ -131,17 +131,27 @@ class StreamDriver:
         # per-file tags cover re-appends of files first ingested alone or
         # in a previously differently-composed (crashed) batch
         self._delete_tagged({self._batch_tag([p]) for p in paths} | {tag})
+        # parts that already hold rows BEFORE this batch lands: a part the
+        # batch touches that is NOT in this set is "fresh" — its shard
+        # content after the write is exactly this batch's rows for it, so
+        # the materialized handle below can feed phase 1 directly
+        pre_parts = {
+            d for d in glob.glob(os.path.join(self.shards_dir, "part=*"))
+            if glob.glob(os.path.join(d, "*.parquet"))
+        }
         tmp = self._pending_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"tag": tag,
                        "files": sorted(os.path.abspath(p) for p in paths)},
                       f)
         os.replace(tmp, self._pending_path)
+        rows_by_file = {p: pq.read_metadata(p).num_rows for p in paths}
         ds = rd.read_parquet(sorted(paths),
                              columns=["conv_id", "turn_idx", "text"])
         ds = ds.map_batches(add_part_column,
                             fn_kwargs={"num_parts": self.num_parts},
                             batch_format="pyarrow")
+        self._prefetch = None
         ds.write_parquet(
             self.shards_dir,
             partition_cols=["part"],
@@ -149,7 +159,27 @@ class StreamDriver:
             min_rows_per_file=1 << 20,  # coalesce: micro-batches must not
             # shatter into per-block-per-part tiny files
         )
-        return {p: pq.read_metadata(p).num_rows for p in paths}
+        if sum(rows_by_file.values()) < FUSE_MATERIALIZE_MAX_ROWS:
+            touched = {
+                d for d in glob.glob(os.path.join(self.shards_dir,
+                                                  "part=*"))
+                if glob.glob(os.path.join(d, f"src{tag}_*.parquet"))
+            }
+            if not (touched & pre_parts):  # every touched part is fresh →
+                # the landing rows ARE those parts' shard content. Hand
+                # phase 1 a LAZY plan over the landing files (same rows,
+                # fewer/bigger files): the read runs inside p1's own
+                # execution, so the poll never re-reads the shard files it
+                # just wrote and the append stays one execution.
+                parts = sorted(int(os.path.basename(d).split("=")[1])
+                               for d in touched)
+                plan = rd.read_parquet(
+                    sorted(paths), columns=["conv_id", "turn_idx", "text"]
+                ).map_batches(add_part_column,
+                              fn_kwargs={"num_parts": self.num_parts},
+                              batch_format="pyarrow")
+                self._prefetch = (plan, parts, sorted(paths))
+        return rows_by_file
 
     def _commit_batch(self) -> None:
         try:
@@ -219,8 +249,19 @@ class StreamDriver:
         )
         if up_to_date:
             return {"new_files": 0, "rows_in": 0, "ran_pipeline": False}
+        prefetch = getattr(self, "_prefetch", None)
+        self._prefetch = None  # one poll only: later polls re-derive state
+        if prefetch is not None:
+            plan, parts, src_paths = prefetch
+            # a caught-and-retried poll may carry a prefetch whose landing
+            # files a retention sweep removed — the lazy plan would fail
+            # at read time; fall back to the (durable) shard files
+            prefetch = ((plan, parts)
+                        if all(os.path.exists(p) for p in src_paths)
+                        else None)
         metrics = run_kg_resumable(
             self.input_dir, self.out_dir, num_parts=self.num_parts,
+            prefetched_shards=prefetch,
             **self.resume_kwargs,
         )
         if self.vector_store:
