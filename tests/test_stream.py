@@ -245,3 +245,33 @@ def test_cross_poll_duplicate_resend_stays_exact(tmp_path):
     # the flipped winner's surface must be in the final graph
     nodes = _read_sorted(out, "nodes")
     assert nodes["canonical_name"].str.contains("Zzyx").any()
+
+
+def test_big_input_path_equals_small(tmp_path, monkeypatch):
+    """Force FUSE_MATERIALIZE_MAX_ROWS below the corpus so every phase
+    takes the big-input branch (streaming write + read-back, actor pools,
+    bucketed phase-4) — outputs must match the gated small path exactly.
+    Guards the branch all test corpora otherwise leave dead."""
+    from vectrain_ray.pipelines import resume as R
+
+    landing = str(tmp_path / "landing")
+    write_transcripts(landing, num_convs=16, turns_per_conv=6, seed=31,
+                      num_files=2)
+
+    out_small = str(tmp_path / "out_small")
+    StreamDriver(landing, out_small, num_parts=4, poll_sec=0.01).poll_once()
+
+    monkeypatch.setattr(R, "FUSE_MATERIALIZE_MAX_ROWS", 0)
+    # the stream module imported the constant by value — patch both uses
+    from vectrain_ray.pipelines import stream as S
+
+    monkeypatch.setattr(S, "FUSE_MATERIALIZE_MAX_ROWS", 0)
+    # and drive phase 4 through its bucketed-shuffle + Ray-sink branch
+    monkeypatch.setattr(R, "EDGE_FINALIZE_SINGLE_TASK_MAX", 0)
+    out_big = str(tmp_path / "out_big")
+    m = StreamDriver(landing, out_big, num_parts=4, poll_sec=0.01).poll_once()
+    assert m["ran_pipeline"]
+
+    for tbl in ("edges", "nodes", "triples", "mentions"):
+        a, b = _read_sorted(out_small, tbl), _read_sorted(out_big, tbl)
+        pd.testing.assert_frame_equal(a, b)
