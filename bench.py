@@ -227,12 +227,18 @@ def _time_stream() -> dict:
         pq.read_metadata(os.path.join(landing, f)).num_rows
         for f in os.listdir(landing) if f.endswith(".parquet")
     )
-    drv = StreamDriver(landing, out, num_parts=8, poll_sec=0.01,
-                       batch_size=8192)
-    t0 = time.time()
-    m = drv.poll_once()
-    ingest_sec = time.time() - t0
-    assert m["ran_pipeline"] and m["rows_in"] == n_turns
+    # min-of-2 (the BASELINE.md scaling methodology): run-to-run variance
+    # on this shared box reaches ±20%; each draw is pipeline-state-cold
+    # (fresh out dir, every shard extracts/links) in the same warm session
+    ingest_sec = float("inf")
+    for draw in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        drv = StreamDriver(landing, out, num_parts=8, poll_sec=0.01,
+                           batch_size=8192)
+        t0 = time.time()
+        m = drv.poll_once()
+        ingest_sec = min(ingest_sec, time.time() - t0)
+        assert m["ran_pipeline"] and m["rows_in"] == n_turns
 
     # one NEW conversation (conv_id disjoint from the synth namespace)
     # lands as one file → warm incremental poll

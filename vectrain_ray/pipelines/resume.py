@@ -390,11 +390,28 @@ def run_kg_resumable(
                                 min_rows_per_file=65536)
 
             if cpus >= 16:
-                _join_all([_w_ext, _w_sp])
-            else:  # small sessions: concurrent executions starve each
-                # other's map/write tasks (measured) — run serially
-                _w_ext()
+                # phase 2 needs only the surface partials — write the
+                # extracted parquet on a thread joined (with the manifest
+                # commit) right after phase 2, so the sink overlaps the
+                # mapping rebuild
+                from concurrent.futures import ThreadPoolExecutor as _TPE
+
+                _ext_pool = _TPE(max_workers=1)
+                ext_fut = _ext_pool.submit(_w_ext)
                 _w_sp()
+
+                def _finish() -> None:
+                    try:
+                        ext_fut.result()
+                    finally:
+                        _ext_pool.shutdown(wait=False)
+                    _commit_p1(todo, t0)
+
+                return ext_m, _finish
+            # small sessions: concurrent executions starve each other's
+            # map/write tasks (measured) — run serially
+            _w_ext()
+            _w_sp()
         else:
             ext.write_parquet(os.path.join(out_dir, "extracted"),
                               partition_cols=["part"],
@@ -416,6 +433,11 @@ def run_kg_resumable(
                 ).write_parquet(os.path.join(out_dir, "surface_partials"),
                                 partition_cols=["part"],
                                 min_rows_per_file=65536)
+        _commit_p1(todo, t0)
+        return ext_m, None
+
+    def _commit_p1(todo: list[tuple[int, list[str]]], t0: float) -> None:
+        """Commit LAST, after both phase-1 sinks are durable."""
         import pyarrow.parquet as pq
 
         wall = round((time.time() - t0) / len(todo), 3)
@@ -426,7 +448,6 @@ def run_kg_resumable(
             man1.commit(part, files, {"rows_out": n, "wall_sec": wall})
             log_event(_LOG, f"p1 extract part={part} committed", phase="p1",
                       part=part, rows_out=n, wall_sec=wall, fused=len(todo))
-        return ext_m
 
     # the extracted rows p1 just produced, held in the object store under
     # the FUSE_MATERIALIZE_MAX_ROWS gate: phases 1.7 / 3 consume this
@@ -441,29 +462,18 @@ def run_kg_resumable(
             if done1 >= fail_after_phase1_parts:
                 raise RuntimeError("injected kill after phase-1 shard "
                                    f"{part} (testing resume)")
-    elif p1_todo:
-        p1_ext_m = _run_p1_fused(p1_todo)
+    p1_finish = None
+    if fail_after_phase1_parts is None and p1_todo:
+        p1_ext_m, p1_finish = _run_p1_fused(p1_todo)
 
     _tick("p1")
     # ---- phase 1.7: mention encoding (pure function of extracted) -------
     # Mentions depend ONLY on (extracted input, encoder config) — never on
     # the mapping — so they carry their own manifest: a mapping-invalidated
-    # relink (phase 3) no longer re-encodes untouched shards, and on big
-    # sessions the encode execution OVERLAPS the phase-2 mapping rebuild
-    # (it needs nothing phase 2 produces).
+    # relink (phase 3) no longer re-encodes untouched shards, and the
+    # encode execution (launched after the extracted files land) OVERLAPS
+    # phases 3–4 on big sessions (it needs nothing they produce).
     enc_sig = f"{encoder_kind}|{dim}|{sorted((encoder_kwargs or {}).items())!r}"
-    m_todo: list[tuple[int, list[str]]] = []
-    metrics["skipped_mentions"] = 0
-    for part in range(num_parts):
-        ext_files = sorted(glob.glob(os.path.join(
-            out_dir, "extracted", f"part={part}", "*.parquet")))
-        if not ext_files:
-            continue
-        if man_m.is_done(part, ext_files) and \
-                (man_m.load(part) or {}).get("encoder") == enc_sig:
-            metrics["skipped_mentions"] += 1
-            continue
-        m_todo.append((part, ext_files))
 
     def _run_mentions_fused(todo: list[tuple[int, list[str]]],
                             src=None) -> None:
@@ -511,21 +521,6 @@ def run_kg_resumable(
         log_event(_LOG, f"mentions encoded fused over {len(todo)} shards",
                   phase="mentions", parts=[p for p, _ in todo],
                   wall_sec=round(time.time() - t0, 3))
-
-    mentions_fut = None
-    _m_pool = None
-    if m_todo:
-        m_src = (p1_ext_m if p1_ext_m is not None
-                 and sorted(p for p, _ in m_todo) == p1_ran_parts else None)
-        if int(ray.cluster_resources().get("CPU", 8)) >= 16:
-            from concurrent.futures import ThreadPoolExecutor as _TPE
-
-            _m_pool = _TPE(max_workers=1)
-            mentions_fut = _m_pool.submit(_run_mentions_fused, m_todo,
-                                          m_src)
-        else:  # small sessions: two concurrent actor pools starve the
-            # map/write tasks feeding them (measured) — run serially
-            _run_mentions_fused(m_todo, m_src)
 
     # ---- phase 2: global canonicalization (small) -----------------------
     # The marker stores the fingerprint of the extracted/part=* inputs: if
@@ -633,7 +628,42 @@ def run_kg_resumable(
 
     _norms_lock = threading.Lock()
     _lazy: dict = {"mapping_norms": None, "n_map_rows": None}
+    # join phase 1's deferred extracted write (it overlapped the mapping
+    # rebuild) and commit its manifests — everything from here on reads
+    # the extracted files, so they must be durable first
+    if p1_finish is not None:
+        p1_finish()
     _tick("p2")
+
+    # scan + launch the mention encode now that extracted files are final;
+    # on big sessions the thread overlaps phases 3–4 (joined pre-marker)
+    m_todo: list[tuple[int, list[str]]] = []
+    metrics["skipped_mentions"] = 0
+    for part in range(num_parts):
+        ext_files = sorted(glob.glob(os.path.join(
+            out_dir, "extracted", f"part={part}", "*.parquet")))
+        if not ext_files:
+            continue
+        if man_m.is_done(part, ext_files) and \
+                (man_m.load(part) or {}).get("encoder") == enc_sig:
+            metrics["skipped_mentions"] += 1
+            continue
+        m_todo.append((part, ext_files))
+    mentions_fut = None
+    _m_pool = None
+    if m_todo:
+        m_src = (p1_ext_m if p1_ext_m is not None
+                 and sorted(p for p, _ in m_todo) == p1_ran_parts else None)
+        if int(ray.cluster_resources().get("CPU", 8)) >= 16:
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            _m_pool = _TPE(max_workers=1)
+            mentions_fut = _m_pool.submit(_run_mentions_fused, m_todo,
+                                          m_src)
+        else:  # small sessions: two concurrent actor pools starve the
+            # map/write tasks feeding them (measured) — run serially
+            _run_mentions_fused(m_todo, m_src)
+
     # ---- phase 3: per-shard linking + mention encoding + edge partials --
     p3_todo: list[tuple[int, list[str]]] = []
     for part in range(num_parts):
