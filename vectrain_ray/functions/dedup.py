@@ -643,7 +643,9 @@ def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",
         t = t.append_column("cluster_id", cid)
         return t.append_column("is_keeper", pc.equal(cid, ids))
 
-    return ds.select_columns([id_col]).map_batches(
+    # the materialized sketch table is one row per input doc with id_col —
+    # assigning over it skips a fresh parquet read of the corpus
+    return sketches.select_columns([id_col]).map_batches(
         assign_cluster, batch_format="pyarrow"
     )
 
