@@ -188,3 +188,53 @@ def test_same_size_rewrite_forces_reprocess(transcripts_path, tmp_path):
     open(files[0], "wb").write(data)  # same bytes, same size, new mtime
     assert _fingerprint(files) != before
     assert not man.is_done(part, files)
+
+
+@pytest.mark.parametrize("which", ["p1_extract", "p3_link"])
+def test_crash_in_deferred_commit_window_converges(transcripts_path,
+                                                   tmp_path, monkeypatch,
+                                                   which):
+    """The ≥16-CPU fast path defers two sink joins + manifest commits
+    (phase 1's extracted write past phase 2; phase 3's triples write past
+    phase 4). A crash DURING those deferred commits — after later phases
+    already ran — must leave a state the next run converges from,
+    identical to a never-crashed run."""
+    import vectrain_ray.pipelines.resume as R
+    import vectrain_ray.state.manifest as M
+
+    clean = str(tmp_path / "clean")
+    run_kg_resumable(transcripts_path, clean, num_parts=4)
+
+    # force the deferred-thread paths despite the 4-CPU test session —
+    # shim ONLY resume's view of ray (patching the global ray module's
+    # cluster_resources desyncs Ray Data's own scheduler and hangs)
+    import types
+
+    import ray as real_ray
+
+    shim = types.SimpleNamespace(
+        cluster_resources=lambda: {"CPU": 32.0},
+        put=real_ray.put, get=real_ray.get, kill=real_ray.kill,
+    )
+    monkeypatch.setattr(R, "ray", shim)
+
+    crashed = str(tmp_path / "crashed")
+    orig = M.PartitionManifest.commit
+    state = {"armed": True}
+
+    def boom(self, part, files, meta=None):
+        if state["armed"] and which in self.dir:
+            state["armed"] = False
+            raise RuntimeError("injected commit crash")
+        return orig(self, part, files, meta)
+
+    monkeypatch.setattr(M.PartitionManifest, "commit", boom)
+    with pytest.raises(RuntimeError, match="injected commit crash"):
+        run_kg_resumable(transcripts_path, crashed, num_parts=4)
+    monkeypatch.setattr(M.PartitionManifest, "commit", orig)
+
+    m = run_kg_resumable(transcripts_path, crashed, num_parts=4)
+    assert m  # converged without raising
+    for table in ("nodes", "edges", "triples", "mentions"):
+        a, b = _load(clean, table), _load(crashed, table)
+        pd.testing.assert_frame_equal(a, b), table
