@@ -711,14 +711,17 @@ def run_kg_resumable(
             _lazy["mapping_norms"],
         )
 
-    def _run_p3_fused(todo: list[tuple[int, list[str]]]) -> None:
+    def _run_p3_fused(todo: list[tuple[int, list[str]]]):
         """Every stale shard's linking in ONE pass (r4 verdict item 1):
         one streaming execution triples→link→write plus a map-only
         edge-partials pass, instead of 3 executions per shard. Outputs
         land partitioned by ``part``; manifests commit per shard after all
         sinks are durable, so the O(delta) skip logic and the kill-anywhere
         convergence are unchanged. (Mention encoding moved to its own
-        manifest-gated pass — see phase 1.7 above.)"""
+        manifest-gated pass — see phase 1.7 above.)
+
+        Returns a finisher callable when the triples sink was deferred to
+        a thread (join + manifest commit, run pre-marker), else None."""
         t0 = time.time()
         p3_parts = sorted(p for p, _ in todo)
         metrics.setdefault("p3_parts_run", []).extend(p3_parts)
