@@ -148,6 +148,7 @@ def run_bench() -> dict:
         ("repetition_stats", Q.q_repetition_stats),
         ("cooccurrence", Q.q_cooccurrence),
         ("decontaminate", Q.q_decontaminate),
+        ("decontaminate_fuzzy", Q.q_decontaminate_fuzzy),
         ("event_throttle", Q.q_event_throttle),
         ("mixture_sample", Q.q_mixture_sample),
         ("bm25_topk", Q.q_bm25_topk),

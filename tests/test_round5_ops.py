@@ -140,3 +140,25 @@ def test_fsspec_http_probe_is_import_stable():
     import pyarrow.fs as fs
 
     assert _is_http_filesystem(fs.LocalFileSystem()) is False
+
+
+def test_decontaminate_fuzzy_flags_verified_neardups(ray_session):
+    """Every flagged train doc must (a) not be a bench doc, (b) point at a
+    bench doc, and (c) survive an INDEPENDENT exact char-5-shingle Jaccard
+    re-check against the raw parquet text — the op's claim, re-derived
+    without MinHash/LSH. Non-triviality is pinned (the fixture modulus was
+    chosen so sf0.001 has real bench near-dups)."""
+    from vectrain_ray.functions.dedup import ngram_jaccard
+
+    got = Q.q_decontaminate_fuzzy(SF).to_pandas()
+    assert len(got) > 0
+    assert (got["doc_id"] % 31 != 0).all()
+    assert (got["best_bench"] % 31 == 0).all()
+    assert (got["n_bench_matches"] >= 1).all()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    txt = dict(zip(docs["doc_id"], docs["text"]))
+    for did, bid in zip(got["doc_id"], got["best_bench"]):
+        a = (txt[did] or "").lower()
+        b = (txt[bid] or "").lower()
+        assert ngram_jaccard(a, b, 5) >= 0.8, (did, bid)

@@ -2737,6 +2737,119 @@ def q_decontaminate(sf_dir: str):
         merge, batch_format="pandas")
 
 
+def q_decontaminate_fuzzy(sf_dir: str):
+    """MinHash-based benchmark decontamination — the FUZZY complement of
+    q_decontaminate's exact-shingle overlap: flag train-corpus docs that are
+    NEAR-duplicates (char-5-shingle Jaccard >= 0.8) of any benchmark doc
+    (fixture bench set: doc_id % 31 == 0 — a modulus chosen so the synthetic
+    corpus actually has verified bench near-dups at sf0.001 AND sf0.01; the
+    exact-overlap op keeps its own % 97 fixture). This is the standard eval-set
+    scrub for lightly edited benchmark copies that exact n-gram overlap
+    misses (whitespace/punctuation edits, dropped sentences). Output one row
+    per contaminated train doc: (doc_id, n_bench_matches, best_bench=min
+    matched bench id).
+
+    Shape at scale: the bench side is eval-set-sized BY DEFINITION (a few
+    MB against a 100 TB corpus), so both its LSH band index and its shingle
+    sketches are collected once and broadcast via ray.put; the corpus then
+    streams through ONE map_batches that sketches, bands, probes the bench
+    index and Jaccard-verifies in place — zero shuffles, zero corpus-sized
+    state. The per-candidate verify loop is Python but candidates are
+    contamination-rate-sparse (band-hash collisions with a tiny bench set);
+    everything batch-sized is vectorized (DuckDB sketch kernel, numpy
+    segment-min signatures, pandas band-index merge). Parameters
+    (num_perm=64, bands=8, k=5, seed=42, threshold 0.8, empty-vs-empty
+    matches) mirror dedup_minhash exactly so the oracle reuses its
+    permutation/band literals."""
+    from ..functions.dedup import (_SENTINEL, _SH_TYPE, band_batch,
+                                   sketch_batch)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bench_mask(t: pa.Table) -> pa.Array:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.array(ids % 31 == 0)
+
+    # pass 1: bench sketches stream out of the same pruned scan the probe
+    # pass uses; banding the collected bench table happens driver-side (it
+    # is bench-sized) through the SAME MinHashBander kernel as the corpus
+    def bench_partial(t: pa.Table) -> pa.Table:
+        return sketch_batch(t.filter(_bench_mask(t)))
+
+    parts = ds.map_batches(bench_partial, batch_format="pyarrow",
+                           batch_size=65536).take_all()
+    # explicit schema: from_pylist would infer int64 for the uint64 shingle
+    # hashes and overflow on values >= 2^63 (half of the md5 space)
+    bench_sk = pa.Table.from_pylist(
+        parts, schema=pa.schema([("doc_id", pa.int64()), ("sh", _SH_TYPE)]))
+    if bench_sk.num_rows == 0:
+        bench_bands = pd.DataFrame({"band_id": [], "band_hash": [],
+                                    "bench_id": []})
+        bench_sets: dict = {}
+    else:
+        bt = band_batch(bench_sk, sketch_col="sh").to_pandas()
+        bench_bands = bt.rename(columns={"doc_id": "bench_id"})
+        bench_sets = {
+            r["doc_id"]: np.sort(np.asarray(r["sh"], dtype=np.uint64))
+            for r in bench_sk.to_pylist()
+        }
+    idx_ref = ray.put((bench_bands, bench_sets))
+
+    _EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "n_bench_matches": pa.array([], pa.int64()),
+                       "best_bench": pa.array([], pa.int64())})
+
+    class ScanFuzzyContaminated:
+        def __init__(self):
+            self.bands, self.sets = ray.get(idx_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.invert(_bench_mask(t)))
+            if t.num_rows == 0 or not len(self.bands):
+                return _EMPTY
+            sk = sketch_batch(t)
+            bd = band_batch(sk, sketch_col="sh").to_pandas()
+            cand = bd.merge(self.bands, on=["band_id", "band_hash"])[
+                ["doc_id", "bench_id"]].drop_duplicates()
+            if cand.empty:
+                return _EMPTY
+            # sketches for just the candidate train docs of THIS batch
+            need = set(cand["doc_id"])
+            tsets = {
+                r["doc_id"]: np.sort(np.asarray(r["sh"], dtype=np.uint64))
+                for r in sk.to_pylist() if r["doc_id"] in need
+            }
+            hits: dict[int, list[int]] = {}
+            for did, bid in cand.itertuples(index=False):
+                sa, sb = tsets[did], self.sets[bid]
+                na, nb = len(sa), len(sb)
+                if na + nb == 0:
+                    ok = True  # empty-vs-empty matches (dedup_minhash rule)
+                else:
+                    nc = len(np.intersect1d(sa, sb, assume_unique=True))
+                    ok = nc / (na + nb - nc) >= 0.8 if na + nb - nc else False
+                if ok:
+                    hits.setdefault(did, []).append(bid)
+            if not hits:
+                return _EMPTY
+            docs = sorted(hits)
+            return pa.table({
+                "doc_id": pa.array(docs, pa.int64()),
+                "n_bench_matches": pa.array(
+                    [len(hits[d]) for d in docs], pa.int64()),
+                "best_bench": pa.array(
+                    [min(hits[d]) for d in docs], pa.int64()),
+            })
+
+    # a doc lives wholly in one read block (same invariant q_decontaminate
+    # documents) so per-batch rows are final — no merge pass needed; empty
+    # signatures are all-_SENTINEL and thus collide, which is exactly the
+    # oracle's fullsigs semantics (empty train text matches empty bench text)
+    assert _SENTINEL == np.uint64(0xFFFFFFFFFFFFFFFF)
+    return ds.map_batches(ScanFuzzyContaminated, batch_format="pyarrow",
+                          batch_size=65536, concurrency=(1, 4))
+
+
 def _nationkey_counts(sf_dir: str, tag_col: str | None, side: str,
                       sign: int = 1):
     """Shared side-builder for the multiset set-ops: a one-column nation-key
@@ -4004,6 +4117,53 @@ def q_window_dedup(sf_dir: str):
             .map_groups(keep_bucket, batch_format="pandas"))
 
 
+def q_grouped_stats(sf_dir: str):
+    """Grouped descriptive statistics (count, sum, mean, population
+    variance, population stddev) of lineitem quantity per return flag via
+    the classic (n, sum, sumsq) combiner: each batch collapses to at most
+    #groups partial rows INSIDE map_batches, the exchange moves only those
+    partials, and the finisher derives mean/var/std from the merged sums
+    with the SAME IEEE expression tree the oracle SQL spells out
+    (mean = s/n, var = sq/n - mean*mean, std = sqrt(var)). l_quantity is
+    integer-valued (1..50), so s and sq are order-independent-exact in
+    float64 far past this fixture's scale — the bm25 float-parity argument;
+    at 100 TB the shuffle fan-in is #flags × #blocks partial rows."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"]
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "q": q,
+            "qq": pc.multiply(q, q),
+        }).group_by("l_returnflag").aggregate(
+            [("q", "count"), ("q", "sum"), ("qq", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "s", "sq"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("l_returnflag", sort=False).agg(
+            n=("n", "sum"), s=("s", "sum"), sq=("sq", "sum")).reset_index()
+        n = m["n"].to_numpy().astype(np.float64)
+        s = m["s"].to_numpy()
+        sq = m["sq"].to_numpy()
+        mean = s / n
+        var = sq / n - mean * mean
+        return pd.DataFrame({
+            "l_returnflag": m["l_returnflag"],
+            "n_rows": m["n"].astype("int64"),
+            "sum_qty": s,
+            "mean_qty": mean,
+            "var_qty": var,
+            "std_qty": np.sqrt(var),
+        })
+
+    return _bucketed(parts, ["l_returnflag"]).groupby("bucket").map_groups(
+        finish, batch_format="pandas")
+
+
 def q_kg_degree_hist(sf_dir: str):
     """Degree distribution of the constructed knowledge graph (the first
     health check on a KG build: a spike at degree 1 or a runaway hub shows
@@ -4023,7 +4183,9 @@ def q_kg_degree_hist(sf_dir: str):
 
 QUERIES = {
     # ---- driver-gate window (first 50): every op NEW or with a CHANGED
-    # ---- code path this round (r5: asof_join gate + bucketed variant NEW,
+    # ---- code path this round (r5: decontaminate_fuzzy NEW (MinHash
+    # ---- eval-set scrub), grouped_stats NEW,
+    # ---- asof_join gate + bucketed variant NEW,
     # ---- skew_join broadcast gate + skew_join_split NEW,
     # ---- window_dedup overflow mask, skew_join empty-hot fast path,
     # ---- knn_join chunked matmul, the r4-stale rotations ngram_jaccard /
@@ -4034,6 +4196,8 @@ QUERIES = {
     # ---- re-verified locally every sweep (tools/check_oracle.py).
     "window_dedup": q_window_dedup,
     "kg_degree_hist": q_kg_degree_hist,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "grouped_stats": q_grouped_stats,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -4159,12 +4323,11 @@ _MH_A, _MH_B = _mh_perm_params(64, seed=42)
 _MH_PERM_VALUES = ", ".join(
     f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
 )
-# Full SQL mirror of MinHash+LSH near-dedup: shingle hash = md5_number_lower
-# of each distinct lowercase 5-gram, 64 affine-permutation minima, 8 bands of
-# 8 (band key = md5_number_lower of the comma-joined signature chunk), the
-# same 200-per-band-bucket cap, exact shingle-set Jaccard >= 0.8 verification,
-# and connected components via a recursive CTE (cluster id = min member id).
-_DEDUP_MINHASH_SQL = (
+# Shared MinHash CTE prefix (shingle hash = md5_number_lower of each distinct
+# lowercase 5-gram, 64 affine-permutation minima, 8 bands of 8 with band key =
+# md5_number_lower of the comma-joined signature chunk) — the common front of
+# the dedup_minhash and decontaminate_fuzzy mirrors.
+_MH_BANDS_CTE = (
     "WITH RECURSIVE "
     f"perms(pidx, a, b) AS (VALUES {_MH_PERM_VALUES}), "
     "docs AS (SELECT doc_id, lower(coalesce(text,'')) AS t FROM documents), "
@@ -4184,6 +4347,11 @@ _DEDUP_MINHASH_SQL = (
     "bands AS (SELECT doc_id, pidx // 8 AS band_id, "
     "md5_number_lower(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY pidx)) AS band_hash "
     "FROM fullsigs GROUP BY doc_id, pidx // 8), "
+)
+# Full SQL mirror of MinHash+LSH near-dedup: the shared banding prefix, the
+# same 200-per-band-bucket cap, exact shingle-set Jaccard >= 0.8 verification,
+# and connected components via a recursive CTE (cluster id = min member id).
+_DEDUP_MINHASH_SQL = _MH_BANDS_CTE + (
     "capped AS (SELECT * FROM bands "
     "QUALIFY row_number() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) <= 200), "
     "cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b "
@@ -4210,6 +4378,31 @@ _DEDUP_MINHASH_SQL = (
     "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
     "coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper "
     "FROM documents d LEFT JOIN clusters c USING (doc_id)"
+)
+# Fuzzy decontamination mirror: same banding prefix, candidate pairs are the
+# bench×train band-bucket join (NO per-bucket cap — the Ray side probes the
+# whole broadcast bench bucket list), Jaccard >= 0.8 verification with the
+# empty-vs-empty TRUE rule, then one group per contaminated train doc.
+_DECON_FUZZY_SQL = _MH_BANDS_CTE + (
+    "bench AS (SELECT * FROM bands WHERE doc_id % 31 = 0), "
+    "train AS (SELECT * FROM bands WHERE doc_id % 31 <> 0), "
+    "cand AS (SELECT DISTINCT t.doc_id AS tid, b.doc_id AS bid "
+    "FROM train t JOIN bench b ON t.band_id = b.band_id "
+    "AND t.band_hash = b.band_hash), "
+    "nsh AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id), "
+    "common AS (SELECT c.tid, c.bid, count(*) AS nc FROM cand c "
+    "JOIN shing sa ON sa.doc_id = c.tid "
+    "JOIN shing sb ON sb.doc_id = c.bid AND sb.x = sa.x "
+    "GROUP BY c.tid, c.bid), "
+    "verified AS (SELECT c.tid, c.bid FROM cand c "
+    "LEFT JOIN nsh na ON na.doc_id = c.tid "
+    "LEFT JOIN nsh nb ON nb.doc_id = c.bid "
+    "LEFT JOIN common cm ON cm.tid = c.tid AND cm.bid = c.bid "
+    "WHERE CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) = 0 THEN TRUE "
+    "ELSE coalesce(cm.nc, 0) * 1.0 / "
+    "(coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(cm.nc, 0)) >= 0.8 END) "
+    "SELECT tid AS doc_id, count(*) AS n_bench_matches, "
+    "min(bid) AS best_bench FROM verified GROUP BY tid"
 )
 _LANG_LIST_SQL = {
     lg: ", ".join(f"'{w}'" for w in sorted(textops.STOPWORDS[lg]))
@@ -4531,6 +4724,18 @@ ORACLE_SQL = {
         "FROM lineitem GROUP BY l_returnflag"
     ),
     "dedup_minhash": _DEDUP_MINHASH_SQL,
+    "decontaminate_fuzzy": _DECON_FUZZY_SQL,
+    # grouped_stats: the SQL spells out the EXACT tree the finisher computes
+    # (mean = s/n, var = sq/n - mean*mean) over order-independent-exact
+    # integer-valued sums — bit-identical float64 on both sides
+    "grouped_stats": (
+        "WITH p AS (SELECT l_returnflag, count(l_quantity) AS n, "
+        "sum(l_quantity) AS s, sum(l_quantity * l_quantity) AS sq "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, s AS sum_qty, "
+        "s / n AS mean_qty, sq / n - (s / n) * (s / n) AS var_qty, "
+        "sqrt(sq / n - (s / n) * (s / n)) AS std_qty FROM p"
+    ),
     "dedup_keep_best": (
         f"WITH base AS ({_DEDUP_MINHASH_SQL}) "
         "SELECT b.doc_id, b.cluster_id FROM base b "
