@@ -2813,11 +2813,15 @@ def q_decontaminate_fuzzy(sf_dir: str):
                 ["doc_id", "bench_id"]].drop_duplicates()
             if cand.empty:
                 return _EMPTY
-            # sketches for just the candidate train docs of THIS batch
-            need = set(cand["doc_id"])
+            # sketches for just the candidate train docs of THIS batch —
+            # filter in Arrow BEFORE the Python conversion: candidates are
+            # sparse, so converting the whole batch's sketches to Python
+            # lists would dominate the pass
+            need = pa.array(cand["doc_id"].unique(), pa.int64())
+            sk_c = sk.filter(pc.is_in(sk["doc_id"], value_set=need))
             tsets = {
                 r["doc_id"]: np.sort(np.asarray(r["sh"], dtype=np.uint64))
-                for r in sk.to_pylist() if r["doc_id"] in need
+                for r in sk_c.to_pylist()
             }
             hits: dict[int, list[int]] = {}
             for did, bid in cand.itertuples(index=False):
