@@ -162,3 +162,27 @@ def test_decontaminate_fuzzy_flags_verified_neardups(ray_session):
         a = (txt[did] or "").lower()
         b = (txt[bid] or "").lower()
         assert ngram_jaccard(a, b, 5) >= 0.8, (did, bid)
+
+
+def test_simhash_survives_driver_side_stage_cache(ray_session):
+    """Regression: q_decontaminate_fuzzy (or any driver-side sketch/band
+    call) parks a DuckDB connection in functions.dedup._STAGE_CACHE of the
+    DRIVER process. simhash_batch used to be a nested function that
+    cloudpickle serialized BY VALUE together with that global — making the
+    whole simhash transform unpicklable. Poison the cache with an
+    unpicklable object and prove the pipeline still ships."""
+    import duckdb
+
+    from vectrain_ray.functions import dedup
+
+    dedup._STAGE_CACHE["__poison__"] = duckdb.connect()
+    try:
+        got = Q.q_simhash_pairs(SF).to_pandas()
+        assert {"id_a", "id_b"} <= set(got.columns)
+        # and the original two-op repro: fuzzy decon (driver-side banding)
+        # followed by simhash in the same session
+        assert len(Q.q_decontaminate_fuzzy(SF).to_pandas()) > 0
+        got2 = Q.q_simhash_pairs(SF).to_pandas()
+        assert len(got2) == len(got)
+    finally:
+        dedup._STAGE_CACHE.pop("__poison__", None)

@@ -370,6 +370,20 @@ def band_batch(batch: pa.Table, num_perm: int = 64, bands: int = 8,
     return b(batch)
 
 
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """MUST stay module-level: a nested version is cloudpickled BY VALUE,
+    which drags the referenced _STAGE_CACHE global along — and any DuckDB
+    connection a DRIVER-side sketch/band call parked there makes the whole
+    transform unpicklable (observed: simhash_pairs failing to serialize
+    only when an earlier op in the same session banded on the driver).
+    Module-level functions ship by reference; the cache stays worker-local."""
+    key = ("simhash", text_col)
+    h = _STAGE_CACHE.get(key)
+    if h is None:
+        h = _STAGE_CACHE[key] = SimHasher(text_col=text_col)
+    return h(batch)
+
+
 def _as_array(col) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         return col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
@@ -766,13 +780,6 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     numpy popcount within — never per band-value, never per row). Band
     groups are capped deterministically at max_bucket by doc_id rank
     (mirrored by the SQL oracle's QUALIFY row_number clause)."""
-    def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-        key = ("simhash", text_col)
-        h = _STAGE_CACHE.get(key)
-        if h is None:
-            h = _STAGE_CACHE[key] = SimHasher(text_col=text_col)
-        return h(batch)
-
     # task pool + per-worker cached hasher: no actor-pool spin-up, memo warm
     hashed = ds.map_batches(simhash_batch, fn_kwargs={"text_col": text_col},
                             batch_format="pyarrow")

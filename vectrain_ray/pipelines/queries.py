@@ -2761,8 +2761,8 @@ def q_decontaminate_fuzzy(sf_dir: str):
     (num_perm=64, bands=8, k=5, seed=42, threshold 0.8, empty-vs-empty
     matches) mirror dedup_minhash exactly so the oracle reuses its
     permutation/band literals."""
-    from ..functions.dedup import (_SENTINEL, _SH_TYPE, band_batch,
-                                   sketch_batch)
+    from ..functions.dedup import (_SENTINEL, _SH_TYPE, MinHashBander,
+                                   band_batch, sketch_batch)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -2787,7 +2787,10 @@ def q_decontaminate_fuzzy(sf_dir: str):
                                     "bench_id": []})
         bench_sets: dict = {}
     else:
-        bt = band_batch(bench_sk, sketch_col="sh").to_pandas()
+        # a LOCAL bander, not band_batch: the cached wrapper would park a
+        # DuckDB connection in the driver's _STAGE_CACHE, poisoning any
+        # later nested transform that cloudpickles that global by value
+        bt = MinHashBander(bands=8, sketch_col="sh")(bench_sk).to_pandas()
         bench_bands = bt.rename(columns={"doc_id": "bench_id"})
         bench_sets = {
             r["doc_id"]: np.sort(np.asarray(r["sh"], dtype=np.uint64))
