@@ -186,3 +186,18 @@ def test_simhash_survives_driver_side_stage_cache(ray_session):
         assert len(got2) == len(got)
     finally:
         dedup._STAGE_CACHE.pop("__poison__", None)
+
+
+def test_corpus_prep_invariants(ray_session):
+    """Pipeline-shape invariants the SQL oracle can't see failing modes of:
+    unique survivors, no bench ids, only train/test tags, token gate held,
+    and every survivor is a minhash keeper."""
+    got = Q.q_corpus_prep(SF).to_pandas()
+    assert len(got) > 0
+    assert got["doc_id"].is_unique
+    assert (got["doc_id"] % 31 != 0).all()
+    assert set(got["split"]) <= {"train", "test"}
+    assert got["n_tokens"].between(10, 10000).all()
+    keepers = Q._minhash_clusters(SF).to_pandas()
+    keep_ids = set(keepers.loc[keepers["is_keeper"], "doc_id"])
+    assert set(got["doc_id"]) <= keep_ids

@@ -896,7 +896,9 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash-banded near-dup candidate pairs (rows-only oracle)."""
+    """SimHash-banded near-dup candidate pairs, fully SQL-mirrored (the
+    oracle reproduces the md5 token hashes, bit votes, 4×16 banding,
+    per-band cap and Hamming≤3 verify — see ORACLE_SQL)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_candidate_pairs(ds, max_hamming=3)
 
@@ -2761,42 +2763,8 @@ def q_decontaminate_fuzzy(sf_dir: str):
     (num_perm=64, bands=8, k=5, seed=42, threshold 0.8, empty-vs-empty
     matches) mirror dedup_minhash exactly so the oracle reuses its
     permutation/band literals."""
-    from ..functions.dedup import (_SENTINEL, _SH_TYPE, MinHashBander,
-                                   band_batch, sketch_batch)
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def _bench_mask(t: pa.Table) -> pa.Array:
-        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.array(ids % 31 == 0)
-
-    # pass 1: bench sketches stream out of the same pruned scan the probe
-    # pass uses; banding the collected bench table happens driver-side (it
-    # is bench-sized) through the SAME MinHashBander kernel as the corpus
-    def bench_partial(t: pa.Table) -> pa.Table:
-        return sketch_batch(t.filter(_bench_mask(t)))
-
-    parts = ds.map_batches(bench_partial, batch_format="pyarrow",
-                           batch_size=65536).take_all()
-    # explicit schema: from_pylist would infer int64 for the uint64 shingle
-    # hashes and overflow on values >= 2^63 (half of the md5 space)
-    bench_sk = pa.Table.from_pylist(
-        parts, schema=pa.schema([("doc_id", pa.int64()), ("sh", _SH_TYPE)]))
-    if bench_sk.num_rows == 0:
-        bench_bands = pd.DataFrame({"band_id": [], "band_hash": [],
-                                    "bench_id": []})
-        bench_sets: dict = {}
-    else:
-        # a LOCAL bander, not band_batch: the cached wrapper would park a
-        # DuckDB connection in the driver's _STAGE_CACHE, poisoning any
-        # later nested transform that cloudpickles that global by value
-        bt = MinHashBander(bands=8, sketch_col="sh")(bench_sk).to_pandas()
-        bench_bands = bt.rename(columns={"doc_id": "bench_id"})
-        bench_sets = {
-            r["doc_id"]: np.sort(np.asarray(r["sh"], dtype=np.uint64))
-            for r in bench_sk.to_pylist()
-        }
-    idx_ref = ray.put((bench_bands, bench_sets))
+    idx_ref = _fuzzy_bench_index(ds)
 
     _EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
                        "n_bench_matches": pa.array([], pa.int64()),
@@ -2807,36 +2775,8 @@ def q_decontaminate_fuzzy(sf_dir: str):
             self.bands, self.sets = ray.get(idx_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.filter(pc.invert(_bench_mask(t)))
-            if t.num_rows == 0 or not len(self.bands):
-                return _EMPTY
-            sk = sketch_batch(t)
-            bd = band_batch(sk, sketch_col="sh").to_pandas()
-            cand = bd.merge(self.bands, on=["band_id", "band_hash"])[
-                ["doc_id", "bench_id"]].drop_duplicates()
-            if cand.empty:
-                return _EMPTY
-            # sketches for just the candidate train docs of THIS batch —
-            # filter in Arrow BEFORE the Python conversion: candidates are
-            # sparse, so converting the whole batch's sketches to Python
-            # lists would dominate the pass
-            need = pa.array(cand["doc_id"].unique(), pa.int64())
-            sk_c = sk.filter(pc.is_in(sk["doc_id"], value_set=need))
-            tsets = {
-                r["doc_id"]: np.sort(np.asarray(r["sh"], dtype=np.uint64))
-                for r in sk_c.to_pylist()
-            }
-            hits: dict[int, list[int]] = {}
-            for did, bid in cand.itertuples(index=False):
-                sa, sb = tsets[did], self.sets[bid]
-                na, nb = len(sa), len(sb)
-                if na + nb == 0:
-                    ok = True  # empty-vs-empty matches (dedup_minhash rule)
-                else:
-                    nc = len(np.intersect1d(sa, sb, assume_unique=True))
-                    ok = nc / (na + nb - nc) >= 0.8 if na + nb - nc else False
-                if ok:
-                    hits.setdefault(did, []).append(bid)
+            t = t.filter(pc.invert(_fuzzy_bench_mask(t)))
+            hits = _fuzzy_hits(t, self.bands, self.sets)
             if not hits:
                 return _EMPTY
             docs = sorted(hits)
@@ -2850,11 +2790,168 @@ def q_decontaminate_fuzzy(sf_dir: str):
 
     # a doc lives wholly in one read block (same invariant q_decontaminate
     # documents) so per-batch rows are final — no merge pass needed; empty
-    # signatures are all-_SENTINEL and thus collide, which is exactly the
+    # signatures are all-sentinel and thus collide, which is exactly the
     # oracle's fullsigs semantics (empty train text matches empty bench text)
-    assert _SENTINEL == np.uint64(0xFFFFFFFFFFFFFFFF)
     return ds.map_batches(ScanFuzzyContaminated, batch_format="pyarrow",
                           batch_size=65536, concurrency=(1, 4))
+
+
+def _fuzzy_bench_mask(t: pa.Table) -> pa.Array:
+    """The fuzzy-decontamination fixture's benchmark membership (doc_id %
+    31 == 0 — see q_decontaminate_fuzzy's docstring for the choice)."""
+    ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    return pa.array(ids % 31 == 0)
+
+
+def _fuzzy_bench_index(ds):
+    """Broadcast-ready bench-side LSH index: ObjectRef of (band rows
+    DataFrame(band_id, band_hash, bench_id), {bench_id: sorted uint64
+    shingle sketch}). Bench sketches stream out of one pruned scan;
+    banding the collected bench table happens driver-side (it is
+    eval-set-sized) through the SAME MinHashBander kernel as the corpus —
+    via a LOCAL bander, not band_batch: the cached wrapper would park a
+    DuckDB connection in the driver's _STAGE_CACHE, poisoning any later
+    nested transform that cloudpickles that global by value."""
+    from ..functions.dedup import _SH_TYPE, MinHashBander, sketch_batch
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        return sketch_batch(t.filter(_fuzzy_bench_mask(t)))
+
+    parts = ds.map_batches(bench_partial, batch_format="pyarrow",
+                           batch_size=65536).take_all()
+    # explicit schema: from_pylist would infer int64 for the uint64 shingle
+    # hashes and overflow on values >= 2^63 (half of the md5 space)
+    bench_sk = pa.Table.from_pylist(
+        parts, schema=pa.schema([("doc_id", pa.int64()), ("sh", _SH_TYPE)]))
+    if bench_sk.num_rows == 0:
+        bench_bands = pd.DataFrame({"band_id": [], "band_hash": [],
+                                    "bench_id": []})
+        bench_sets: dict = {}
+    else:
+        bt = MinHashBander(bands=8, sketch_col="sh")(bench_sk).to_pandas()
+        bench_bands = bt.rename(columns={"doc_id": "bench_id"})
+        bench_sets = {
+            r["doc_id"]: np.sort(np.asarray(r["sh"], dtype=np.uint64))
+            for r in bench_sk.to_pylist()
+        }
+    return ray.put((bench_bands, bench_sets))
+
+
+def _fuzzy_hits(t: pa.Table, bench_bands: pd.DataFrame,
+                bench_sets: dict) -> dict[int, list[int]]:
+    """{train doc_id: [verified bench ids]} for one TRAIN-side batch:
+    sketch → band → probe the broadcast bench index → exact shingle-set
+    Jaccard >= 0.8 per candidate (the dedup_minhash rule, incl.
+    empty-vs-empty TRUE). Everything batch-sized is vectorized; the final
+    loop is over contamination-rate-sparse candidates only."""
+    from ..functions.dedup import band_batch, sketch_batch
+
+    if t.num_rows == 0 or not len(bench_bands):
+        return {}
+    sk = sketch_batch(t)
+    bd = band_batch(sk, sketch_col="sh").to_pandas()
+    cand = bd.merge(bench_bands, on=["band_id", "band_hash"])[
+        ["doc_id", "bench_id"]].drop_duplicates()
+    if cand.empty:
+        return {}
+    # sketches for just the candidate train docs of THIS batch — filter in
+    # Arrow BEFORE the Python conversion: candidates are sparse, so
+    # converting the whole batch's sketches to Python lists would dominate
+    need = pa.array(cand["doc_id"].unique(), pa.int64())
+    sk_c = sk.filter(pc.is_in(sk["doc_id"], value_set=need))
+    tsets = {
+        r["doc_id"]: np.sort(np.asarray(r["sh"], dtype=np.uint64))
+        for r in sk_c.to_pylist()
+    }
+    hits: dict[int, list[int]] = {}
+    for did, bid in cand.itertuples(index=False):
+        sa, sb = tsets[did], bench_sets[bid]
+        na, nb = len(sa), len(sb)
+        if na + nb == 0:
+            ok = True  # empty-vs-empty matches (dedup_minhash rule)
+        else:
+            nc = len(np.intersect1d(sa, sb, assume_unique=True))
+            ok = nc / (na + nb - nc) >= 0.8 if na + nb - nc else False
+        if ok:
+            hits.setdefault(did, []).append(bid)
+    return hits
+
+
+def q_corpus_prep(sf_dir: str):
+    """The composed training-corpus preparation pipeline — the chain a real
+    LLM data pipeline runs END TO END, as one lazy Dataset plan:
+
+      1. near-dedup: keep only MinHash cluster keepers (shared
+         _minhash_clusters artifact; exact dups are subsumed — identical
+         text hashes to identical signatures, keeper = min doc_id),
+      2. eval scrub: drop benchmark docs (doc_id % 31 == 0) AND train docs
+         fuzzy-contaminated by them (the decontaminate_fuzzy probe, folded
+         into the same streaming pass),
+      3. quality gate: 10 <= n_tokens <= 10000 (the token_count kernel),
+      4. split tag: md5-lower-64(doc_id) % 10 — 'test' on 0 else 'train'
+         (the lineage-stable train_test_split primitive).
+
+    Output: (doc_id, n_tokens, split) for every surviving doc. Shape at
+    scale: ONE streaming pass over the pruned corpus does tokens + quality
+    + bench removal + contamination probe (bench index broadcast once);
+    the only exchanges are the ones inside the shared clustering artifact
+    and one narrow hash join against the keeper ids. All filter order is
+    conjunctive, so the plan can reorder freely without changing results."""
+    from ..functions import textops
+    from ..functions.dedup import _duck_conn, _md5_lower64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx_ref = _fuzzy_bench_index(ds)
+
+    _EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "n_tokens": pa.array([], pa.int64()),
+                       "split": pa.array([], pa.string())})
+
+    class PrepScan:
+        def __init__(self):
+            self.bands, self.sets = ray.get(idx_ref)
+            self.con = _duck_conn()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.invert(_fuzzy_bench_mask(t)))  # drop bench docs
+            if t.num_rows == 0:
+                return _EMPTY
+            t = textops.add_token_count(t)
+            nt = t["n_tokens"]
+            t = t.filter(pc.and_(pc.greater_equal(nt, 10),
+                                 pc.less_equal(nt, 10000)))
+            if t.num_rows == 0:
+                return _EMPTY
+            contaminated = _fuzzy_hits(t, self.bands, self.sets)
+            if contaminated:
+                bad = pa.array(sorted(contaminated), pa.int64())
+                t = t.filter(pc.invert(pc.is_in(t["doc_id"],
+                                                value_set=bad)))
+            ids = pc.cast(t["doc_id"], pa.string()).combine_chunks()
+            split = np.where(_md5_lower64(self.con, ids) % 10 == 0,
+                             "test", "train")
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "split": pa.array(split, pa.string()),
+            })
+
+    prepped = ds.map_batches(PrepScan, batch_format="pyarrow",
+                             batch_size=65536, concurrency=(1, 4))
+
+    # keeper semi-join: narrow (doc_id) keeper ids from the shared
+    # clustering artifact via the native hash join (dedup_keep_best shape)
+    def keeper_ids(t: pa.Table) -> pa.Table:
+        k = t.filter(t["is_keeper"])
+        return pa.table({"k_doc_id": k["doc_id"]})
+
+    keepers = _minhash_clusters(sf_dir).map_batches(
+        keeper_ids, batch_format="pyarrow")
+    return prepped.join(
+        keepers, join_type="inner",
+        num_partitions=_join_partitions(per_cpu_divisor=8),
+        on=("doc_id",), right_on=("k_doc_id",),
+    )
 
 
 def _nationkey_counts(sf_dir: str, tag_col: str | None, side: str,
@@ -4205,6 +4302,7 @@ QUERIES = {
     "kg_degree_hist": q_kg_degree_hist,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "grouped_stats": q_grouped_stats,
+    "corpus_prep": q_corpus_prep,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -4732,6 +4830,24 @@ ORACLE_SQL = {
     ),
     "dedup_minhash": _DEDUP_MINHASH_SQL,
     "decontaminate_fuzzy": _DECON_FUZZY_SQL,
+    # corpus_prep: the composed prep chain — keeper semi-join against the
+    # dedup_minhash mirror, bench + fuzzy-contamination scrub against the
+    # decontaminate_fuzzy mirror, the token_count gate, the
+    # train_test_split md5 tag. All conjunctive, so order is free.
+    "corpus_prep": (
+        f"WITH mh AS ({_DEDUP_MINHASH_SQL}), "
+        f"cont AS ({_DECON_FUZZY_SQL}), "
+        "tok AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+        "FROM documents) "
+        "SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens, "
+        "CASE WHEN md5_number_lower(CAST(t.doc_id AS VARCHAR)) % 10 = 0 "
+        "THEN 'test' ELSE 'train' END AS split "
+        "FROM tok t JOIN mh ON mh.doc_id = t.doc_id AND mh.is_keeper "
+        "WHERE t.doc_id % 31 <> 0 "
+        "AND t.doc_id NOT IN (SELECT doc_id FROM cont) "
+        "AND t.n_tokens BETWEEN 10 AND 10000"
+    ),
     # grouped_stats: the SQL spells out the EXACT tree the finisher computes
     # (mean = s/n, var = sq/n - mean*mean) over order-independent-exact
     # integer-valued sums — bit-identical float64 on both sides
