@@ -2764,7 +2764,7 @@ def q_decontaminate_fuzzy(sf_dir: str):
     matches) mirror dedup_minhash exactly so the oracle reuses its
     permutation/band literals."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    idx_ref = _fuzzy_bench_index(ds)
+    idx_ref = _fuzzy_bench_index(ds, sf_dir)
 
     _EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
                        "n_bench_matches": pa.array([], pa.int64()),
@@ -2803,7 +2803,10 @@ def _fuzzy_bench_mask(t: pa.Table) -> pa.Array:
     return pa.array(ids % 31 == 0)
 
 
-def _fuzzy_bench_index(ds):
+_FUZZY_BENCH_CACHE: dict[str, tuple] = {}
+
+
+def _fuzzy_bench_index(ds, sf_dir: str | None = None):
     """Broadcast-ready bench-side LSH index: ObjectRef of (band rows
     DataFrame(band_id, band_hash, bench_id), {bench_id: sorted uint64
     shingle sketch}). Bench sketches stream out of one pruned scan;
@@ -2811,7 +2814,19 @@ def _fuzzy_bench_index(ds):
     eval-set-sized) through the SAME MinHashBander kernel as the corpus —
     via a LOCAL bander, not band_batch: the cached wrapper would park a
     DuckDB connection in the driver's _STAGE_CACHE, poisoning any later
-    nested transform that cloudpickles that global by value."""
+    nested transform that cloudpickles that global by value. Pass sf_dir
+    to memoize per input fingerprint + Ray job (the _KG_CACHE pattern) —
+    decontaminate_fuzzy and corpus_prep then share ONE bench scan per
+    session instead of one each."""
+    if sf_dir is not None:
+        key = _cache_key(sf_dir)
+        hit = _FUZZY_BENCH_CACHE.get(sf_dir)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        ref = _fuzzy_bench_index(ds)
+        _FUZZY_BENCH_CACHE[sf_dir] = (key, ref)
+        return ref
+
     from ..functions.dedup import _SH_TYPE, MinHashBander, sketch_batch
 
     def bench_partial(t: pa.Table) -> pa.Table:
@@ -2901,7 +2916,7 @@ def q_corpus_prep(sf_dir: str):
     from ..functions.dedup import _duck_conn, _md5_lower64
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    idx_ref = _fuzzy_bench_index(ds)
+    idx_ref = _fuzzy_bench_index(ds, sf_dir)
 
     _EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
                        "n_tokens": pa.array([], pa.int64()),
