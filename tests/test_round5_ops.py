@@ -201,3 +201,22 @@ def test_corpus_prep_invariants(ray_session):
     keepers = Q._minhash_clusters(SF).to_pandas()
     keep_ids = set(keepers.loc[keepers["is_keeper"], "doc_id"])
     assert set(got["doc_id"]) <= keep_ids
+
+
+def test_grouped_stats_bit_exact_vs_duckdb(ray_session):
+    """The sweep gate compares floats at rtol 1e-6; this test pins the
+    STRONGER property grouped_stats is built on — identical IEEE
+    expression trees over order-independent-exact integer-valued sums
+    make every float column BIT-equal to DuckDB's. A refactor that
+    re-associates the float tree (still within 1e-6) fails here."""
+    import duckdb
+
+    mine = Q.q_grouped_stats(SF).to_pandas().sort_values(
+        "l_returnflag").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{SF}/lineitem.parquet')")
+    oracle = con.sql(Q.ORACLE_SQL["grouped_stats"]).df().sort_values(
+        "l_returnflag").reset_index(drop=True)
+    for c in ["n_rows", "sum_qty", "mean_qty", "var_qty", "std_qty"]:
+        assert (mine[c].to_numpy() == oracle[c].to_numpy()).all(), c

@@ -308,6 +308,25 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     return dedup_exact(pairs, ["id_a", "id_b"])
 
 
+def sketch_jaccard_ok(sa, sb, threshold: float) -> bool:
+    """Exact shingle-sketch Jaccard >= threshold with the empty-set rule
+    the whole MinHash stack (and its SQL mirrors' CASE expression) shares:
+    empty-vs-empty matches (J = 1), empty-vs-nonempty does not (J = 0).
+    ONE kernel for verify_pairs_jaccard AND the fuzzy-decontamination
+    probe — a rule change here changes every consumer together.
+    ``sa``/``sb``: distinct shingle-hash collections (any uint64-castable
+    sequence)."""
+    na, nb = len(sa), len(sb)
+    if na == 0 and nb == 0:
+        return True
+    if na == 0 or nb == 0:
+        return False
+    nc = len(np.intersect1d(np.asarray(sa, dtype=np.uint64),
+                            np.asarray(sb, dtype=np.uint64),
+                            assume_unique=True))
+    return nc / (na + nb - nc) >= threshold
+
+
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     """Exact k-char-shingle Jaccard similarity — the verifier metric."""
     sa, sb = set(char_shingles(a, k).tolist()), set(char_shingles(b, k).tolist())
@@ -483,17 +502,7 @@ def verify_pairs_jaccard(cands, corpus, id_col: str = "doc_id",
         m = a.merge(b, on=["id_a", "id_b"], suffixes=("_a", "_b"))
         oa, ob = [], []
         for ia, ib, sa, sb in zip(m["id_a"], m["id_b"], m["sh_a"], m["sh_b"]):
-            na, nb = len(sa), len(sb)
-            if na == 0 and nb == 0:
-                j = 1.0
-            elif na == 0 or nb == 0:
-                j = 0.0
-            else:
-                nc = len(np.intersect1d(np.asarray(sa, dtype=np.uint64),
-                                        np.asarray(sb, dtype=np.uint64),
-                                        assume_unique=True))
-                j = nc / (na + nb - nc)
-            if j >= threshold:
+            if sketch_jaccard_ok(sa, sb, threshold):
                 oa.append(ia)
                 ob.append(ib)
         id_dtype = g["id_a"].dtype

@@ -2878,16 +2878,11 @@ def _fuzzy_hits(t: pa.Table, bench_bands: pd.DataFrame,
         r["doc_id"]: np.sort(np.asarray(r["sh"], dtype=np.uint64))
         for r in sk_c.to_pylist()
     }
+    from ..functions.dedup import sketch_jaccard_ok
+
     hits: dict[int, list[int]] = {}
     for did, bid in cand.itertuples(index=False):
-        sa, sb = tsets[did], bench_sets[bid]
-        na, nb = len(sa), len(sb)
-        if na + nb == 0:
-            ok = True  # empty-vs-empty matches (dedup_minhash rule)
-        else:
-            nc = len(np.intersect1d(sa, sb, assume_unique=True))
-            ok = nc / (na + nb - nc) >= 0.8 if na + nb - nc else False
-        if ok:
+        if sketch_jaccard_ok(tsets[did], bench_sets[bid], 0.8):
             hits.setdefault(did, []).append(bid)
     return hits
 
@@ -2962,9 +2957,12 @@ def q_corpus_prep(sf_dir: str):
 
     keepers = _minhash_clusters(sf_dir).map_batches(
         keeper_ids, batch_format="pyarrow")
+    # raw-row join (both sides are one row per surviving document, NOT
+    # combiner-reduced) — keep _join_partitions's denser default so each
+    # aggregator buffers 1/16 of the corpus rather than 1/4
     return prepped.join(
         keepers, join_type="inner",
-        num_partitions=_join_partitions(per_cpu_divisor=8),
+        num_partitions=_join_partitions(),
         on=("doc_id",), right_on=("k_doc_id",),
     )
 
