@@ -154,6 +154,7 @@ def run_bench() -> dict:
         ("bm25_topk", Q.q_bm25_topk),
         ("chunk_tokens", Q.q_chunk_tokens),
         ("tfidf_top_terms", Q.q_tfidf_top_terms),
+        ("vocab_coverage", Q.q_vocab_coverage),
         # NOTE: runs after dedup_minhash, which warms the shared
         # clustering artifact (_MINHASH_CLUSTERS_CACHE) — this row times
         # the INCREMENTAL cost (quality join + keep-best exchange), by

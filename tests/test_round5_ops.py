@@ -220,3 +220,22 @@ def test_grouped_stats_bit_exact_vs_duckdb(ray_session):
         "l_returnflag").reset_index(drop=True)
     for c in ["n_rows", "sum_qty", "mean_qty", "var_qty", "std_qty"]:
         assert (mine[c].to_numpy() == oracle[c].to_numpy()).all(), c
+
+
+def test_vocab_coverage_bit_exact_and_sane(ray_session):
+    """oov_rate's claimed bit-parity with DuckDB (exact-int division,
+    identical tree) checked with ==, plus shape invariants."""
+    import duckdb
+
+    mine = Q.q_vocab_coverage(SF).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(mine) > 0
+    assert mine["doc_id"].is_unique
+    assert (mine["n_oov"] <= mine["n_tokens"]).all()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    oracle = con.sql(Q.ORACLE_SQL["vocab_coverage"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert (mine["oov_rate"].to_numpy() ==
+            oracle["oov_rate"].to_numpy()).all()

@@ -1425,6 +1425,54 @@ def q_wordcount(sf_dir: str):
     return counts.sort(["cnt", "word"], descending=[True, False]).limit(100)
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage / OOV-rate scoring — the tokenizer-prep
+    primitive: build the global top-V vocabulary (count desc, word asc —
+    the deterministic wordcount ranking) and score every document's
+    out-of-vocabulary token fraction against it. Output (doc_id, n_tokens,
+    n_oov, oov_rate) for docs with at least one token.
+
+    Shape at scale: the vocabulary comes off the wordcount combiner path
+    (the exchange moves distinct words, never tokens) and is V rows on the
+    driver BY CONSTRUCTION; it broadcasts via ray.put and the corpus
+    streams ONE pass with a vectorized pc.is_in membership + bincount —
+    zero additional shuffles. oov_rate is a float64 division of exact
+    integer counts, the identical IEEE tree the oracle spells out."""
+    V = 20
+    vocab = pa.array([r["word"] for r in q_wordcount(sf_dir).take(V)],
+                     pa.string())
+    vocab_ref = ray.put(vocab)
+    ds = _tokenized_docs(sf_dir)
+
+    class OOVScan:
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            words, parents = _doc_tokens_from_lists(t)
+            ntok = pc.list_value_length(_as_array(t["toks"])).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            oov = pc.invert(pc.is_in(words, value_set=self.vocab))
+            n_oov = np.bincount(
+                parents.to_numpy(zero_copy_only=False)[
+                    oov.to_numpy(zero_copy_only=False)],
+                minlength=t.num_rows).astype(np.int64)
+            keep = ntok > 0
+            ids = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)[keep]
+            nt, no = ntok[keep], n_oov[keep]
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_oov": pa.array(no, pa.int64()),
+                "oov_rate": pa.array(no.astype(np.float64) /
+                                     nt.astype(np.float64), pa.float64()),
+            })
+
+    return ds.map_batches(OOVScan, batch_format="pyarrow",
+                          batch_size=65536, concurrency=(1, 4))
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4316,6 +4364,7 @@ QUERIES = {
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "grouped_stats": q_grouped_stats,
     "corpus_prep": q_corpus_prep,
+    "vocab_coverage": q_vocab_coverage,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -5055,6 +5104,23 @@ ORACLE_SQL = {
         "x -> x <> '')) AS word FROM documents) "
         "SELECT word, count(*) AS cnt FROM toks GROUP BY word "
         "ORDER BY cnt DESC, word LIMIT 100"
+    ),
+    # vocab_coverage: same tokenization + top-V ranking as wordcount; the
+    # oov_rate division tree (DOUBLE n_oov / n_tokens over exact integer
+    # counts) matches the numpy expression bit-for-bit
+    "vocab_coverage": (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+'), "
+        "x -> x <> '')) AS word FROM documents), "
+        "vocab AS (SELECT word FROM (SELECT word, count(*) AS cnt "
+        "FROM toks GROUP BY word ORDER BY cnt DESC, word LIMIT 20)), "
+        "per AS (SELECT doc_id, count(*) AS n_tokens, "
+        "sum(CASE WHEN word NOT IN (SELECT word FROM vocab) "
+        "THEN 1 ELSE 0 END) AS n_oov FROM toks GROUP BY doc_id) "
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(n_oov AS BIGINT) AS n_oov, "
+        "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate "
+        "FROM per WHERE n_tokens > 0"
     ),
     "pivot_counts": (
         "SELECT date_trunc('day', ts) AS day, "
