@@ -155,6 +155,7 @@ def run_bench() -> dict:
         ("chunk_tokens", Q.q_chunk_tokens),
         ("tfidf_top_terms", Q.q_tfidf_top_terms),
         ("vocab_coverage", Q.q_vocab_coverage),
+        ("lm_bigram_score", Q.q_lm_bigram_score),
         # NOTE: runs after dedup_minhash, which warms the shared
         # clustering artifact (_MINHASH_CLUSTERS_CACHE) — this row times
         # the INCREMENTAL cost (quality join + keep-best exchange), by

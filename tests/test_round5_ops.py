@@ -239,3 +239,28 @@ def test_vocab_coverage_bit_exact_and_sane(ray_session):
         "doc_id").reset_index(drop=True)
     assert (mine["oov_rate"].to_numpy() ==
             oracle["oov_rate"].to_numpy()).all()
+
+
+def test_lm_bigram_score_paths_and_bit_parity(ray_session):
+    """Both scoring paths (broadcast model vs distinct-key hash joins)
+    must return IDENTICAL rows, and lm_score must be BIT-equal to the
+    DuckDB oracle — the fixed-point design's whole point is that the
+    distributed sum is exact-integer, so no rtol is needed. A refactor
+    that reintroduces a float accumulation fails here."""
+    import duckdb
+
+    bc = Q.q_lm_bigram_score(SF).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    jn = Q.q_lm_bigram_score(SF, _force_join=True).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(bc) > 0 and bc["doc_id"].is_unique
+    pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
+    assert (bc["lm_score"] > 0).all() and (bc["lm_score"] <= 1.0).all()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    oracle = con.sql(Q.ORACLE_SQL["lm_bigram_score"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert (bc["n_bigrams"].to_numpy() ==
+            oracle["n_bigrams"].to_numpy()).all()
+    assert (bc["lm_score"].to_numpy() == oracle["lm_score"].to_numpy()).all()

@@ -1473,6 +1473,188 @@ def q_vocab_coverage(sf_dir: str):
                           batch_size=65536, concurrency=(1, 4))
 
 
+LM_FP_SCALE = 1_000_000_000  # fixed-point: floor(SCALE·p) per bigram
+LM_BROADCAST_MAX_ROWS = 2_000_000  # bigram-model rows shippable via ray.put
+
+
+def q_lm_bigram_score(sf_dir: str, _force_join: bool = False):
+    """Bigram-LM fluency scoring — the CCNet/KenLM-style quality filter:
+    score every document by its mean add-one-smoothed bigram probability
+    under the corpus's own bigram model, p(w2|w1) = (c12+1)/(c1+V).
+    Output (doc_id, n_bigrams, lm_score) for docs with ≥ 2 tokens;
+    higher = more predictable text (LM-filter pipelines keep a band).
+
+    Determinism at scale: the textbook Σ ln p is a float sum, and a
+    distributed sum has no stable order — so each bigram's probability is
+    accumulated in FIXED POINT instead: fp = (SCALE·(c12+1)) // (c1+V) is
+    exact int64 arithmetic, int64 sums are associative under any block
+    order/parallelism, and the only float op is ONE division per output
+    row — the identical IEEE tree the oracle spells out, so value hashes
+    match bit-for-bit.
+
+    Shape at scale: model counts come off the bigram/wordcount combiner
+    paths (exchanges move distinct n-grams, never tokens; the pmi_bigrams
+    shape). Scoring is gated like every broadcast in the repo: a model
+    under LM_BROADCAST_MAX_ROWS has per-pair fp precomputed on the driver
+    and ships ONCE via ray.put, and the corpus streams one zero-shuffle
+    pass (per-batch pandas merge — vectorized, no Python loop); above the
+    gate (a web corpus's bigram vocab) the per-doc distinct-bigram table
+    hash-joins the model on (w1, w2) + unigrams on w1 and re-aggregates
+    per doc — every exchange is distinct-key-sized, never token-sized."""
+    ds = _tokenized_docs(sf_dir)  # shared tokenize-once intermediate
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        words, parents = _doc_tokens_from_lists(t)  # empties pre-dropped
+        d = pd.DataFrame({"w": words.to_pandas(), "p": parents.to_pandas()})
+        d["nxt"] = d["w"].shift(-1)
+        d["pn"] = d["p"].shift(-1)
+        d = d[(d["p"] == d["pn"]) & d["nxt"].notna()]
+        c = d.groupby(["w", "nxt"], sort=False).size().reset_index(name="p_cnt")
+        return pa.table({"w1": pa.array(c["w"], pa.string()),
+                         "w2": pa.array(c["nxt"], pa.string()),
+                         "p_cnt": pa.array(c["p_cnt"], pa.int64())})
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["w1", "w2"], sort=False)["p_cnt"].sum().reset_index(
+            name="c12")
+        c["c12"] = c["c12"].astype("int64")
+        return c
+
+    bigrams = (_bucketed(
+        ds.map_batches(bigram_partial, batch_format="pyarrow",
+                       batch_size=65536), ["w1", "w2"])
+        .groupby("bucket").map_groups(sum_bucket, batch_format="pandas")
+    ).materialize()
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        words, _ = _doc_tokens_from_lists(t)
+        g = pa.table({"word": words}).group_by("word").aggregate(
+            [("word", "count")])
+        return g.rename_columns(["word", "p_cnt"])
+
+    unigrams = (ds.map_batches(unigram_partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("word")
+                .aggregate(Sum("p_cnt", alias_name="c1"))).materialize()
+
+    vocab_size = int(unigrams.count())
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_bigrams": pa.array([], pa.int64()),
+                      "lm_score": pa.array([], pa.float64())})
+    if vocab_size == 0:
+        return rd.from_arrow(empty)
+
+    def _doc_bigram_counts(t: pa.Table) -> pd.DataFrame:
+        """Per-doc distinct-bigram multiplicities (p, w1, w2, k) — the
+        batch-local combiner both scoring paths share."""
+        words, parents = _doc_tokens_from_lists(t)
+        d = pd.DataFrame({"w": words.to_pandas(), "p": parents.to_pandas()})
+        d["nxt"] = d["w"].shift(-1)
+        d["pn"] = d["p"].shift(-1)
+        d = d[(d["p"] == d["pn"]) & d["nxt"].notna()]
+        if d.empty:
+            return pd.DataFrame({"p": pd.Series([], dtype="int64"),
+                                 "w1": pd.Series([], dtype="object"),
+                                 "w2": pd.Series([], dtype="object"),
+                                 "k": pd.Series([], dtype="int64")})
+        g = (d.groupby(["p", "w", "nxt"], sort=False).size()
+             .reset_index(name="k"))
+        g.columns = ["p", "w1", "w2", "k"]
+        return g
+
+    def _score_table(ids: np.ndarray, sum_fp: np.ndarray,
+                     nb: np.ndarray) -> pa.Table:
+        # the op's ONLY float op — same tree as the oracle:
+        # CAST(sum_fp AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * SCALE)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "lm_score": pa.array(
+                sum_fp.astype(np.float64)
+                / (nb.astype(np.float64) * float(LM_FP_SCALE)),
+                pa.float64()),
+        })
+
+    if not _force_join and bigrams.count() <= LM_BROADCAST_MAX_ROWS:
+        # model fp precomputed once on the driver (model-sized, gated)
+        model = bigrams.to_pandas().merge(
+            unigrams.to_pandas(), left_on="w1", right_on="word")
+        c12 = model["c12"].to_numpy(np.int64)
+        c1 = model["c1"].to_numpy(np.int64)
+        model = pd.DataFrame({
+            "w1": model["w1"], "w2": model["w2"],
+            "fp": (LM_FP_SCALE * (c12 + 1)) // (c1 + vocab_size)})
+        model_ref = ray.put(model)
+
+        class LMScan:
+            def __init__(self):
+                self.model = ray.get(model_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                g = _doc_bigram_counts(t)
+                if g.empty:
+                    return empty
+                g = g.merge(self.model, on=["w1", "w2"])  # model ⊇ corpus
+                g["contrib"] = g["fp"].to_numpy(np.int64) * \
+                    g["k"].to_numpy(np.int64)
+                per = (g.groupby("p", sort=False)
+                       .agg(sum_fp=("contrib", "sum"), nb=("k", "sum"))
+                       .reset_index())
+                ids = t["doc_id"].combine_chunks().to_numpy(
+                    zero_copy_only=False)[per["p"].to_numpy(np.int64)]
+                return _score_table(ids, per["sum_fp"].to_numpy(np.int64),
+                                    per["nb"].to_numpy(np.int64))
+
+        return ds.map_batches(LMScan, batch_format="pyarrow",
+                              batch_size=65536, concurrency=(1, 4))
+
+    # scale path: distinct-key hash joins + per-doc re-aggregation
+    def doc_bigrams(t: pa.Table) -> pa.Table:
+        g = _doc_bigram_counts(t)
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[g["p"].to_numpy(np.int64)], pa.int64())
+            if len(g) else pa.array([], pa.int64()),
+            "w1": pa.array(g["w1"], pa.string()),
+            "w2": pa.array(g["w2"], pa.string()),
+            "k": pa.array(g["k"].to_numpy(np.int64), pa.int64())})
+
+    db = ds.map_batches(doc_bigrams, batch_format="pyarrow",
+                        batch_size=65536)
+    bg = bigrams.map_batches(
+        lambda t: t.rename_columns(["b1", "b2", "c12"]),
+        batch_format="pyarrow")
+    un = unigrams.map_batches(
+        lambda t: t.rename_columns(["u_word", "c1"]), batch_format="pyarrow")
+    nparts = _join_partitions(per_cpu_divisor=8)  # combiner-reduced inputs
+    j = db.join(bg, join_type="inner", num_partitions=nparts,
+                on=("w1", "w2"), right_on=("b1", "b2"))
+    j = j.join(un, join_type="inner", num_partitions=nparts,
+               on=("w1",), right_on=("u_word",))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        c12 = t["c12"].to_numpy()
+        c1 = t["c1"].to_numpy()
+        k = t["k"].to_numpy()
+        fp = (LM_FP_SCALE * (c12 + 1)) // (c1 + vocab_size)
+        return pa.table({"doc_id": t["doc_id"],
+                         "contrib": pa.array(fp * k, pa.int64()),
+                         "k": pa.array(k, pa.int64())})
+
+    agg = (j.map_batches(contrib, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("contrib", alias_name="sum_fp"),
+                      Sum("k", alias_name="n_bigrams")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return _score_table(
+            t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False),
+            t["sum_fp"].combine_chunks().to_numpy(zero_copy_only=False),
+            t["n_bigrams"].combine_chunks().to_numpy(zero_copy_only=False))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4365,6 +4547,9 @@ QUERIES = {
     "grouped_stats": q_grouped_stats,
     "corpus_prep": q_corpus_prep,
     "vocab_coverage": q_vocab_coverage,
+    "lm_bigram_score": q_lm_bigram_score,
+    "lm_bigram_score_join": functools.partial(q_lm_bigram_score,
+                                              _force_join=True),
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -4645,6 +4830,26 @@ def _bm25_sql() -> str:
         f"ORDER BY score DESC, doc_id LIMIT 10"
     )
 
+
+_LM_ORACLE_SQL = (
+    "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    "trim(lower(coalesce(text,''))), '\\s+'), x -> x <> '') AS ws "
+    "FROM documents), "
+    "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, "
+    "len(ws) - 1), i -> ws[i])) AS w1, "
+    "unnest(list_transform(generate_series(1, len(ws) - 1), "
+    "i -> ws[i+1])) AS w2 FROM w WHERE len(ws) >= 2), "
+    "bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2), "
+    "uc AS (SELECT word, count(*) AS c1 FROM "
+    "(SELECT unnest(ws) AS word FROM w) GROUP BY word), "
+    "v AS (SELECT count(*) AS vs FROM uc) "
+    "SELECT bg.doc_id, count(*) AS n_bigrams, "
+    f"CAST(sum((CAST({LM_FP_SCALE} AS BIGINT) * (bc.c12 + 1)) "
+    "// (uc.c1 + v.vs)) AS DOUBLE) "
+    f"/ (CAST(count(*) AS DOUBLE) * {float(LM_FP_SCALE)}) AS lm_score "
+    "FROM bg JOIN bc USING (w1, w2) JOIN uc ON uc.word = bg.w1 "
+    "CROSS JOIN v GROUP BY bg.doc_id"
+)
 
 ORACLE_SQL = {
     "pack_sequences": (
@@ -5122,6 +5327,12 @@ ORACLE_SQL = {
         "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate "
         "FROM per WHERE n_tokens > 0"
     ),
+    # lm_bigram_score: same oracle serves both scoring paths (the _join
+    # variant is the same function with the broadcast gate forced shut).
+    # Fixed-point fp = (SCALE·(c12+1)) // (c1+V) keeps the distributed sum
+    # exact-integer; the one float op is the final division.
+    "lm_bigram_score": _LM_ORACLE_SQL,
+    "lm_bigram_score_join": _LM_ORACLE_SQL,
     "pivot_counts": (
         "SELECT date_trunc('day', ts) AS day, "
         + ", ".join(
