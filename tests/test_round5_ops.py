@@ -264,3 +264,14 @@ def test_lm_bigram_score_paths_and_bit_parity(ray_session):
     assert (bc["n_bigrams"].to_numpy() ==
             oracle["n_bigrams"].to_numpy()).all()
     assert (bc["lm_score"].to_numpy() == oracle["lm_score"].to_numpy()).all()
+
+
+def test_dedup_cluster_stats_mass_conserved(ray_session):
+    """The histogram must conserve corpus mass: Σ n_docs = #clustered
+    docs, and n_docs = cluster_size · n_clusters row-wise."""
+    stats = Q.q_dedup_cluster_stats(SF).to_pandas()
+    assert len(stats) > 0
+    assert (stats["n_docs"] ==
+            stats["cluster_size"] * stats["n_clusters"]).all()
+    total = Q._minhash_clusters(SF).count()
+    assert int(stats["n_docs"].sum()) == total

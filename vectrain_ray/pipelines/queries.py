@@ -3809,6 +3809,47 @@ def q_dedup_keep_best(sf_dir: str):
             .groupby("b").map_groups(best, batch_format="pandas"))
 
 
+def q_dedup_cluster_stats(sf_dir: str):
+    """Dedup reporting: the cluster-size histogram every corpus-dedup run
+    publishes — (cluster_size, n_clusters, n_docs) over the MinHash
+    clustering, where n_docs = cluster_size · n_clusters is the corpus
+    mass held in clusters of that size (size 1 = unique docs; the sum of
+    n_docs over sizes ≥ 2 minus n_clusters is the removable-duplicate
+    count).
+
+    Scale path: reuses the shared distributed clustering artifact, then
+    two two-level count reductions — per-batch Arrow group_by partials
+    feeding cluster_id- then size-keyed groupbys — so both exchanges move
+    distinct-key partial counts, never per-doc rows, and the output is
+    at most #distinct-sizes rows."""
+    clusters = _minhash_clusters(sf_dir)
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["cluster_id"]).group_by("cluster_id").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["cluster_id", "p_cnt"])
+
+    sizes = (clusters.map_batches(size_partial, batch_format="pyarrow")
+             .groupby("cluster_id")
+             .aggregate(Sum("p_cnt", alias_name="cluster_size")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["cluster_size"]).group_by("cluster_size").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["cluster_size", "p_n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_clusters"], pa.int64())
+        cs = pc.cast(t["cluster_size"], pa.int64())
+        return pa.table({"cluster_size": cs, "n_clusters": n,
+                         "n_docs": pc.multiply_checked(cs, n)})
+
+    return (sizes.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("cluster_size")
+            .aggregate(Sum("p_n", alias_name="n_clusters"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 def q_train_test_split(sf_dir: str):
     """Deterministic hash train/test split (90/10) with per-split,
     per-language audit counts — the lineage-stable split a training
@@ -4550,6 +4591,7 @@ QUERIES = {
     "lm_bigram_score": q_lm_bigram_score,
     "lm_bigram_score_join": functools.partial(q_lm_bigram_score,
                                               _force_join=True),
+    "dedup_cluster_stats": q_dedup_cluster_stats,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -5132,6 +5174,13 @@ ORACLE_SQL = {
         "JOIN documents d ON b.doc_id = d.doc_id QUALIFY row_number() "
         "OVER (PARTITION BY b.cluster_id "
         "ORDER BY d.n_chars DESC, b.doc_id) = 1"
+    ),
+    "dedup_cluster_stats": (
+        f"WITH base AS ({_DEDUP_MINHASH_SQL}), "
+        "cs AS (SELECT cluster_id, count(*) AS cluster_size FROM base "
+        "GROUP BY cluster_id) "
+        "SELECT cluster_size, count(*) AS n_clusters, "
+        "cluster_size * count(*) AS n_docs FROM cs GROUP BY cluster_size"
     ),
     "embed_neardup": _EMBED_NEARDUP_SQL,
     # Full SQL mirror of the SimHash op: token hash = md5_number_lower
