@@ -275,3 +275,25 @@ def test_dedup_cluster_stats_mass_conserved(ray_session):
             stats["cluster_size"] * stats["n_clusters"]).all()
     total = Q._minhash_clusters(SF).count()
     assert int(stats["n_docs"].sum()) == total
+
+
+def test_bpe_merge_pairs_unicode_parity(tmp_path, ray_session):
+    """DuckDB substr/len count codepoints; the Ray side slices with
+    utf8_slice_codeunits — this pins that parity on multi-byte text
+    (accents, CJK) plus the 1-char-word edge (contributes no pairs)."""
+    import duckdb
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["élève élève naïve", "中文 分词 中文",
+                          "a bb a bb ccc", "x", "", None]),
+    }), os.path.join(sf, "documents.parquet"))
+    mine = Q.q_bpe_merge_pairs(sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    oracle = con.sql(Q.ORACLE_SQL["bpe_merge_pairs"]).df()
+    assert mine["pair"].tolist() == oracle["pair"].tolist()
+    assert mine["cnt"].tolist() == oracle["cnt"].tolist()
+    assert ("él" in set(mine["pair"]) and "中文" in set(mine["pair"]))

@@ -1655,6 +1655,64 @@ def q_lm_bigram_score(sf_dir: str, _force_join: bool = False):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_bpe_merge_pairs(sf_dir: str):
+    """BPE merge-pair counting (Sennrich et al. 2016) — the inner step of
+    byte-pair-encoding tokenizer training: top-20 adjacent character
+    pairs by corpus frequency, each distinct word contributing its pairs
+    weighted by its corpus count. Output (pair, cnt), count desc / pair
+    asc — the pair a BPE trainer would merge first is row 1.
+
+    Scale path: the corpus collapses to the DISTINCT vocabulary first
+    (the wordcount combiner — the exchange moves distinct words, never
+    tokens), so pair extraction runs over vocab-sized data as a loop over
+    CHARACTER OFFSETS (bounded by the longest word) of vectorized
+    utf8_slice kernels — never a loop over rows. Pair counts then take
+    one distinct-pair-sized groupby with per-batch partials and a
+    top-k-partial before the final tiny sort."""
+    ds = _tokenized_docs(sf_dir)  # shared tokenize-once intermediate
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        words, _ = _doc_tokens_from_lists(t)
+        g = pa.table({"word": words}).group_by("word").aggregate(
+            [("word", "count")])
+        return g.rename_columns(["word", "p_cnt"])
+
+    vocab = (ds.map_batches(unigram_partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("word").aggregate(Sum("p_cnt", alias_name="c")))
+
+    empty = pa.table({"pair": pa.array([], pa.string()),
+                      "p_cnt": pa.array([], pa.int64())})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        w = _as_array(t["word"])
+        c = pc.cast(_as_array(t["c"]), pa.int64())
+        lens = pc.utf8_length(w)
+        maxlen = pc.max(lens).as_py() if t.num_rows else None
+        pieces = []
+        for i in range(int(maxlen or 0) - 1):  # offsets, not rows
+            keep = pc.greater_equal(lens, i + 2)
+            pieces.append(pa.table({
+                "pair": pc.utf8_slice_codeunits(w, start=i, stop=i + 2)
+                .filter(keep),
+                "p_cnt": c.filter(keep)}))
+        if not pieces:
+            return empty
+        g = pa.concat_tables(pieces).group_by("pair").aggregate(
+            [("p_cnt", "sum")])
+        return g.rename_columns(["pair", "p_cnt"])
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=20, sort_keys=[("cnt", "descending"), ("pair", "ascending")])
+        return t.take(idx)
+
+    return (vocab.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("pair").aggregate(Sum("p_cnt", alias_name="cnt"))
+            .map_batches(topk_partial, batch_format="pyarrow")
+            .sort(["cnt", "pair"], descending=[True, False]).limit(20))
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4592,6 +4650,7 @@ QUERIES = {
     "lm_bigram_score_join": functools.partial(q_lm_bigram_score,
                                               _force_join=True),
     "dedup_cluster_stats": q_dedup_cluster_stats,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -5375,6 +5434,17 @@ ORACLE_SQL = {
         "CAST(n_oov AS BIGINT) AS n_oov, "
         "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate "
         "FROM per WHERE n_tokens > 0"
+    ),
+    # bpe_merge_pairs: DuckDB substr/len are codepoint-based, matching
+    # Arrow's utf8_slice_codeunits / utf8_length on valid UTF-8.
+    "bpe_merge_pairs": (
+        "WITH uc AS (SELECT word, count(*) AS c FROM (SELECT unnest("
+        "list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))), "
+        "'\\s+'), x -> x <> '')) AS word FROM documents) GROUP BY word) "
+        "SELECT pair, sum(c) AS cnt FROM ("
+        "SELECT substr(word, i, 2) AS pair, c FROM uc, "
+        "unnest(generate_series(1, len(word) - 1)) AS t(i)) "
+        "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"
     ),
     # lm_bigram_score: same oracle serves both scoring paths (the _join
     # variant is the same function with the broadcast gate forced shut).
