@@ -297,3 +297,25 @@ def test_bpe_merge_pairs_unicode_parity(tmp_path, ray_session):
     assert mine["pair"].tolist() == oracle["pair"].tolist()
     assert mine["cnt"].tolist() == oracle["cnt"].tolist()
     assert ("él" in set(mine["pair"]) and "中文" in set(mine["pair"]))
+
+
+def test_normalize_text_unicode_and_empty_edges(tmp_path, ray_session):
+    """RE2 parity on unicode/punctuation text, and the normalizes-to-empty
+    drop rule (both a '' doc, a NULL doc, and a punctuation-only doc)."""
+    import duckdb
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["  Hello, World!!  ", "élève — naïve's test…",
+                          "a\t\nb   c", "", None, "!!! ?? ..."]),
+    }), os.path.join(sf, "documents.parquet"))
+    mine = Q.q_normalize_text(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    oracle = con.sql(Q.ORACLE_SQL["normalize_text"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+    assert set(mine["doc_id"]) == {0, 1, 2}  # empty/null/punct-only dropped

@@ -1713,6 +1713,36 @@ def q_bpe_merge_pairs(sf_dir: str):
             .sort(["cnt", "pair"], descending=[True, False]).limit(20))
 
 
+def q_normalize_text(sf_dir: str):
+    """Text normalization — the cleaning transform at the head of every
+    training-data pipeline: lowercase, strip non-alphanumerics to spaces,
+    collapse whitespace runs, trim. Output (doc_id, norm_text,
+    n_chars_norm); rows whose text normalizes to empty are dropped (they
+    carry no trainable content downstream).
+
+    Scale path: ONE zero-shuffle streaming pass of pure Arrow C++ RE2
+    kernels (utf8_lower → two replace_substring_regex → trim) — no Python
+    in the hot path. Both sides run RE2 ('g'-flag regexp_replace in
+    DuckDB), so the normalized strings are byte-identical."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = pc.fill_null(_as_array(t["text"]), "")
+        a = pc.utf8_lower(a)
+        a = pc.replace_substring_regex(a, pattern=r"[^a-z0-9\s]+",
+                                       replacement=" ")
+        a = pc.replace_substring_regex(a, pattern=r"\s+", replacement=" ")
+        a = pc.utf8_trim_whitespace(a)
+        keep = pc.not_equal(a, "")
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(keep),
+            "norm_text": a.filter(keep),
+            "n_chars_norm": pc.cast(pc.utf8_length(a), pa.int64())
+            .filter(keep)})
+
+    return ds.map_batches(norm, batch_format="pyarrow", batch_size=65536)
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4651,6 +4681,7 @@ QUERIES = {
                                               _force_join=True),
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "bpe_merge_pairs": q_bpe_merge_pairs,
+    "normalize_text": q_normalize_text,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -5434,6 +5465,17 @@ ORACLE_SQL = {
         "CAST(n_oov AS BIGINT) AS n_oov, "
         "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate "
         "FROM per WHERE n_tokens > 0"
+    ),
+    # normalize_text: both sides are RE2 (Arrow replace_substring_regex /
+    # DuckDB 'g'-flag regexp_replace), so normalized strings are
+    # byte-identical; length is codepoints on both sides.
+    "normalize_text": (
+        "WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
+        "lower(coalesce(text,'')), '[^a-z0-9\\s]+', ' ', 'g'), "
+        "'\\s+', ' ', 'g')) AS norm_text FROM documents) "
+        "SELECT doc_id, norm_text, "
+        "CAST(length(norm_text) AS BIGINT) AS n_chars_norm "
+        "FROM n WHERE norm_text <> ''"
     ),
     # bpe_merge_pairs: DuckDB substr/len are codepoint-based, matching
     # Arrow's utf8_slice_codeunits / utf8_length on valid UTF-8.
