@@ -156,11 +156,15 @@ def run_bench() -> dict:
         ("tfidf_top_terms", Q.q_tfidf_top_terms),
         ("vocab_coverage", Q.q_vocab_coverage),
         ("lm_bigram_score", Q.q_lm_bigram_score),
+        ("bpe_merge_pairs", Q.q_bpe_merge_pairs),
+        ("normalize_text", Q.q_normalize_text),
         # NOTE: runs after dedup_minhash, which warms the shared
         # clustering artifact (_MINHASH_CLUSTERS_CACHE) — this row times
         # the INCREMENTAL cost (quality join + keep-best exchange), by
         # design; time it alone for the end-to-end cost
         ("dedup_keep_best", Q.q_dedup_keep_best),
+        # warm clustering artifact as above: times the two count reductions
+        ("dedup_cluster_stats", Q.q_dedup_cluster_stats),
         ("pmi_bigrams", Q.q_pmi_bigrams),
         ("train_test_split", Q.q_train_test_split),
         # round-4 ops. NOTE: bm25/tfidf/pmi/chunk warmed the shared

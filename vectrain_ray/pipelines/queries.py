@@ -4659,7 +4659,10 @@ def q_kg_degree_hist(sf_dir: str):
 
 QUERIES = {
     # ---- driver-gate window (first 50): every op NEW or with a CHANGED
-    # ---- code path this round (r5: decontaminate_fuzzy NEW (MinHash
+    # ---- code path this round (r5: lm_bigram_score + _join NEW
+    # ---- (fixed-point bigram-LM scoring, both paths),
+    # ---- dedup_cluster_stats NEW, bpe_merge_pairs NEW,
+    # ---- normalize_text NEW, decontaminate_fuzzy NEW (MinHash
     # ---- eval-set scrub), grouped_stats NEW,
     # ---- asof_join gate + bucketed variant NEW,
     # ---- skew_join broadcast gate + skew_join_split NEW,
