@@ -319,3 +319,32 @@ def test_normalize_text_unicode_and_empty_edges(tmp_path, ray_session):
         "doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
     assert set(mine["doc_id"]) == {0, 1, 2}  # empty/null/punct-only dropped
+
+
+def test_full_join_both_unmatched_branches(tmp_path, ray_session):
+    """The sf fixtures have every event user in customer, so the
+    right-unmatched branch never fires there — this corpus forces BOTH
+    outer branches (customer without events AND event user without a
+    customer row) and checks against the oracle."""
+    import duckdb
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_mktsegment": pa.array(["A", "B", "C"]),
+    }), os.path.join(sf, "customer.parquet"))
+    pq.write_table(pa.table({
+        "user_id": pa.array([2, 2, 9], pa.int64()),
+    }), os.path.join(sf, "events.parquet"))
+    mine = Q.q_full_join(sf).to_pandas().sort_values(
+        "user_key").reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("customer", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')")
+    oracle = con.sql(Q.ORACLE_SQL["full_join"]).df().sort_values(
+        "user_key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+    assert set(mine["user_key"]) == {1, 2, 3, 9}
+    row9 = mine[mine["user_key"] == 9].iloc[0]
+    assert row9["c_mktsegment"] == "(none)" and row9["n_events"] == 1

@@ -1713,6 +1713,41 @@ def q_bpe_merge_pairs(sf_dir: str):
             .sort(["cnt", "pair"], descending=[True, False]).limit(20))
 
 
+def q_full_join(sf_dir: str):
+    """customer FULL OUTER JOIN events-per-user (native Ray hash join,
+    join_type="full_outer") — the reconciliation join: one row per key
+    from EITHER side; customers who never fired an event AND event users
+    with no customer row both survive, zero-/'(none)'-filled. Completes
+    the registry's join-type coverage (inner/left/semi/anti/broadcast/
+    multi/asof/range/skew/fuzzy). The event side collapses to ≤1 row per
+    user via the count combiner BEFORE the join, so the exchange moves
+    distinct keys only; Ray's full_outer coalesces the right-only key
+    values into the left key column."""
+    events = _read(sf_dir, "events", ["user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "p_cnt"])
+
+    per_user = (events.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=65536)
+                .groupby("user_id")
+                .aggregate(Sum("p_cnt", alias_name="n_events")))
+    joined = cust.join(per_user, join_type="full_outer",
+                       num_partitions=_join_partitions(per_cpu_divisor=8),
+                       on=("c_custkey",), right_on=("user_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_key": pc.cast(t["c_custkey"], pa.int64()),
+            "c_mktsegment": pc.fill_null(t["c_mktsegment"], "(none)"),
+            "n_events": pc.fill_null(pc.cast(t["n_events"], pa.int64()), 0),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_normalize_text(sf_dir: str):
     """Text normalization — the cleaning transform at the head of every
     training-data pipeline: lowercase, strip non-alphanumerics to spaces,
@@ -4685,6 +4720,7 @@ QUERIES = {
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "normalize_text": q_normalize_text,
+    "full_join": q_full_join,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -5468,6 +5504,13 @@ ORACLE_SQL = {
         "CAST(n_oov AS BIGINT) AS n_oov, "
         "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate "
         "FROM per WHERE n_tokens > 0"
+    ),
+    "full_join": (
+        "SELECT coalesce(c.c_custkey, e.user_id) AS user_key, "
+        "coalesce(c.c_mktsegment, '(none)') AS c_mktsegment, "
+        "coalesce(e.n_events, 0) AS n_events "
+        "FROM customer c FULL JOIN (SELECT user_id, count(*) AS n_events "
+        "FROM events GROUP BY user_id) e ON e.user_id = c.c_custkey"
     ),
     # normalize_text: both sides are RE2 (Arrow replace_substring_regex /
     # DuckDB 'g'-flag regexp_replace), so normalized strings are
