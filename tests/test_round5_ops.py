@@ -348,3 +348,31 @@ def test_full_join_both_unmatched_branches(tmp_path, ray_session):
     assert set(mine["user_key"]) == {1, 2, 3, 9}
     row9 = mine[mine["user_key"] == 9].iloc[0]
     assert row9["c_mktsegment"] == "(none)" and row9["n_events"] == 1
+
+
+def test_zscore_by_group_bit_exact_and_zero_var_excluded(tmp_path,
+                                                         ray_session):
+    """z must be BIT-equal to DuckDB (exact integer sums + identical IEEE
+    tree — the grouped_stats argument), and a zero-variance source must
+    vanish from the output entirely."""
+    import duckdb
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "source": pa.array(["a", "a", "a", "b", "b", "const", "const"]),
+        "n_chars": pa.array([10, 20, 33, 5, 7, 42, 42], pa.int64()),
+        "text": pa.array(["x"] * 7),
+        "lang": pa.array(["en"] * 7),
+    }), os.path.join(sf, "documents.parquet"))
+    mine = Q.q_zscore_by_group(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert set(mine["source"]) == {"a", "b"}  # const excluded
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    oracle = con.sql(Q.ORACLE_SQL["zscore_by_group"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert (mine["z"].to_numpy() == oracle["z"].to_numpy()).all()
+    full = Q.q_zscore_by_group("/root/testdata/sf0.001").to_pandas()
+    assert len(full) > 0

@@ -1713,6 +1713,68 @@ def q_bpe_merge_pairs(sf_dir: str):
             .sort(["cnt", "pair"], descending=[True, False]).limit(20))
 
 
+def q_zscore_by_group(sf_dir: str):
+    """Per-group feature standardization — the z-score transform a
+    training pipeline applies before length-based filtering or mixing:
+    z = (x - mean_g) / std_g of n_chars within each source. Output
+    (doc_id, source, n_chars, z); zero-variance groups are excluded
+    (z undefined there).
+
+    Scale path: pass 1 is the grouped_stats (n, s, sq) combiner — the
+    corpus collapses to ≤ #sources stat rows (bounded by the source
+    domain), which broadcast via ray.put; pass 2 is ONE zero-shuffle
+    streaming pass with a vectorized per-batch merge. Parity: s/sq are
+    exact integer sums, and mean/std/z use the identical IEEE tree the
+    oracle spells out (the grouped_stats argument), so z is bit-equal."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["n_chars"], pa.int64())
+        g = pa.table({
+            "source": t["source"], "x": x, "xx": pc.multiply(x, x),
+        }).group_by("source").aggregate(
+            [("x", "count"), ("x", "sum"), ("xx", "sum")])
+        return g.rename_columns(["source", "n", "s", "sq"])
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("source")
+             .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                        Sum("sq", alias_name="sq"))
+             ).to_pandas()  # ≤ #sources rows — domain-bounded by design
+    if stats.empty:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64())}))
+    n = stats["n"].to_numpy().astype(np.float64)
+    s = stats["s"].to_numpy()
+    sq = stats["sq"].to_numpy()
+    mean = s / n
+    std = np.sqrt(sq / n - mean * mean)  # the oracle's exact tree
+    model = pd.DataFrame({"source": stats["source"], "mean": mean,
+                          "std": std})[std > 0]
+    model_ref = ray.put(model)
+
+    class ZScore:
+        def __init__(self):
+            self.model = ray.get(model_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = df.merge(self.model, on="source")  # drops zero-var groups
+            z = (m["n_chars"].to_numpy().astype(np.float64)
+                 - m["mean"].to_numpy()) / m["std"].to_numpy()
+            return pd.DataFrame({
+                "doc_id": m["doc_id"].astype("int64"),
+                "source": m["source"],
+                "n_chars": m["n_chars"].astype("int64"),
+                "z": z})
+
+    return ds.map_batches(ZScore, batch_format="pandas",
+                          batch_size=65536, concurrency=(1, 4))
+
+
 def q_full_join(sf_dir: str):
     """customer FULL OUTER JOIN events-per-user (native Ray hash join,
     join_type="full_outer") — the reconciliation join: one row per key
@@ -4721,6 +4783,7 @@ QUERIES = {
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "normalize_text": q_normalize_text,
     "full_join": q_full_join,
+    "zscore_by_group": q_zscore_by_group,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -5504,6 +5567,18 @@ ORACLE_SQL = {
         "CAST(n_oov AS BIGINT) AS n_oov, "
         "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate "
         "FROM per WHERE n_tokens > 0"
+    ),
+    # zscore_by_group: mean/std/z share grouped_stats' exact IEEE tree
+    # over exact integer sums, so z hashes bit-identical.
+    "zscore_by_group": (
+        "WITH p AS (SELECT source, count(n_chars) AS n, "
+        "sum(n_chars) AS s, sum(n_chars * n_chars) AS sq "
+        "FROM documents GROUP BY source), "
+        "c AS (SELECT source, s / n AS mean, "
+        "sqrt(sq / n - (s / n) * (s / n)) AS std FROM p) "
+        "SELECT d.doc_id, d.source, d.n_chars, "
+        "(CAST(d.n_chars AS DOUBLE) - c.mean) / c.std AS z "
+        "FROM documents d JOIN c ON d.source = c.source WHERE c.std > 0"
     ),
     "full_join": (
         "SELECT coalesce(c.c_custkey, e.user_id) AS user_key, "
