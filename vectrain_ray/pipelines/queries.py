@@ -867,6 +867,37 @@ def _tokenized_docs(sf_dir: str):
     return _TOKENIZED_DOCS_CACHE[sf_dir][1]
 
 
+_UNIGRAM_COUNTS_CACHE: dict[str, tuple] = {}
+
+
+def _unigram_counts(sf_dir: str):
+    """Session-scoped corpus unigram counts (word, cnt) — the wordcount
+    combiner output, materialized once and shared by wordcount /
+    vocab_coverage / pmi_bigrams / lm_bigram_score / bpe_merge_pairs, so
+    a session running several vocab-consuming ops reduces the corpus to
+    its vocabulary ONCE instead of once per op. Vocabulary-sized blocks
+    in the spillable object store; invalidated like _tokenized_docs by
+    input fingerprint + Ray job id."""
+    key = _cache_key(sf_dir)
+    hit = _UNIGRAM_COUNTS_CACHE.get(sf_dir)
+    if hit is None or hit[0] != key:
+        ds = _tokenized_docs(sf_dir)
+
+        def partial(t: pa.Table) -> pa.Table:
+            words, _ = _doc_tokens_from_lists(t)
+            g = pa.table({"word": words}).group_by("word").aggregate(
+                [("word", "count")])
+            return g.rename_columns(["word", "p_cnt"])
+
+        _UNIGRAM_COUNTS_CACHE[sf_dir] = (
+            key,
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("word").aggregate(Sum("p_cnt", alias_name="cnt"))
+            .materialize())
+    return _UNIGRAM_COUNTS_CACHE[sf_dir][1]
+
+
 _MINHASH_CLUSTERS_CACHE: dict[str, tuple] = {}
 
 
@@ -1408,20 +1439,7 @@ def q_wordcount(sf_dir: str):
     list column zero-copy (list_flatten), count per batch (combiner), one
     final groupby over distinct words, then global top-100 with a
     deterministic tie-break (count desc, word asc)."""
-    ds = _tokenized_docs(sf_dir)  # shared tokenize-once intermediate
-
-    def partial(t: pa.Table) -> pa.Table:
-        words, _ = _doc_tokens_from_lists(t)  # the explode
-        g = pa.table({"word": words}).group_by("word").aggregate(
-            [("word", "count")]
-        )
-        return g.rename_columns(["word", "p_cnt"])
-
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("word")
-        .aggregate(Sum("p_cnt", alias_name="cnt"))
-    )
+    counts = _unigram_counts(sf_dir)  # shared vocab-once intermediate
     return counts.sort(["cnt", "word"], descending=[True, False]).limit(100)
 
 
@@ -1526,16 +1544,8 @@ def q_lm_bigram_score(sf_dir: str, _force_join: bool = False):
         .groupby("bucket").map_groups(sum_bucket, batch_format="pandas")
     ).materialize()
 
-    def unigram_partial(t: pa.Table) -> pa.Table:
-        words, _ = _doc_tokens_from_lists(t)
-        g = pa.table({"word": words}).group_by("word").aggregate(
-            [("word", "count")])
-        return g.rename_columns(["word", "p_cnt"])
-
-    unigrams = (ds.map_batches(unigram_partial, batch_format="pyarrow",
-                               batch_size=65536)
-                .groupby("word")
-                .aggregate(Sum("p_cnt", alias_name="c1"))).materialize()
+    unigrams = _unigram_counts(sf_dir).map_batches(
+        lambda t: t.rename_columns(["word", "c1"]), batch_format="pyarrow")
 
     vocab_size = int(unigrams.count())
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -1669,17 +1679,8 @@ def q_bpe_merge_pairs(sf_dir: str):
     utf8_slice kernels — never a loop over rows. Pair counts then take
     one distinct-pair-sized groupby with per-batch partials and a
     top-k-partial before the final tiny sort."""
-    ds = _tokenized_docs(sf_dir)  # shared tokenize-once intermediate
-
-    def unigram_partial(t: pa.Table) -> pa.Table:
-        words, _ = _doc_tokens_from_lists(t)
-        g = pa.table({"word": words}).group_by("word").aggregate(
-            [("word", "count")])
-        return g.rename_columns(["word", "p_cnt"])
-
-    vocab = (ds.map_batches(unigram_partial, batch_format="pyarrow",
-                            batch_size=65536)
-             .groupby("word").aggregate(Sum("p_cnt", alias_name="c")))
+    vocab = _unigram_counts(sf_dir).map_batches(
+        lambda t: t.rename_columns(["word", "c"]), batch_format="pyarrow")
 
     empty = pa.table({"pair": pa.array([], pa.string()),
                       "p_cnt": pa.array([], pa.int64())})
@@ -3848,16 +3849,8 @@ def q_pmi_bigrams(sf_dir: str):
         .groupby("bucket").map_groups(sum_bucket, batch_format="pandas")
     ).materialize()  # consumed twice: P total + candidate filter
 
-    def unigram_partial(t: pa.Table) -> pa.Table:
-        words, _ = _doc_tokens_from_lists(t)
-        g = pa.table({"word": words}).group_by("word").aggregate(
-            [("word", "count")])
-        return g.rename_columns(["word", "p_cnt"])
-
-    unigrams = (ds.map_batches(unigram_partial, batch_format="pyarrow",
-                               batch_size=65536)
-                .groupby("word")
-                .aggregate(Sum("p_cnt", alias_name="c"))).materialize()
+    unigrams = _unigram_counts(sf_dir).map_batches(
+        lambda t: t.rename_columns(["word", "c"]), batch_format="pyarrow")
 
     p_total = float(bigrams.sum("cnt") or 0)
     t_total = float(unigrams.sum("c") or 0)
