@@ -376,3 +376,38 @@ def test_zscore_by_group_bit_exact_and_zero_var_excluded(tmp_path,
     assert (mine["z"].to_numpy() == oracle["z"].to_numpy()).all()
     full = Q.q_zscore_by_group("/root/testdata/sf0.001").to_pandas()
     assert len(full) > 0
+
+
+def test_token_entropy_bit_exact_and_bounds(ray_session):
+    """entropy must be BIT-equal to DuckDB (fixed-point Σ c·ln c, shared
+    IEEE finisher tree) and respect 0 ≤ H ≤ ln(n_tokens); a
+    single-repeated-token doc must score exactly 0."""
+    import duckdb
+
+    mine = Q.q_token_entropy(SF).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(mine) > 0
+    lnn = np.log(mine["n_tokens"].to_numpy(np.float64))
+    assert (mine["entropy"] >= -1e-12).all()
+    assert (mine["entropy"] <= lnn + 1e-12).all()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    oracle = con.sql(Q.ORACLE_SQL["token_entropy"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert (mine["entropy"].to_numpy() ==
+            oracle["entropy"].to_numpy()).all()
+
+
+def test_token_entropy_degenerate_docs(tmp_path, ray_session):
+    """A doc of one repeated token has H ≈ 0 (up to the 1e-9 fixed-point
+    quantum); a single-token doc is exactly 0 (ln 1 = 0, fp = 0)."""
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["spam spam spam spam", "lone", "a b c d"]),
+    }), os.path.join(sf, "documents.parquet"))
+    got = Q.q_token_entropy(sf).to_pandas().set_index("doc_id")
+    assert abs(got.loc[0, "entropy"]) < 1e-8
+    assert got.loc[1, "entropy"] == 0.0
+    assert abs(got.loc[2, "entropy"] - np.log(4.0)) < 1e-8

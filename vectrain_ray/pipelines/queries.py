@@ -1714,6 +1714,63 @@ def q_bpe_merge_pairs(sf_dir: str):
             .sort(["cnt", "pair"], descending=[True, False]).limit(20))
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-document unigram entropy — the Gopher-family repetitiveness /
+    quality signal (low entropy = templated or repeated text; filters
+    keep a band). Output (doc_id, n_tokens, entropy) for docs with ≥ 1
+    token, entropy in nats.
+
+    Determinism at scale: the textbook -Σ p ln p is a float sum over a
+    doc's terms with no stable order, so the identity
+    H = ln(n) - (Σ c·ln c)/n is computed with the Σ in FIXED POINT:
+    each distinct count contributes c · floor(SCALE·ln(c)) — exact int64,
+    associative — leaving two float ops per OUTPUT row (one scalar libm
+    ln + one division), the oracle's exact tree, so hashes match
+    bit-for-bit. ln(c) comes from a per-batch memo over DISTINCT counts
+    (a handful of integers), not per row.
+
+    Shape at scale: ONE zero-shuffle streaming pass — per-doc term counts
+    are batch-local (a doc is one row), nothing corpus-sized exists."""
+    import math
+
+    ds = _tokenized_docs(sf_dir)  # shared tokenize-once intermediate
+
+    def entropy(t: pa.Table) -> pa.Table:
+        words, parents = _doc_tokens_from_lists(t)
+        ntok = pc.list_value_length(_as_array(t["toks"])).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = pd.DataFrame({"w": words.to_pandas(),
+                          "p": parents.to_pandas()})
+        if len(d):
+            cw = (d.groupby(["p", "w"], sort=False).size()
+                  .reset_index(name="c"))
+            c = cw["c"].to_numpy(np.int64)
+            lut = {int(v): math.floor(LM_FP_SCALE * math.log(float(v)))
+                   for v in np.unique(c)}  # distinct counts, not rows
+            fp_term = c * np.vectorize(lut.__getitem__,
+                                       otypes=[np.int64])(c)
+            per = (pd.DataFrame({"p": cw["p"], "fp": fp_term})
+                   .groupby("p", sort=False)["fp"].sum())
+            fp = np.zeros(t.num_rows, np.int64)
+            fp[per.index.to_numpy(np.int64)] = per.to_numpy(np.int64)
+        else:
+            fp = np.zeros(t.num_rows, np.int64)
+        keep = ntok > 0
+        ids = t["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep]
+        n, f = ntok[keep], fp[keep]
+        # the oracle's exact tree: ln(n) - fp/(n*SCALE), scalar libm ln
+        ent = np.array([math.log(float(v)) for v in n], np.float64) \
+            - f.astype(np.float64) / (n.astype(np.float64)
+                                      * float(LM_FP_SCALE))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "entropy": pa.array(ent, pa.float64())})
+
+    return ds.map_batches(entropy, batch_format="pyarrow",
+                          batch_size=65536)
+
+
 def q_zscore_by_group(sf_dir: str):
     """Per-group feature standardization — the z-score transform a
     training pipeline applies before length-based filtering or mixing:
@@ -4777,6 +4834,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "full_join": q_full_join,
     "zscore_by_group": q_zscore_by_group,
+    "token_entropy": q_token_entropy,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -5560,6 +5618,22 @@ ORACLE_SQL = {
         "CAST(n_oov AS BIGINT) AS n_oov, "
         "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate "
         "FROM per WHERE n_tokens > 0"
+    ),
+    # token_entropy: H = ln(n) - (Σ c·floor(SCALE·ln c))/(n·SCALE) —
+    # the Σ is exact int64 (order-independent), the two float ops per
+    # output row are the identical tree, so entropy hashes bit-for-bit.
+    "token_entropy": (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "trim(lower(coalesce(text,''))), '\\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "cw AS (SELECT doc_id, word, count(*) AS c FROM "
+        "(SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word), "
+        "per AS (SELECT doc_id, sum(c) AS n, sum(c * CAST(floor("
+        f"{LM_FP_SCALE} * ln(CAST(c AS DOUBLE))) AS BIGINT)) AS fp "
+        "FROM cw GROUP BY doc_id) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+        "ln(CAST(n AS DOUBLE)) - CAST(fp AS DOUBLE) / "
+        f"(CAST(n AS DOUBLE) * {float(LM_FP_SCALE)}) AS entropy FROM per"
     ),
     # zscore_by_group: mean/std/z share grouped_stats' exact IEEE tree
     # over exact integer sums, so z hashes bit-identical.
