@@ -158,6 +158,9 @@ def run_bench() -> dict:
         ("lm_bigram_score", Q.q_lm_bigram_score),
         ("bpe_merge_pairs", Q.q_bpe_merge_pairs),
         ("normalize_text", Q.q_normalize_text),
+        ("token_entropy", Q.q_token_entropy),
+        ("zscore_by_group", Q.q_zscore_by_group),
+        ("full_join", Q.q_full_join),
         # NOTE: runs after dedup_minhash, which warms the shared
         # clustering artifact (_MINHASH_CLUSTERS_CACHE) — this row times
         # the INCREMENTAL cost (quality join + keep-best exchange), by
