@@ -411,3 +411,25 @@ def test_token_entropy_degenerate_docs(tmp_path, ray_session):
     assert abs(got.loc[0, "entropy"]) < 1e-8
     assert got.loc[1, "entropy"] == 0.0
     assert abs(got.loc[2, "entropy"] - np.log(4.0)) < 1e-8
+
+
+def test_triangles_per_node_known_graph_and_join_path(ray_session):
+    """Bowtie graph (two triangles sharing node 2): known per-node
+    counts/coefficients, and the join-orientation path (broadcast_max=0)
+    must match the broadcast path bit-for-bit."""
+    import ray.data as rd
+    from vectrain_ray.functions.graph import triangles_per_node
+
+    edges = rd.from_arrow(pa.table({
+        "u": pa.array([0, 1, 0, 2, 3, 2], pa.int64()),
+        "v": pa.array([1, 2, 2, 3, 4, 4], pa.int64()),
+    }))
+    got = triangles_per_node(edges, "u", "v").to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert got["node"].tolist() == [0, 1, 2, 3, 4]
+    assert got["n_tri"].tolist() == [1, 1, 2, 1, 1]
+    assert got["degree"].tolist() == [2, 2, 4, 2, 2]
+    forced = triangles_per_node(edges, "u", "v",
+                                broadcast_max=0).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, forced, check_dtype=False)

@@ -354,22 +354,13 @@ def _pagerank_int_join(e_dir, nodes, iters: int, scale: int):
         batch_format="pyarrow")
 
 
-def triangle_count(edges, src: str = "src", dst: str = "dst",
-                   broadcast_max: int | None = None) -> pa.Table:
-    """Exact triangle count by degree orientation + wedge check — the
-    shuffle-optimal distributed algorithm (each triangle is counted once, at
-    its lowest-(degree, id) apex; wedge volume is Σ C(outdeg⁺, 2), the
-    theoretical minimum for exact counting).
-
-    Stages: distinct undirected edges → node degrees (partial + bucketed
-    sum) → orient each edge toward the higher (degree, id) endpoint
-    (degree table broadcast under the node threshold) → per-src-bucket
-    vectorized wedge emission (np.triu_indices per adjacency group) →
-    bucketed semi-join of wedges against the oriented edge set. Returns a
-    one-row pyarrow Table {n_triangles}.
-    """
-    if broadcast_max is None:
-        broadcast_max = BROADCAST_MAX_NODES
+def _und_deg_oriented(edges, src: str, dst: str, broadcast_max: int):
+    """Shared prep for the triangle family (triangle_count,
+    triangles_per_node): distinct undirected edges, per-node degrees, and
+    degree-oriented edges. Returns (und, deg, oriented, ranked); an empty
+    graph returns (und, None, None, None). Orientation is broadcast under
+    ``broadcast_max`` nodes and two hash joins above (triangle_count's
+    path-equality test covers both)."""
 
     def norm(t: pa.Table) -> pa.Table:
         a = pc.min_element_wise(t[src], t[dst])
@@ -380,8 +371,8 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
 
     und = dedup_exact(edges.map_batches(norm, batch_format="pyarrow"),
                       ["u", "v"]).materialize()
-    if und.count() == 0:  # no edges → 0 triangles (join path crashes empty)
-        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+    if und.count() == 0:  # no edges (join path crashes empty)
+        return und, None, None, None
 
     def deg_partial(t: pa.Table) -> pa.Table:
         both = pa.table({"node": pa.concat_arrays(
@@ -460,6 +451,153 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
             return _add_a_bucket(t.append_column("db", db))
 
         ranked = oriented.map_batches(orient_rank_fn, batch_format="pyarrow")
+
+    return und, deg, oriented, ranked
+
+
+def triangles_per_node(edges, src: str = "src", dst: str = "dst",
+                       broadcast_max: int | None = None):
+    """Per-node exact triangle counts + degrees: Dataset (node, degree,
+    n_tri), every node of the graph present (n_tri = 0 when it closes no
+    triangle). Same degree-orientation machinery as triangle_count
+    (_und_deg_oriented), but wedges KEEP their apex so each verified
+    wedge — one triangle — credits all three corners; the final exchange
+    is ONE node-bucketed merge of degree rows with per-batch corner-count
+    partials (node-sized, never wedge-sized)."""
+    import ray.data as rd
+
+    if broadcast_max is None:
+        broadcast_max = BROADCAST_MAX_NODES
+    und, deg, oriented, ranked = _und_deg_oriented(edges, src, dst,
+                                                   broadcast_max)
+    ntype = _col_pa_type(und, "u", pa.int64()) if und is not None else \
+        pa.int64()
+    if oriented is None:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], ntype),
+            "degree": pa.array([], pa.int64()),
+            "n_tri": pa.array([], pa.int64())}))
+
+    def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Oriented src-bucket → wedge rows (apex, a, b): co-neighbor
+        pairs of each apex in (deg, id) order (np.triu_indices inner;
+        outer loop per NODE, not per row)."""
+        g = g.sort_values(["a", "db", "b"], kind="stable")
+        aps: list = []
+        xs: list = []
+        ys: list = []
+        for apex, grp in g.groupby("a", sort=False):
+            s = len(grp)
+            if s < 2:
+                continue
+            i, j = np.triu_indices(s, k=1)
+            nb = grp["b"].to_numpy()
+            aps.append(np.full(len(i), apex, dtype=nb.dtype))
+            xs.append(nb[i])
+            ys.append(nb[j])
+        if not xs:
+            return pd.DataFrame({"apex": [], "a": [], "b": []})
+        return pd.DataFrame({"apex": np.concatenate(aps),
+                             "a": np.concatenate(xs),
+                             "b": np.concatenate(ys)})
+
+    wedges = ranked.groupby("bucket").map_groups(wedges_bucket,
+                                                 batch_format="pandas")
+
+    def tag(is_edge: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if is_edge:
+                out = pa.table({"a": t["a"], "b": t["b"]})
+                out = out.append_column(
+                    "apex", pa.nulls(out.num_rows, ntype))
+            else:
+                out = t.select(["a", "b", "apex"])
+            b = key_buckets(out.select(["a", "b"]).to_pandas(),
+                            ["a", "b"], NUM_BUCKETS)
+            return out.append_column("bucket",
+                                     pa.array(b.values, pa.int32()))
+
+        return fn
+
+    tagged = wedges.map_batches(tag(0), batch_format="pyarrow").union(
+        oriented.map_batches(tag(1), batch_format="pyarrow"))
+
+    def corners_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Verify wedges against the edge set; each hit is one triangle —
+        emit per-node corner-count partials (node, p_tri)."""
+        is_edge = g["apex"].isna()
+        edge_set = g[is_edge][["a", "b"]].drop_duplicates()
+        hit = g[~is_edge].merge(edge_set, on=["a", "b"], how="inner")
+        if hit.empty:
+            return pd.DataFrame({"node": [], "p_tri": []})
+        # apex came through a union with null-apex edge rows, so pandas
+        # upcast it (int64 → float64); restore the endpoint dtype before
+        # the concat or the node-keyed merge downstream silently misses
+        nodes = pd.concat([hit["apex"].astype(hit["a"].dtype),
+                           hit["a"], hit["b"]], ignore_index=True)
+        c = nodes.value_counts().rename_axis("node").reset_index(
+            name="p_tri")
+        return c
+
+    corners = tagged.groupby("bucket").map_groups(corners_bucket,
+                                                  batch_format="pandas")
+
+    # ONE node-bucketed merge of degrees (one row per node) with the
+    # per-(a,b)-bucket corner partials
+    def tag_node(kind: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if kind:  # degree rows
+                out = pa.table({"node": t["node"],
+                                "deg": pc.cast(t["s"], pa.int64()),
+                                "p_tri": pa.nulls(t.num_rows, pa.int64())})
+            else:
+                out = pa.table({"node": t["node"],
+                                "deg": pa.nulls(t.num_rows, pa.int64()),
+                                "p_tri": pc.cast(t["p_tri"], pa.int64())})
+            b = key_buckets(out.select(["node"]).to_pandas(), ["node"],
+                            NUM_BUCKETS)
+            return out.append_column("bucket",
+                                     pa.array(b.values, pa.int32()))
+
+        return fn
+
+    both = deg.map_batches(tag_node(1), batch_format="pyarrow").union(
+        corners.map_batches(tag_node(0), batch_format="pyarrow"))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["deg"].notna()][["node", "deg"]]
+        t = (g[g["p_tri"].notna()].groupby("node", sort=False)["p_tri"]
+             .sum().reset_index())
+        m = d.merge(t, on="node", how="left")
+        return pd.DataFrame({
+            "node": m["node"],
+            "degree": m["deg"].astype("int64"),
+            "n_tri": m["p_tri"].fillna(0).astype("int64")})
+
+    return both.groupby("bucket").map_groups(merge_bucket,
+                                             batch_format="pandas")
+
+
+def triangle_count(edges, src: str = "src", dst: str = "dst",
+                   broadcast_max: int | None = None) -> pa.Table:
+    """Exact triangle count by degree orientation + wedge check — the
+    shuffle-optimal distributed algorithm (each triangle is counted once, at
+    its lowest-(degree, id) apex; wedge volume is Σ C(outdeg⁺, 2), the
+    theoretical minimum for exact counting).
+
+    Stages: distinct undirected edges → node degrees (partial + bucketed
+    sum) → orient each edge toward the higher (degree, id) endpoint
+    (degree table broadcast under the node threshold; _und_deg_oriented) →
+    per-src-bucket vectorized wedge emission (np.triu_indices per
+    adjacency group) → bucketed semi-join of wedges against the oriented
+    edge set. Returns a one-row pyarrow Table {n_triangles}.
+    """
+    if broadcast_max is None:
+        broadcast_max = BROADCAST_MAX_NODES
+    _, _, oriented, ranked = _und_deg_oriented(edges, src, dst,
+                                               broadcast_max)
+    if oriented is None:  # no edges → 0 triangles
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
 
     def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """One src-bucket of oriented edges → wedge rows (x, y) where x, y

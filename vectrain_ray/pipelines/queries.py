@@ -1248,6 +1248,34 @@ def q_sssp(sf_dir: str):
                        rounds=4)
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient over the co-supply graph —
+    the standard graph-health signal after triangle counting:
+    coeff = 2·n_tri / (degree·(degree−1)) for degree ≥ 2, else 0.0.
+    Output (node, degree, n_tri, coeff) for every node.
+
+    Scale path: triangles_per_node reuses triangle_count's
+    degree-orientation machinery (wedge volume Σ C(outdeg⁺, 2), the
+    shuffle-optimal exact plan) with apex-carrying wedges so each
+    verified triangle credits its three corners; the only extra exchange
+    is ONE node-bucketed merge of node-sized partials. coeff is exact
+    integers through one float division — the oracle's tree."""
+    from ..functions.graph import triangles_per_node
+
+    tri = triangles_per_node(_cosupply_edges(sf_dir), "u", "v")
+
+    def finish(t: pa.Table) -> pa.Table:
+        deg = t["degree"].to_numpy(zero_copy_only=False)
+        n = t["n_tri"].to_numpy(zero_copy_only=False)
+        can = deg >= 2
+        denom = np.where(can, deg.astype(np.float64)
+                         * (deg - 1).astype(np.float64), 1.0)
+        coeff = np.where(can, (2.0 * n.astype(np.float64)) / denom, 0.0)
+        return t.append_column("coeff", pa.array(coeff, pa.float64()))
+
+    return tri.map_batches(finish, batch_format="pyarrow")
+
+
 def q_khop(sf_dir: str):
     """Min-hop distance ≤ 3 from supplier 1 by frontier-broadcast BFS
     (per hop: pc.is_in semi-join over the streaming edge set)."""
@@ -4835,6 +4863,7 @@ QUERIES = {
     "full_join": q_full_join,
     "zscore_by_group": q_zscore_by_group,
     "token_entropy": q_token_entropy,
+    "clustering_coeff": q_clustering_coeff,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -5570,6 +5599,25 @@ ORACLE_SQL = {
         "SELECT count(*) AS n_triangles FROM e e1 "
         "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
         "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+    ),
+    "clustering_coeff": (
+        "WITH raw AS (" + _COSUPPLY_RAW + "), "
+        "e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b "
+        "FROM raw WHERE u <> v), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+        "tn AS (SELECT node, count(*) AS n_tri FROM ("
+        "SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+        "UNION ALL SELECT z FROM tri) GROUP BY node), "
+        "deg AS (SELECT node, count(*) AS degree FROM ("
+        "SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
+        "GROUP BY node) "
+        "SELECT d.node, CAST(d.degree AS BIGINT) AS degree, "
+        "CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri, "
+        "CASE WHEN d.degree >= 2 THEN (2.0 * coalesce(tn.n_tri, 0)) / "
+        "(CAST(d.degree AS DOUBLE) * (d.degree - 1)) ELSE 0.0 END AS coeff "
+        "FROM deg d LEFT JOIN tn ON tn.node = d.node"
     ),
     "khop": (
         "WITH raw AS (" + _COSUPPLY_RAW + "), "
