@@ -433,3 +433,26 @@ def test_triangles_per_node_known_graph_and_join_path(ray_session):
                                 broadcast_max=0).to_pandas().sort_values(
         "node").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, forced, check_dtype=False)
+
+
+def test_degree_assortativity_known_graphs(ray_session):
+    """A star graph is perfectly disassortative only in the excess-degree
+    sense; with Newman's edge-Pearson formula a star's degrees are
+    constant per side — check the two pinnable cases instead: a regular
+    graph (triangle) → NULL r, and a path P4 → r = -0.5."""
+    import ray.data as rd
+    from vectrain_ray.functions.graph import degree_assortativity
+
+    tri = rd.from_arrow(pa.table({"u": pa.array([0, 1, 2], pa.int64()),
+                                  "v": pa.array([1, 2, 0], pa.int64())}))
+    out = degree_assortativity(tri, "u", "v").to_pandas()
+    assert out["n_edges"][0] == 3 and pd.isna(out["r"][0])
+    p4 = rd.from_arrow(pa.table({"u": pa.array([0, 1, 2], pa.int64()),
+                                 "v": pa.array([1, 2, 3], pa.int64())}))
+    out = degree_assortativity(p4, "u", "v").to_pandas()
+    assert out["n_edges"][0] == 3
+    assert abs(out["r"][0] - (-0.5)) < 1e-12
+    # join path must equal broadcast path
+    forced = degree_assortativity(p4, "u", "v",
+                                  broadcast_max=0).to_pandas()
+    assert forced["r"][0] == out["r"][0]

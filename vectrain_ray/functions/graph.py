@@ -354,13 +354,9 @@ def _pagerank_int_join(e_dir, nodes, iters: int, scale: int):
         batch_format="pyarrow")
 
 
-def _und_deg_oriented(edges, src: str, dst: str, broadcast_max: int):
-    """Shared prep for the triangle family (triangle_count,
-    triangles_per_node): distinct undirected edges, per-node degrees, and
-    degree-oriented edges. Returns (und, deg, oriented, ranked); an empty
-    graph returns (und, None, None, None). Orientation is broadcast under
-    ``broadcast_max`` nodes and two hash joins above (triangle_count's
-    path-equality test covers both)."""
+def _distinct_undirected(edges, src: str, dst: str):
+    """Distinct undirected edge set (u < v, self-loops dropped),
+    materialized — the entry stage of every undirected-graph metric."""
 
     def norm(t: pa.Table) -> pa.Table:
         a = pc.min_element_wise(t[src], t[dst])
@@ -369,10 +365,14 @@ def _und_deg_oriented(edges, src: str, dst: str, broadcast_max: int):
         out = out.filter(pc.invert(pc.equal(out["u"], out["v"])))
         return out.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
 
-    und = dedup_exact(edges.map_batches(norm, batch_format="pyarrow"),
-                      ["u", "v"]).materialize()
-    if und.count() == 0:  # no edges (join path crashes empty)
-        return und, None, None, None
+    return dedup_exact(edges.map_batches(norm, batch_format="pyarrow"),
+                       ["u", "v"]).materialize()
+
+
+def _degree_table(und):
+    """(node, s=degree) from the distinct undirected edges — per-batch
+    count partials + one node-bucketed sum; materialized (consumed by
+    lookups/joins downstream)."""
 
     def deg_partial(t: pa.Table) -> pa.Table:
         both = pa.table({"node": pa.concat_arrays(
@@ -385,10 +385,24 @@ def _und_deg_oriented(edges, src: str, dst: str, broadcast_max: int):
                         ["node"], NUM_BUCKETS)
         return tt.append_column("bucket", pa.array(b.values, pa.int32()))
 
-    deg = und.map_batches(deg_partial, batch_format="pyarrow").map_batches(
+    return und.map_batches(deg_partial, batch_format="pyarrow").map_batches(
         add_bucket, batch_format="pyarrow").groupby("bucket").map_groups(
         lambda g: g.groupby("node", sort=True)["s"].sum().reset_index(),
         batch_format="pandas").materialize()
+
+
+def _und_deg_oriented(edges, src: str, dst: str, broadcast_max: int):
+    """Shared prep for the triangle family (triangle_count,
+    triangles_per_node): distinct undirected edges, per-node degrees, and
+    degree-oriented edges. Returns (und, deg, oriented, ranked); an empty
+    graph returns (und, None, None, None). Orientation is broadcast under
+    ``broadcast_max`` nodes and two hash joins above (triangle_count's
+    path-equality test covers both)."""
+    und = _distinct_undirected(edges, src, dst)
+    if und.count() == 0:  # no edges (join path crashes empty)
+        return und, None, None, None
+
+    deg = _degree_table(und)
     def _add_a_bucket(t: pa.Table) -> pa.Table:
         b = key_buckets(pd.DataFrame({"a": t["a"].to_pandas()}), ["a"],
                         NUM_BUCKETS)
@@ -576,6 +590,77 @@ def triangles_per_node(edges, src: str = "src", dst: str = "dst",
 
     return both.groupby("bucket").map_groups(merge_bucket,
                                              batch_format="pandas")
+
+
+def degree_assortativity(edges, src: str = "src", dst: str = "dst",
+                         broadcast_max: int | None = None) -> pa.Table:
+    """Newman degree-assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the distinct undirected edge set
+    — positive = hubs attach to hubs, negative = hub-and-spoke. Returns a
+    one-row pa.Table {n_edges, r}; r is NULL for a regular graph (the
+    variance term is 0, r undefined).
+
+    Scale path: degrees via the shared _degree_table (node-sized
+    exchange), attached to edges by broadcast lookup under the node gate
+    / two hash joins above; the moments (M, Σjk, Σ(j+k), Σ(j²+k²))
+    collapse per batch to ONE partial row — exact integer sums (int64;
+    Σjk bounds the domain to M·maxdeg² ≲ 2⁶³), so r is ONE float
+    expression from exact integers, the oracle's tree, bit-exact."""
+    if broadcast_max is None:
+        broadcast_max = BROADCAST_MAX_NODES
+    und = _distinct_undirected(edges, src, dst)
+    if und.count() == 0:
+        return pa.table({"n_edges": pa.array([0], pa.int64()),
+                         "r": pa.array([None], pa.float64())})
+    deg = _degree_table(und)
+
+    if deg.count() >= broadcast_max:
+        nparts = _join_num_partitions()
+        deg_su = deg.map_batches(
+            lambda t: pa.table({"u": t["node"],
+                                "du": pc.cast(t["s"], pa.int64())}),
+            batch_format="pyarrow")
+        deg_sv = deg.map_batches(
+            lambda t: pa.table({"v": t["node"],
+                                "dv": pc.cast(t["s"], pa.int64())}),
+            batch_format="pyarrow")
+        withd = und.join(deg_su, join_type="inner", num_partitions=nparts,
+                         on=("u",)).join(deg_sv, join_type="inner",
+                                         num_partitions=nparts, on=("v",))
+    else:
+        deg_k, deg_v = _pull_pairs(deg, "node", "s")
+
+        def attach(t: pa.Table, _k=deg_k, _v=deg_v) -> pa.Table:
+            return pa.table({
+                "du": pc.cast(pc.take(_v, pc.index_in(t["u"], value_set=_k)),
+                              pa.int64()),
+                "dv": pc.cast(pc.take(_v, pc.index_in(t["v"], value_set=_k)),
+                              pa.int64())})
+
+        withd = und.map_batches(attach, batch_format="pyarrow")
+
+    def moments(t: pa.Table) -> pa.Table:
+        j = t["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "m": pa.array([t.num_rows], pa.int64()),
+            "s_jk": pa.array([int((j * k).sum())], pa.int64()),
+            "s_sum": pa.array([int((j + k).sum())], pa.int64()),
+            "s_sq": pa.array([int((j * j + k * k).sum())], pa.int64())})
+
+    parts = withd.map_batches(moments, batch_format="pyarrow").to_pandas()
+    m = int(parts["m"].sum())
+    s_jk = int(parts["s_jk"].sum())
+    s_sum = int(parts["s_sum"].sum())
+    s_sq = int(parts["s_sq"].sum())
+    # the oracle's exact tree (ints → doubles, one expression)
+    t1 = float(s_jk) / m
+    mu = float(s_sum) / (2 * m)
+    t2 = float(s_sq) / (2 * m)
+    den = t2 - mu * mu
+    r = None if den == 0 else (t1 - mu * mu) / den
+    return pa.table({"n_edges": pa.array([m], pa.int64()),
+                     "r": pa.array([r], pa.float64())})
 
 
 def triangle_count(edges, src: str = "src", dst: str = "dst",

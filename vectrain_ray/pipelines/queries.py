@@ -1276,6 +1276,17 @@ def q_clustering_coeff(sf_dir: str):
     return tri.map_batches(finish, batch_format="pyarrow")
 
 
+def q_degree_assortativity(sf_dir: str):
+    """Newman degree assortativity of the co-supply graph — one scalar
+    (with the edge count) summarizing hub-mixing structure; NULL r on a
+    regular graph. See functions/graph.degree_assortativity for the
+    moments-combiner scale path."""
+    from ..functions.graph import degree_assortativity
+
+    return rd.from_arrow(
+        degree_assortativity(_cosupply_edges(sf_dir), "u", "v"))
+
+
 def q_khop(sf_dir: str):
     """Min-hop distance ≤ 3 from supplier 1 by frontier-broadcast BFS
     (per hop: pc.is_in semi-join over the streaming edge set)."""
@@ -4864,6 +4875,7 @@ QUERIES = {
     "zscore_by_group": q_zscore_by_group,
     "token_entropy": q_token_entropy,
     "clustering_coeff": q_clustering_coeff,
+    "degree_assortativity": q_degree_assortativity,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -5599,6 +5611,24 @@ ORACLE_SQL = {
         "SELECT count(*) AS n_triangles FROM e e1 "
         "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
         "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+    ),
+    "degree_assortativity": (
+        "WITH raw AS (" + _COSUPPLY_RAW + "), "
+        "e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b "
+        "FROM raw WHERE u <> v), "
+        "deg AS (SELECT node, count(*) AS d FROM ("
+        "SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
+        "GROUP BY node), "
+        "ej AS (SELECT da.d AS j, db.d AS k FROM e "
+        "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b), "
+        "s AS (SELECT count(*) AS m, sum(j * k) AS s_jk, "
+        "sum(j + k) AS s_sum, sum(j * j + k * k) AS s_sq FROM ej), "
+        "c AS (SELECT m, CAST(s_jk AS DOUBLE) / m AS t1, "
+        "CAST(s_sum AS DOUBLE) / (2 * m) AS mu, "
+        "CAST(s_sq AS DOUBLE) / (2 * m) AS t2 FROM s) "
+        "SELECT CAST(m AS BIGINT) AS n_edges, "
+        "CASE WHEN t2 - mu * mu = 0 THEN NULL "
+        "ELSE (t1 - mu * mu) / (t2 - mu * mu) END AS r FROM c"
     ),
     "clustering_coeff": (
         "WITH raw AS (" + _COSUPPLY_RAW + "), "
