@@ -4848,7 +4848,12 @@ QUERIES = {
     # ---- code path this round (r5: lm_bigram_score + _join NEW
     # ---- (fixed-point bigram-LM scoring, both paths),
     # ---- dedup_cluster_stats NEW, bpe_merge_pairs NEW,
-    # ---- normalize_text NEW, decontaminate_fuzzy NEW (MinHash
+    # ---- normalize_text NEW, full_join NEW, zscore_by_group NEW,
+    # ---- token_entropy NEW, clustering_coeff NEW,
+    # ---- degree_assortativity NEW; wordcount/vocab_coverage/pmi
+    # ---- rewired onto the shared _unigram_counts artifact;
+    # ---- triangle_count internals refactored (_und_deg_oriented);
+    # ---- decontaminate_fuzzy NEW (MinHash
     # ---- eval-set scrub), grouped_stats NEW,
     # ---- asof_join gate + bucketed variant NEW,
     # ---- skew_join broadcast gate + skew_join_split NEW,
@@ -4876,6 +4881,9 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "clustering_coeff": q_clustering_coeff,
     "degree_assortativity": q_degree_assortativity,
+    # triangle_count internals were refactored this round
+    # (_und_deg_oriented extraction) → rotated into the window
+    "triangle_count": q_triangle_count,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
@@ -4949,7 +4957,6 @@ QUERIES = {
     "sessionize": q_sessionize,
     "kg_components": q_kg_components,
     "pagerank": q_pagerank,
-    "triangle_count": q_triangle_count,
     "khop": q_khop,
     "id_backfill": q_id_backfill,
     "typed_projection": q_typed_projection,
