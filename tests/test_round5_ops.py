@@ -456,3 +456,76 @@ def test_degree_assortativity_known_graphs(ray_session):
     forced = degree_assortativity(p4, "u", "v",
                                   broadcast_max=0).to_pandas()
     assert forced["r"][0] == out["r"][0]
+
+
+def _bowtie():
+    """Two triangles sharing node 2: 0-1-2 and 2-3-4."""
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "u": pa.array([0, 1, 0, 2, 3, 2], pa.int64()),
+        "v": pa.array([1, 2, 2, 3, 4, 4], pa.int64()),
+    }))
+
+
+def test_edge_jaccard_known_graph_and_join_path(ray_session):
+    """Bowtie: the two outer edges (0,1)/(3,4) have jaccard 1/3
+    (1 common neighbor over union 3); the four hub edges have 1/5.
+    The join-orientation path (broadcast_max=0) must match bit-for-bit."""
+    from vectrain_ray.functions.graph import edge_jaccard
+
+    got = edge_jaccard(_bowtie(), "u", "v").to_pandas().sort_values(
+        ["u", "v"]).reset_index(drop=True)
+    assert list(zip(got["u"], got["v"])) == [
+        (0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4)]
+    assert got["n_common"].tolist() == [1, 1, 1, 1, 1, 1]
+    assert got["deg_u"].tolist() == [2, 2, 2, 4, 4, 2]
+    assert got["deg_v"].tolist() == [2, 4, 4, 2, 2, 2]
+    exp = [1 / 3, 1 / 5, 1 / 5, 1 / 5, 1 / 5, 1 / 3]
+    assert np.allclose(got["jaccard"].to_numpy(), exp, rtol=0, atol=0)
+    forced = edge_jaccard(_bowtie(), "u", "v",
+                          broadcast_max=0).to_pandas().sort_values(
+        ["u", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, forced, check_dtype=False)
+
+
+def test_link_predict_ra_known_values_cap_and_join_path(ray_session):
+    """Bowtie: the four cross-triangle pairs (0,3) (0,4) (1,3) (1,4)
+    share exactly one neighbor (the hub, degree 4) → n_common 1,
+    ra_score = SCALE // 4. apex_cap below the hub degree excludes the
+    hub and leaves NO candidates (the degree-2 apexes only generate
+    already-adjacent pairs). Join path == broadcast path."""
+    from vectrain_ray.functions.graph import RA_FP_SCALE, link_predict_ra
+
+    got = link_predict_ra(_bowtie(), "u", "v").to_pandas().sort_values(
+        ["u", "v"]).reset_index(drop=True)
+    assert list(zip(got["u"], got["v"])) == [(0, 3), (0, 4), (1, 3), (1, 4)]
+    assert got["n_common"].tolist() == [1, 1, 1, 1]
+    assert got["ra_score"].tolist() == [RA_FP_SCALE // 4] * 4
+    capped = link_predict_ra(_bowtie(), "u", "v", apex_cap=3)
+    assert capped.count() == 0
+    forced = link_predict_ra(_bowtie(), "u", "v",
+                             broadcast_max=0).to_pandas().sort_values(
+        ["u", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, forced, check_dtype=False)
+
+
+def test_length_quantiles_exact_ranks(tmp_path, ray_session):
+    """Known per-source length multisets pin the integer rank rule
+    k_p = ceil(n·p/100): source 'a' has lengths [1..10] → p50 = 5,
+    p90 = 9, p99 = 10; source 'b' = [2, 2, 4] → p50 = 2, p90/p99 = 4;
+    an empty-text doc counts at length 0."""
+    sf = str(tmp_path)
+    texts = [" ".join(["w"] * k) for k in range(1, 11)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(14), pa.int64()),
+        "source": pa.array(["a"] * 10 + ["b"] * 3 + ["c"]),
+        "text": pa.array(texts + ["x y", "x y", "x y z w", ""]),
+    }), os.path.join(sf, "documents.parquet"))
+    got = Q.q_length_quantiles(sf).to_pandas().sort_values(
+        "source").reset_index(drop=True)
+    assert got["source"].tolist() == ["a", "b", "c"]
+    assert got["n_docs"].tolist() == [10, 3, 1]
+    assert got["p50"].tolist() == [5, 2, 0]
+    assert got["p90"].tolist() == [9, 4, 0]
+    assert got["p99"].tolist() == [10, 4, 0]

@@ -22,7 +22,14 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.empty and not len(df.columns):
+            # Ray's to_pandas drops columns on any 0-row dataset;
+            # rebuild the typed empty frame from the dataset schema
+            sch = res.schema()
+            df = pd.DataFrame({n: pd.Series([], dtype="object")
+                               for n in sch.names})
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res

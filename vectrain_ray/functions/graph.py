@@ -469,6 +469,31 @@ def _und_deg_oriented(edges, src: str, dst: str, broadcast_max: int):
     return und, deg, oriented, ranked
 
 
+def _wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Oriented src-bucket → wedge rows (apex, a, b): co-neighbor
+    pairs of each apex in (deg, id) order (np.triu_indices inner;
+    outer loop per NODE, not per row). Shared by triangles_per_node
+    and edge_jaccard."""
+    g = g.sort_values(["a", "db", "b"], kind="stable")
+    aps: list = []
+    xs: list = []
+    ys: list = []
+    for apex, grp in g.groupby("a", sort=False):
+        s = len(grp)
+        if s < 2:
+            continue
+        i, j = np.triu_indices(s, k=1)
+        nb = grp["b"].to_numpy()
+        aps.append(np.full(len(i), apex, dtype=nb.dtype))
+        xs.append(nb[i])
+        ys.append(nb[j])
+    if not xs:
+        return pd.DataFrame({"apex": [], "a": [], "b": []})
+    return pd.DataFrame({"apex": np.concatenate(aps),
+                         "a": np.concatenate(xs),
+                         "b": np.concatenate(ys)})
+
+
 def triangles_per_node(edges, src: str = "src", dst: str = "dst",
                        broadcast_max: int | None = None):
     """Per-node exact triangle counts + degrees: Dataset (node, degree,
@@ -492,30 +517,7 @@ def triangles_per_node(edges, src: str = "src", dst: str = "dst",
             "degree": pa.array([], pa.int64()),
             "n_tri": pa.array([], pa.int64())}))
 
-    def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        """Oriented src-bucket → wedge rows (apex, a, b): co-neighbor
-        pairs of each apex in (deg, id) order (np.triu_indices inner;
-        outer loop per NODE, not per row)."""
-        g = g.sort_values(["a", "db", "b"], kind="stable")
-        aps: list = []
-        xs: list = []
-        ys: list = []
-        for apex, grp in g.groupby("a", sort=False):
-            s = len(grp)
-            if s < 2:
-                continue
-            i, j = np.triu_indices(s, k=1)
-            nb = grp["b"].to_numpy()
-            aps.append(np.full(len(i), apex, dtype=nb.dtype))
-            xs.append(nb[i])
-            ys.append(nb[j])
-        if not xs:
-            return pd.DataFrame({"apex": [], "a": [], "b": []})
-        return pd.DataFrame({"apex": np.concatenate(aps),
-                             "a": np.concatenate(xs),
-                             "b": np.concatenate(ys)})
-
-    wedges = ranked.groupby("bucket").map_groups(wedges_bucket,
+    wedges = ranked.groupby("bucket").map_groups(_wedges_bucket,
                                                  batch_format="pandas")
 
     def tag(is_edge: int):
@@ -590,6 +592,304 @@ def triangles_per_node(edges, src: str = "src", dst: str = "dst",
 
     return both.groupby("bucket").map_groups(merge_bucket,
                                              batch_format="pandas")
+
+
+def _attach_degrees(und, deg, broadcast_max: int):
+    """Distinct undirected edges (u, v) + node-sized degree table →
+    Dataset (u, v, du, dv), broadcast-or-join per the standing policy:
+    ``ray.put`` lookup under ``broadcast_max`` nodes, two hash joins
+    above (the degree table never sits on one worker)."""
+    if deg.count() >= broadcast_max:
+        nparts = _join_num_partitions()
+        deg_su = deg.map_batches(
+            lambda t: pa.table({"u": t["node"],
+                                "du": pc.cast(t["s"], pa.int64())}),
+            batch_format="pyarrow")
+        deg_sv = deg.map_batches(
+            lambda t: pa.table({"v": t["node"],
+                                "dv": pc.cast(t["s"], pa.int64())}),
+            batch_format="pyarrow")
+        return und.join(deg_su, join_type="inner", num_partitions=nparts,
+                        on=("u",)).join(deg_sv, join_type="inner",
+                                        num_partitions=nparts, on=("v",))
+    deg_k, deg_v = _pull_pairs(deg, "node", "s")
+
+    def attach(t: pa.Table, _k=deg_k, _v=deg_v) -> pa.Table:
+        du = pc.cast(pc.take(_v, pc.index_in(t["u"], value_set=_k)),
+                     pa.int64())
+        dv = pc.cast(pc.take(_v, pc.index_in(t["v"], value_set=_k)),
+                     pa.int64())
+        return pa.table({"u": t["u"], "v": t["v"], "du": du, "dv": dv})
+
+    return und.map_batches(attach, batch_format="pyarrow")
+
+
+def edge_jaccard(edges, src: str = "src", dst: str = "dst",
+                 broadcast_max: int | None = None):
+    """Per-edge neighborhood Jaccard similarity — the structural
+    edge-strength signal used for KG edge pruning / community seeding:
+    for every distinct undirected edge (u, v),
+    ``jaccard = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` with
+    ``|N(u) ∩ N(v)| = n_common`` (= triangles through the edge) and
+    ``|N(u) ∪ N(v)| = deg_u + deg_v − n_common``. Output
+    (u, v, deg_u, deg_v, n_common, jaccard), one row per edge.
+
+    Scale path: n_common comes off the SAME degree-oriented wedge plan
+    as triangle_count (shuffle-optimal Σ C(outdeg⁺, 2) wedge volume;
+    _und_deg_oriented + _wedges_bucket) — each verified wedge is one
+    triangle and credits its THREE normalized edges with per-bucket
+    count partials, so the exchange after verification is edge-sized,
+    never wedge-sized. Degrees attach broadcast-or-join
+    (_attach_degrees). jaccard is exact integers through ONE float
+    division — the oracle's IEEE tree (denominator ≥ 2: each endpoint's
+    neighborhood contains the other endpoint, which is never a common
+    neighbor)."""
+    import ray.data as rd
+
+    if broadcast_max is None:
+        broadcast_max = BROADCAST_MAX_NODES
+    und, deg, oriented, ranked = _und_deg_oriented(edges, src, dst,
+                                                   broadcast_max)
+    ntype = _col_pa_type(und, "u", pa.int64()) if und is not None else \
+        pa.int64()
+    if oriented is None:
+        return rd.from_arrow(pa.table({
+            "u": pa.array([], ntype), "v": pa.array([], ntype),
+            "deg_u": pa.array([], pa.int64()),
+            "deg_v": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+
+    wedges = ranked.groupby("bucket").map_groups(_wedges_bucket,
+                                                 batch_format="pandas")
+
+    def tag(is_edge: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if is_edge:
+                out = pa.table({"a": t["a"], "b": t["b"]})
+                out = out.append_column(
+                    "apex", pa.nulls(out.num_rows, ntype))
+            else:
+                out = t.select(["a", "b", "apex"])
+            b = key_buckets(out.select(["a", "b"]).to_pandas(),
+                            ["a", "b"], NUM_BUCKETS)
+            return out.append_column("bucket",
+                                     pa.array(b.values, pa.int32()))
+
+        return fn
+
+    tagged = wedges.map_batches(tag(0), batch_format="pyarrow").union(
+        oriented.map_batches(tag(1), batch_format="pyarrow"))
+
+    def edge_partials_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Verify wedges against the edge set; each hit (one triangle)
+        credits its three edges, normalized (min, max) — emit per-edge
+        common-neighbor count partials (x, y, p)."""
+        is_edge = g["apex"].isna()
+        edge_set = g[is_edge][["a", "b"]].drop_duplicates()
+        hit = g[~is_edge].merge(edge_set, on=["a", "b"], how="inner")
+        if hit.empty:
+            return pd.DataFrame({"x": [], "y": [], "p": []})
+        apex = hit["apex"].astype(hit["a"].dtype).to_numpy()
+        a = hit["a"].to_numpy()
+        b = hit["b"].to_numpy()
+        x = np.concatenate([np.minimum(apex, a), np.minimum(apex, b),
+                            np.minimum(a, b)])
+        y = np.concatenate([np.maximum(apex, a), np.maximum(apex, b),
+                            np.maximum(a, b)])
+        return pd.DataFrame({"x": x, "y": y}).groupby(
+            ["x", "y"], sort=False).size().reset_index(name="p")
+
+    partials = tagged.groupby("bucket").map_groups(edge_partials_bucket,
+                                                   batch_format="pandas")
+
+    # ONE edge-bucketed merge of degree-attached edges (one row per edge)
+    # with the per-(a,b)-bucket common-neighbor partials
+    und_deg = _attach_degrees(und, deg, broadcast_max)
+
+    def tag_edge(kind: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if kind:  # degree-attached edge rows
+                out = pa.table({"u": t["u"], "v": t["v"],
+                                "du": t["du"], "dv": t["dv"],
+                                "p": pa.nulls(t.num_rows, pa.int64())})
+            else:
+                out = pa.table({"u": t["x"], "v": t["y"],
+                                "du": pa.nulls(t.num_rows, pa.int64()),
+                                "dv": pa.nulls(t.num_rows, pa.int64()),
+                                "p": pc.cast(t["p"], pa.int64())})
+            b = key_buckets(out.select(["u", "v"]).to_pandas(),
+                            ["u", "v"], NUM_BUCKETS)
+            return out.append_column("bucket",
+                                     pa.array(b.values, pa.int32()))
+
+        return fn
+
+    both = und_deg.map_batches(tag_edge(1), batch_format="pyarrow").union(
+        partials.map_batches(tag_edge(0), batch_format="pyarrow"))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["du"].notna()][["u", "v", "du", "dv"]]
+        p = (g[g["p"].notna()].groupby(["u", "v"], sort=False)["p"]
+             .sum().reset_index())
+        m = d.merge(p, on=["u", "v"], how="left")
+        ncom = m["p"].fillna(0).astype("int64")
+        du = m["du"].astype("int64")
+        dv = m["dv"].astype("int64")
+        return pd.DataFrame({
+            "u": m["u"], "v": m["v"], "deg_u": du, "deg_v": dv,
+            "n_common": ncom,
+            "jaccard": ncom.to_numpy().astype(np.float64)
+            / (du + dv - ncom).to_numpy().astype(np.float64)})
+
+    return both.groupby("bucket").map_groups(merge_bucket,
+                                             batch_format="pandas")
+
+
+RA_FP_SCALE = 1_000_000_000_000  # fixed-point: floor(SCALE / deg) per apex
+
+
+def link_predict_ra(edges, src: str = "src", dst: str = "dst",
+                    apex_cap: int = 1000, scale: int = RA_FP_SCALE,
+                    broadcast_max: int | None = None):
+    """Resource-Allocation link prediction (Zhou–Lü–Zhang RA index) —
+    the KG-completion candidate generator: for every NON-adjacent pair
+    (u, v) sharing at least one neighbor,
+    ``ra_score = Σ_{z ∈ N(u) ∩ N(v), deg(z) ≤ apex_cap} scale // deg(z)``
+    in FIXED POINT, so the distributed sum is exact-integer and
+    order-independent (the lm_bigram_score pattern — a float Σ 1/deg has
+    no stable order). Output (u, v, n_common, ra_score), u < v.
+
+    Hub apexes above ``apex_cap`` are excluded BY CONTRACT (mirrored by
+    the oracle): a hub's per-pair contribution is ≤ scale/apex_cap while
+    its wedge volume is C(deg, 2) — the cap is what keeps the wedge
+    exchange near-linear on power-law graphs instead of quadratic in the
+    hottest hub. Unlike the triangle family, wedges here must enumerate
+    co-neighbor pairs over the FULL undirected neighborhood of each apex
+    (degree orientation would miss pairs), so the cap is the scale lever.
+
+    Shuffles: one apex-bucketed wedge generation over the capped
+    symmetric adjacency (with per-bucket (pair → count, Σscore) combiner
+    partials), then ONE pair-bucketed merge that anti-joins the existing
+    edge set and sums partials."""
+    import ray.data as rd
+
+    if broadcast_max is None:
+        broadcast_max = BROADCAST_MAX_NODES
+    und = _distinct_undirected(edges, src, dst)
+    ntype = _col_pa_type(und, "u", pa.int64()) or pa.int64()
+    empty = pa.table({"u": pa.array([], ntype), "v": pa.array([], ntype),
+                      "n_common": pa.array([], pa.int64()),
+                      "ra_score": pa.array([], pa.int64())})
+    empty_pd = empty.to_pandas()
+    if und.count() == 0:
+        return rd.from_arrow(empty)
+    deg = _degree_table(und)
+
+    # symmetric adjacency (apex, nb) — both directions of every edge
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "apex": pa.concat_arrays([t["u"].combine_chunks(),
+                                      t["v"].combine_chunks()]),
+            "nb": pa.concat_arrays([t["v"].combine_chunks(),
+                                    t["u"].combine_chunks()])})
+
+    adj = und.map_batches(sym, batch_format="pyarrow")
+
+    # attach apex degree (broadcast-or-join), gate 2 ≤ deg ≤ apex_cap
+    if deg.count() >= broadcast_max:
+        nparts = _join_num_partitions()
+        deg_a = deg.map_batches(
+            lambda t: pa.table({"apex": t["node"],
+                                "d": pc.cast(t["s"], pa.int64())}),
+            batch_format="pyarrow")
+        adj_d = adj.join(deg_a, join_type="inner", num_partitions=nparts,
+                         on=("apex",))
+    else:
+        deg_k, deg_v = _pull_pairs(deg, "node", "s")
+
+        def attach(t: pa.Table, _k=deg_k, _v=deg_v) -> pa.Table:
+            d = pc.cast(pc.take(_v, pc.index_in(t["apex"], value_set=_k)),
+                        pa.int64())
+            return t.append_column("d", d)
+
+        adj_d = adj.map_batches(attach, batch_format="pyarrow")
+
+    def gate_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["d"], 2),
+                             pc.less_equal(t["d"], apex_cap)))
+        b = key_buckets(pd.DataFrame({"apex": t["apex"].to_pandas()}),
+                        ["apex"], NUM_BUCKETS)
+        return t.append_column("bucket", pa.array(b.values, pa.int32()))
+
+    gated = adj_d.map_batches(gate_bucket, batch_format="pyarrow")
+
+    def wedge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        """apex bucket → per-pair (x < y in id order) combiner partials
+        (x, y, n=#wedges, s=Σ scale//deg(apex))."""
+        g = g.sort_values(["apex", "nb"], kind="stable")
+        xs: list = []
+        ys: list = []
+        ss: list = []
+        for _, grp in g.groupby("apex", sort=False):
+            k = len(grp)
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, k=1)
+            nb = grp["nb"].to_numpy()
+            xs.append(nb[i])
+            ys.append(nb[j])
+            ss.append(np.full(len(i), scale // int(grp["d"].iloc[0]),
+                              dtype=np.int64))
+        if not xs:
+            return pd.DataFrame({"x": [], "y": [], "n": [], "s": []})
+        df = pd.DataFrame({"x": np.concatenate(xs),
+                           "y": np.concatenate(ys),
+                           "s": np.concatenate(ss)})
+        return df.groupby(["x", "y"], sort=False).agg(
+            n=("s", "size"), s=("s", "sum")).reset_index()
+
+    partials = gated.groupby("bucket").map_groups(wedge_partials,
+                                                  batch_format="pandas")
+
+    def tag(kind: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if kind:  # existing-edge rows: n null marks them
+                out = pa.table({"x": t["u"], "y": t["v"],
+                                "n": pa.nulls(t.num_rows, pa.int64()),
+                                "s": pa.nulls(t.num_rows, pa.int64())})
+            else:
+                out = pa.table({"x": t["x"], "y": t["y"],
+                                "n": pc.cast(t["n"], pa.int64()),
+                                "s": pc.cast(t["s"], pa.int64())})
+            b = key_buckets(out.select(["x", "y"]).to_pandas(),
+                            ["x", "y"], NUM_BUCKETS)
+            return out.append_column("bucket",
+                                     pa.array(b.values, pa.int32()))
+
+        return fn
+
+    both = partials.map_batches(tag(0), batch_format="pyarrow").union(
+        und.map_batches(tag(1), batch_format="pyarrow"))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["n"].isna()
+        es = g[is_edge][["x", "y"]].drop_duplicates()
+        w = g[~is_edge].merge(es, on=["x", "y"], how="left", indicator=True)
+        w = w[w["_merge"] == "left_only"]
+        if w.empty:
+            return empty_pd  # typed: keeps every block on ONE schema
+        c = w.groupby(["x", "y"], sort=False).agg(
+            n_common=("n", "sum"), ra_score=("s", "sum")).reset_index()
+        return pd.DataFrame({"u": c["x"], "v": c["y"],
+                             "n_common": c["n_common"].astype("int64"),
+                             "ra_score": c["ra_score"].astype("int64")})
+
+    # the typed empty union pins the output schema even when EVERY pair
+    # is already an edge (a near-complete graph yields zero candidates
+    # and Ray drops all-empty pandas groups, losing the columns)
+    return both.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas").union(rd.from_arrow(empty))
 
 
 def degree_assortativity(edges, src: str = "src", dst: str = "dst",

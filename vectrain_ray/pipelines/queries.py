@@ -31,7 +31,7 @@ from ray.data.aggregate import Min, Sum
 
 from ..functions import textops
 from ..functions.dedup import dedup_minhash, simhash_candidate_pairs
-from ..functions.dedup_exact import dedup_exact
+from ..functions.dedup_exact import dedup_exact, key_buckets
 from ..functions.similarity import neardup_pairs_cosine, topk_cosine
 from ..stages.extract import extract_batch, filter_nonempty_text, triples_table
 from ..synth import transcripts_from_documents
@@ -1287,6 +1287,31 @@ def q_degree_assortativity(sf_dir: str):
         degree_assortativity(_cosupply_edges(sf_dir), "u", "v"))
 
 
+def q_edge_jaccard(sf_dir: str):
+    """Per-edge neighborhood Jaccard over the co-supply graph — the
+    structural edge-strength signal for KG edge pruning: n_common (=
+    triangles through the edge, off the shared degree-oriented wedge
+    plan) over deg_u + deg_v − n_common. Exact integers through one
+    float division (the oracle's tree); see functions/graph.edge_jaccard
+    for the shuffle accounting."""
+    from ..functions.graph import edge_jaccard
+
+    return edge_jaccard(_cosupply_edges(sf_dir), "u", "v")
+
+
+def q_link_predict_ra(sf_dir: str):
+    """Resource-Allocation link prediction over the co-supply graph —
+    the KG-completion candidate generator: for every non-adjacent pair
+    sharing a neighbor, ra_score = Σ scale // deg(z) over common
+    neighbors z in FIXED POINT (exact-integer distributed sum). Hub
+    apexes above the cap are excluded by contract — the documented
+    scale lever on power-law graphs (functions/graph.link_predict_ra)."""
+    from ..functions.graph import link_predict_ra
+
+    return link_predict_ra(_cosupply_edges(sf_dir), "u", "v",
+                           apex_cap=1000)
+
+
 def q_khop(sf_dir: str):
     """Min-hop distance ≤ 3 from supplier 1 by frontier-broadcast BFS
     (per hop: pc.is_in semi-join over the streaming edge set)."""
@@ -1528,6 +1553,61 @@ def q_vocab_coverage(sf_dir: str):
 
     return ds.map_batches(OOVScan, batch_format="pyarrow",
                           batch_size=65536, concurrency=(1, 4))
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact per-source token-length percentiles (p50/p90/p99) — the
+    corpus-curation length profile that sets truncation and packing
+    budgets (the value-count-combiner CDF walk of q_grouped_quantiles,
+    composed with the oracle-locked tokenizer over the documents
+    corpus). Output (source, n_docs, p50, p90, p99); the percentile rank
+    is pure integer arithmetic, k_p = ceil(n·p/100) = (n·p + 99) // 100,
+    value = smallest n_tok whose cumulative count reaches k_p — no float
+    anywhere, so the oracle match is exact by construction.
+
+    Shape at scale: the corpus streams ONE pass emitting per-batch
+    (source, n_tok) count partials — the exchange moves distinct
+    (source, length) pairs (bounded: lengths are bounded, sources are
+    few), never documents; selection is a vectorized cumsum+searchsorted
+    per source inside one bucketed map_groups. Zero-token docs (empty
+    text) count at length 0, mirroring the oracle's filtered split."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, keep, parents = _doc_tokens(t)
+        par = parents.to_numpy(zero_copy_only=False)
+        keepn = keep.to_numpy(zero_copy_only=False)
+        ntok = (np.bincount(par[keepn], minlength=t.num_rows)
+                if len(par) else np.zeros(t.num_rows, np.int64))
+        g = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "n_tok": ntok.astype(np.int64),
+        }).groupby(["source", "n_tok"], sort=False).size().reset_index(
+            name="c")
+        b = key_buckets(g[["source"]], ["source"], 16)
+        g["bucket"] = b.values
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for source, grp in g.groupby("source", sort=False):
+            cc = grp.groupby("n_tok", sort=True)["c"].sum()
+            vals = cc.index.to_numpy()
+            cum = np.cumsum(cc.to_numpy())
+            n = int(cum[-1])
+
+            def pick(p: int) -> int:
+                return int(vals[np.searchsorted(cum, (n * p + 99) // 100)])
+
+            rows.append((source, n, pick(50), pick(90), pick(99)))
+        return pd.DataFrame(rows, columns=["source", "n_docs", "p50",
+                                           "p90", "p99"]).astype(
+            {"n_docs": "int64", "p50": "int64", "p90": "int64",
+             "p99": "int64"})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).groupby("bucket").map_groups(
+        finish, batch_format="pandas")
 
 
 LM_FP_SCALE = 1_000_000_000  # fixed-point: floor(SCALE·p) per bigram
@@ -4845,7 +4925,14 @@ def q_kg_degree_hist(sf_dir: str):
 
 QUERIES = {
     # ---- driver-gate window (first 50): every op NEW or with a CHANGED
-    # ---- code path this round (r5: lm_bigram_score + _join NEW
+    # ---- code path this round (r5: edge_jaccard NEW (per-edge
+    # ---- neighborhood Jaccard off the shared wedge plan),
+    # ---- link_predict_ra NEW (fixed-point Resource-Allocation link
+    # ---- prediction), length_quantiles NEW (exact per-source token
+    # ---- percentiles) — these three took the slots of sample_hash /
+    # ---- train_test_split / set_intersect (unchanged this round,
+    # ---- r4 driver-certified, moved below the window);
+    # ---- lm_bigram_score + _join NEW
     # ---- (fixed-point bigram-LM scoring, both paths),
     # ---- dedup_cluster_stats NEW, bpe_merge_pairs NEW,
     # ---- normalize_text NEW, full_join NEW, zscore_by_group NEW,
@@ -4866,6 +4953,9 @@ QUERIES = {
     # ---- re-verified locally every sweep (tools/check_oracle.py).
     "window_dedup": q_window_dedup,
     "kg_degree_hist": q_kg_degree_hist,
+    "edge_jaccard": q_edge_jaccard,
+    "link_predict_ra": q_link_predict_ra,
+    "length_quantiles": q_length_quantiles,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "grouped_stats": q_grouped_stats,
     "corpus_prep": q_corpus_prep,
@@ -4908,9 +4998,6 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "bigram_top": q_bigram_top,
     "decontaminate": q_decontaminate,
-    "sample_hash": q_sample_hash,
-    "train_test_split": q_train_test_split,
-    "set_intersect": q_set_intersect,
     "dedup_exact": q_dedup_exact,
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
@@ -4919,6 +5006,11 @@ QUERIES = {
     "ann_index_topk": q_ann_index_topk,
     "embed_neardup": q_embed_neardup,
     "read_csv": q_read_csv,
+    # displaced window fills (unchanged this round, r4 driver-certified):
+    # the r5-new ops above took their first-50 slots
+    "sample_hash": q_sample_hash,
+    "train_test_split": q_train_test_split,
+    "set_intersect": q_set_intersect,
     "cooccurrence": q_cooccurrence,
     "funnel_counts": q_funnel_counts,
     "cube_agg": q_cube_agg,
@@ -5656,6 +5748,55 @@ ORACLE_SQL = {
         "(CAST(d.degree AS DOUBLE) * (d.degree - 1)) ELSE 0.0 END AS coeff "
         "FROM deg d LEFT JOIN tn ON tn.node = d.node"
     ),
+    # edge_jaccard: n_common = triangles through the edge (each triangle
+    # x<y<z credits its three ordered pairs); jaccard is one DOUBLE/BIGINT
+    # division of exact integers — the identical IEEE tree on both sides.
+    "edge_jaccard": (
+        "WITH raw AS (" + _COSUPPLY_RAW + "), "
+        "e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b "
+        "FROM raw WHERE u <> v), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+        "pe AS (SELECT p, q, count(*) AS n FROM ("
+        "SELECT x AS p, y AS q FROM tri "
+        "UNION ALL SELECT x, z FROM tri "
+        "UNION ALL SELECT y, z FROM tri) GROUP BY p, q), "
+        "deg AS (SELECT node, count(*) AS d FROM ("
+        "SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
+        "GROUP BY node) "
+        "SELECT e.a AS u, e.b AS v, CAST(da.d AS BIGINT) AS deg_u, "
+        "CAST(db.d AS BIGINT) AS deg_v, "
+        "CAST(coalesce(pe.n, 0) AS BIGINT) AS n_common, "
+        "CAST(coalesce(pe.n, 0) AS DOUBLE) / "
+        "(da.d + db.d - coalesce(pe.n, 0)) AS jaccard "
+        "FROM e JOIN deg da ON da.node = e.a "
+        "JOIN deg db ON db.node = e.b "
+        "LEFT JOIN pe ON pe.p = e.a AND pe.q = e.b"
+    ),
+    # link_predict_ra: fixed-point RA index — scale // deg(apex) is exact
+    # integer division on both sides, the sum is order-independent; the
+    # apex-degree cap (2 ≤ d ≤ 1000) is part of the op's contract.
+    "link_predict_ra": (
+        "WITH raw AS (" + _COSUPPLY_RAW + "), "
+        "e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b "
+        "FROM raw WHERE u <> v), "
+        "deg AS (SELECT node, count(*) AS d FROM ("
+        "SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
+        "GROUP BY node), "
+        "adj AS (SELECT a AS apex, b AS nb FROM e "
+        "UNION ALL SELECT b, a FROM e), "
+        "aw AS (SELECT adj.apex, adj.nb, deg.d FROM adj "
+        "JOIN deg ON deg.node = adj.apex "
+        "WHERE deg.d >= 2 AND deg.d <= 1000), "
+        "w AS (SELECT a1.nb AS u, a2.nb AS v, a1.d AS d FROM aw a1 "
+        "JOIN aw a2 ON a2.apex = a1.apex AND a1.nb < a2.nb) "
+        "SELECT w.u, w.v, CAST(count(*) AS BIGINT) AS n_common, "
+        "CAST(sum(1000000000000 // w.d) AS BIGINT) AS ra_score "
+        "FROM w WHERE NOT EXISTS (SELECT 1 FROM e "
+        "WHERE e.a = w.u AND e.b = w.v) "
+        "GROUP BY w.u, w.v"
+    ),
     "khop": (
         "WITH raw AS (" + _COSUPPLY_RAW + "), "
         "e AS (SELECT DISTINCT u, v FROM raw WHERE u <> v), "
@@ -5703,6 +5844,28 @@ ORACLE_SQL = {
         "CAST(n_oov AS BIGINT) AS n_oov, "
         "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate "
         "FROM per WHERE n_tokens > 0"
+    ),
+    # length_quantiles: percentile rank is pure integer arithmetic,
+    # k_p = (n·p + 99) // 100 (= ceil(n·p/100)); value = smallest n_tok
+    # whose cumulative count reaches k_p — no float anywhere, exact by
+    # construction. Same oracle-locked tokenization as wordcount.
+    "length_quantiles": (
+        "WITH per AS (SELECT source, len(list_filter("
+        "regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+'), "
+        "x -> x <> '')) AS n_tok FROM documents), "
+        "g AS (SELECT source, n_tok, count(*) AS c FROM per "
+        "GROUP BY source, n_tok), "
+        "cum AS (SELECT source, n_tok, "
+        "sum(c) OVER (PARTITION BY source ORDER BY n_tok) AS cum, "
+        "sum(c) OVER (PARTITION BY source) AS n FROM g) "
+        "SELECT source, CAST(max(n) AS BIGINT) AS n_docs, "
+        "CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN n_tok END) "
+        "AS BIGINT) AS p50, "
+        "CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN n_tok END) "
+        "AS BIGINT) AS p90, "
+        "CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN n_tok END) "
+        "AS BIGINT) AS p99 "
+        "FROM cum GROUP BY source"
     ),
     # token_entropy: H = ln(n) - (Σ c·floor(SCALE·ln c))/(n·SCALE) —
     # the Σ is exact int64 (order-independent), the two float ops per
