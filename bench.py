@@ -161,6 +161,11 @@ def run_bench() -> dict:
         ("token_entropy", Q.q_token_entropy),
         ("zscore_by_group", Q.q_zscore_by_group),
         ("full_join", Q.q_full_join),
+        # shares the co-supply edge derivation + wedge plan machinery
+        ("edge_jaccard", Q.q_edge_jaccard),
+        ("link_predict_ra", Q.q_link_predict_ra),
+        ("length_quantiles", Q.q_length_quantiles),
+        ("conversation_stats", Q.q_conversation_stats),
         # NOTE: runs after dedup_minhash, which warms the shared
         # clustering artifact (_MINHASH_CLUSTERS_CACHE) — this row times
         # the INCREMENTAL cost (quality join + keep-best exchange), by

@@ -529,3 +529,40 @@ def test_length_quantiles_exact_ranks(tmp_path, ray_session):
     assert got["p50"].tolist() == [5, 2, 0]
     assert got["p90"].tolist() == [9, 4, 0]
     assert got["p99"].tolist() == [10, 4, 0]
+
+
+def test_conversation_stats_edges_and_oracle_parity(tmp_path, ray_session):
+    """Pinned shapes: a 3-sentence doc alternates user/asst/user; an
+    empty doc is one 0-char user turn with NULL resp_ratio; a doc whose
+    user turns are all empty ('. x') also gets NULL ratio. Full-frame
+    parity vs the DuckDB oracle on the same fixture."""
+    import duckdb
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["hi there. hello back. ok", "", ". x", None]),
+    }), os.path.join(sf, "documents.parquet"))
+    got = Q.q_conversation_stats(sf).to_pandas().sort_values(
+        "conv_id").reset_index(drop=True)
+    r0 = got[got["conv_id"] == "doc-0"].iloc[0]
+    assert (r0["n_turns"], r0["n_user"], r0["n_assistant"]) == (3, 2, 1)
+    assert r0["user_chars"] == len("hi there") + len("ok")
+    assert r0["assistant_chars"] == len("hello back")
+    assert abs(r0["resp_ratio"] - 10 / 10) < 1e-15
+    r1 = got[got["conv_id"] == "doc-1"].iloc[0]
+    assert (r1["n_turns"], r1["user_chars"]) == (1, 0)
+    assert pd.isna(r1["resp_ratio"])
+    r2 = got[got["conv_id"] == "doc-2"].iloc[0]
+    assert (r2["n_user"], r2["n_assistant"]) == (1, 1)
+    assert r2["user_chars"] == 0 and r2["assistant_chars"] == 1
+    assert pd.isna(r2["resp_ratio"])
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    oracle = con.sql(Q.ORACLE_SQL["conversation_stats"]).df().sort_values(
+        "conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+    # the coalesce in the oracle keeps NULL-text docs present on both
+    # sides (one 0-char user turn), unlike a bare string_split(NULL)
+    assert "doc-3" in set(oracle["conv_id"])

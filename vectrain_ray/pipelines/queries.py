@@ -1127,6 +1127,61 @@ def q_transcript_turns(sf_dir: str):
     )
 
 
+def q_conversation_stats(sf_dir: str):
+    """Per-conversation dialogue-shape stats over the derived transcripts
+    — the turn-level profile (who talks, how much) that drives transcript
+    curation: for every conversation, n_turns, per-role turn counts,
+    per-role character totals, and the assistant/user verbosity ratio
+    (NULL when the user side is empty). Roles follow the derivation's
+    parity rule (even turn_idx = user).
+
+    Shape at scale: one conversation = one document row, so this is a
+    pure per-batch map — ZERO shuffles at any corpus size. The split /
+    position / length arithmetic is all Arrow + numpy (list offsets give
+    intra-list turn positions; bincount does the per-role sums);
+    utf8_length is codepoints on both sides, resp_ratio is one float
+    division of exact integers (the oracle's tree, denominator masked
+    BEFORE the divide)."""
+    from ..rules import SENTENCE_SEP
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "").combine_chunks()  # (text or "")
+        parts = pc.split_pattern(txt, pattern=SENTENCE_SEP)
+        flat = _as_array(pc.list_flatten(parts))
+        par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        counts = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        pos = np.arange(len(par), dtype=np.int64) - offs[par]
+        is_user = pos % 2 == 0
+        chars = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_user = np.bincount(par[is_user], minlength=n).astype(np.int64)
+        user_chars = np.bincount(par[is_user], weights=chars[is_user],
+                                 minlength=n).astype(np.int64)
+        asst_chars = np.bincount(par[~is_user], weights=chars[~is_user],
+                                 minlength=n).astype(np.int64)
+        no_user = user_chars == 0
+        ratio = asst_chars.astype(np.float64) / np.where(
+            no_user, 1, user_chars).astype(np.float64)
+        return pa.table({
+            "conv_id": pc.binary_join_element_wise(
+                "doc-", pc.cast(t["doc_id"], pa.string()), ""),
+            "n_turns": pa.array(counts, pa.int64()),
+            "n_user": pa.array(n_user, pa.int64()),
+            "n_assistant": pa.array(counts - n_user, pa.int64()),
+            "user_chars": pa.array(user_chars, pa.int64()),
+            "assistant_chars": pa.array(asst_chars, pa.int64()),
+            "resp_ratio": pa.array(ratio, pa.float64(), mask=no_user),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=65536)
+
+
 def q_kg_triples(sf_dir: str):
     """Templated TPC-H transcripts → extraction only → (conv, turn, s, p, o).
     Full SQL oracle: the triples are exactly customer/supplier⋈nation."""
@@ -4929,9 +4984,11 @@ QUERIES = {
     # ---- neighborhood Jaccard off the shared wedge plan),
     # ---- link_predict_ra NEW (fixed-point Resource-Allocation link
     # ---- prediction), length_quantiles NEW (exact per-source token
-    # ---- percentiles) — these three took the slots of sample_hash /
-    # ---- train_test_split / set_intersect (unchanged this round,
-    # ---- r4 driver-certified, moved below the window);
+    # ---- percentiles), conversation_stats NEW (per-conversation
+    # ---- dialogue-shape profile, zero-shuffle) — these four took the
+    # ---- slots of sample_hash / train_test_split / set_intersect /
+    # ---- bigram_top (unchanged this round, r4 driver-certified, moved
+    # ---- below the window);
     # ---- lm_bigram_score + _join NEW
     # ---- (fixed-point bigram-LM scoring, both paths),
     # ---- dedup_cluster_stats NEW, bpe_merge_pairs NEW,
@@ -4956,6 +5013,7 @@ QUERIES = {
     "edge_jaccard": q_edge_jaccard,
     "link_predict_ra": q_link_predict_ra,
     "length_quantiles": q_length_quantiles,
+    "conversation_stats": q_conversation_stats,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "grouped_stats": q_grouped_stats,
     "corpus_prep": q_corpus_prep,
@@ -4996,7 +5054,6 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "inverted_index": q_inverted_index,
     "repetition_stats": q_repetition_stats,
-    "bigram_top": q_bigram_top,
     "decontaminate": q_decontaminate,
     "dedup_exact": q_dedup_exact,
     "kg_edges": q_kg_edges,
@@ -5008,6 +5065,7 @@ QUERIES = {
     "read_csv": q_read_csv,
     # displaced window fills (unchanged this round, r4 driver-certified):
     # the r5-new ops above took their first-50 slots
+    "bigram_top": q_bigram_top,
     "sample_hash": q_sample_hash,
     "train_test_split": q_train_test_split,
     "set_intersect": q_set_intersect,
@@ -5627,6 +5685,32 @@ ORACLE_SQL = {
         "parts[idx] AS text "
         "FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), "
         "LATERAL (SELECT unnest(generate_series(1, len(parts))) AS idx)"
+    ),
+    # conversation_stats: same '. '-split derivation as transcript_turns;
+    # length() is codepoints on both sides; resp_ratio is one
+    # DOUBLE/HUGEINT division of exact integer sums (NULL when the user
+    # side is empty — the Ray side masks before dividing).
+    "conversation_stats": (
+        "WITH t AS (SELECT doc_id, idx - 1 AS turn_idx, parts[idx] AS txt "
+        "FROM (SELECT doc_id, string_split(coalesce(text, ''), '. ') "
+        "AS parts FROM documents), "
+        "LATERAL (SELECT unnest(generate_series(1, len(parts))) AS idx)) "
+        "SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS conv_id, "
+        "CAST(count(*) AS BIGINT) AS n_turns, "
+        "CAST(sum(CASE WHEN turn_idx % 2 = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_user, "
+        "CAST(sum(CASE WHEN turn_idx % 2 = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_assistant, "
+        "CAST(sum(CASE WHEN turn_idx % 2 = 0 THEN length(txt) ELSE 0 END) "
+        "AS BIGINT) AS user_chars, "
+        "CAST(sum(CASE WHEN turn_idx % 2 = 1 THEN length(txt) ELSE 0 END) "
+        "AS BIGINT) AS assistant_chars, "
+        "CASE WHEN sum(CASE WHEN turn_idx % 2 = 0 THEN length(txt) "
+        "ELSE 0 END) = 0 THEN NULL ELSE "
+        "CAST(sum(CASE WHEN turn_idx % 2 = 1 THEN length(txt) ELSE 0 END) "
+        "AS DOUBLE) / sum(CASE WHEN turn_idx % 2 = 0 THEN length(txt) "
+        "ELSE 0 END) END AS resp_ratio "
+        "FROM t GROUP BY doc_id"
     ),
     "kg_triples": (
         "WITH turns(turn_idx) AS (VALUES (CAST(0 AS INTEGER)), (CAST(1 AS INTEGER))) "
