@@ -475,7 +475,7 @@ def test_edge_jaccard_known_graph_and_join_path(ray_session):
     from vectrain_ray.functions.graph import edge_jaccard
 
     got = edge_jaccard(_bowtie(), "u", "v").to_pandas().sort_values(
-        ["u", "v"]).reset_index(drop=True)
+        ["u", "v"]).reset_index(drop=True)  # dense-matmul path (default)
     assert list(zip(got["u"], got["v"])) == [
         (0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4)]
     assert got["n_common"].tolist() == [1, 1, 1, 1, 1, 1]
@@ -483,7 +483,11 @@ def test_edge_jaccard_known_graph_and_join_path(ray_session):
     assert got["deg_v"].tolist() == [2, 4, 4, 2, 2, 2]
     exp = [1 / 3, 1 / 5, 1 / 5, 1 / 5, 1 / 5, 1 / 3]
     assert np.allclose(got["jaccard"].to_numpy(), exp, rtol=0, atol=0)
-    forced = edge_jaccard(_bowtie(), "u", "v",
+    wedge = edge_jaccard(_bowtie(), "u", "v",
+                         dense_max=0).to_pandas().sort_values(
+        ["u", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, wedge, check_dtype=False)
+    forced = edge_jaccard(_bowtie(), "u", "v", dense_max=0,
                           broadcast_max=0).to_pandas().sort_values(
         ["u", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, forced, check_dtype=False)
@@ -504,7 +508,14 @@ def test_link_predict_ra_known_values_cap_and_join_path(ray_session):
     assert got["ra_score"].tolist() == [RA_FP_SCALE // 4] * 4
     capped = link_predict_ra(_bowtie(), "u", "v", apex_cap=3)
     assert capped.count() == 0
-    forced = link_predict_ra(_bowtie(), "u", "v",
+    capped_wedge = link_predict_ra(_bowtie(), "u", "v", apex_cap=3,
+                                   dense_max=0)
+    assert capped_wedge.count() == 0
+    wedge = link_predict_ra(_bowtie(), "u", "v",
+                            dense_max=0).to_pandas().sort_values(
+        ["u", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, wedge, check_dtype=False)
+    forced = link_predict_ra(_bowtie(), "u", "v", dense_max=0,
                              broadcast_max=0).to_pandas().sort_values(
         ["u", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, forced, check_dtype=False)
@@ -566,3 +577,27 @@ def test_conversation_stats_edges_and_oracle_parity(tmp_path, ray_session):
     # the coalesce in the oracle keeps NULL-text docs present on both
     # sides (one 0-char user turn), unlike a bare string_split(NULL)
     assert "doc-3" in set(oracle["conv_id"])
+
+
+def test_pair_ops_dense_equals_wedge_on_random_graph(ray_session):
+    """60-node deterministic random graph: the dense-matmul path and the
+    distributed wedge path must agree on EVERY column of both pair ops
+    (ncom counts, degrees, fixed-point RA scores, float jaccard bits)."""
+    import ray.data as rd
+    from vectrain_ray.functions.graph import edge_jaccard, link_predict_ra
+
+    rng = np.random.RandomState(7)
+    u = rng.randint(0, 60, 500).astype(np.int64)
+    v = rng.randint(0, 60, 500).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"u": pa.array(u), "v": pa.array(v)}))
+
+    for fn, cols in ((edge_jaccard, ["jaccard"]),
+                     (link_predict_ra, ["ra_score"])):
+        dense = fn(edges, "u", "v").to_pandas().sort_values(
+            ["u", "v"]).reset_index(drop=True)
+        wedge = fn(edges, "u", "v", dense_max=0).to_pandas().sort_values(
+            ["u", "v"]).reset_index(drop=True)
+        assert len(dense) > 50  # non-trivial workload
+        pd.testing.assert_frame_equal(dense, wedge, check_dtype=False)
+        for c in cols:  # float/fixed-point columns must match to the bit
+            assert (dense[c].to_numpy() == wedge[c].to_numpy()).all()

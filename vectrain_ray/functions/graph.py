@@ -391,18 +391,23 @@ def _degree_table(und):
         batch_format="pandas").materialize()
 
 
-def _und_deg_oriented(edges, src: str, dst: str, broadcast_max: int):
+def _und_deg_oriented(edges, src: str, dst: str, broadcast_max: int,
+                      und=None, deg=None):
     """Shared prep for the triangle family (triangle_count,
     triangles_per_node): distinct undirected edges, per-node degrees, and
     degree-oriented edges. Returns (und, deg, oriented, ranked); an empty
     graph returns (und, None, None, None). Orientation is broadcast under
     ``broadcast_max`` nodes and two hash joins above (triangle_count's
-    path-equality test covers both)."""
-    und = _distinct_undirected(edges, src, dst)
+    path-equality test covers both). Callers that already materialized
+    ``und`` / ``deg`` (e.g. a dense-path gate) pass them in to skip the
+    duplicate exchanges."""
+    if und is None:
+        und = _distinct_undirected(edges, src, dst)
     if und.count() == 0:  # no edges (join path crashes empty)
         return und, None, None, None
 
-    deg = _degree_table(und)
+    if deg is None:
+        deg = _degree_table(und)
     def _add_a_bucket(t: pa.Table) -> pa.Table:
         b = key_buckets(pd.DataFrame({"a": t["a"].to_pandas()}), ["a"],
                         NUM_BUCKETS)
@@ -624,8 +629,34 @@ def _attach_degrees(und, deg, broadcast_max: int):
     return und.map_batches(attach, batch_format="pyarrow")
 
 
+# pair-similarity ops (edge_jaccard, link_predict_ra) switch to ONE dense
+# adjacency matmul under this many nodes: the wedge exchange on a DENSE
+# small graph (the synthetic co-supply graph is near-complete) moves
+# Σ C(deg, 2) ≈ N·deg² wedge rows to compute what an N² int matmul gives
+# directly. 4096² float64 adjacency = 134 MB — one task's heap. All
+# values stay exact: counts < 2^53 in float64, and the per-pair float
+# expressions are the identical IEEE trees (path-equality tested).
+DENSE_PAIRS_MAX_NODES = 4096
+
+
+def _dense_adjacency(und):
+    """Materialized distinct undirected edges → (nodes, ui, vi, A):
+    sorted node values, edge endpoint indices and the dense float64
+    adjacency. ONLY called under DENSE_PAIRS_MAX_NODES."""
+    df = und.to_pandas()
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    a = np.zeros((len(nodes), len(nodes)), dtype=np.float64)
+    a[ui, vi] = 1.0
+    a[vi, ui] = 1.0
+    return nodes, ui, vi, a
+
+
 def edge_jaccard(edges, src: str = "src", dst: str = "dst",
-                 broadcast_max: int | None = None):
+                 broadcast_max: int | None = None,
+                 dense_max: int | None = None):
     """Per-edge neighborhood Jaccard similarity — the structural
     edge-strength signal used for KG edge pruning / community seeding:
     for every distinct undirected edge (u, v),
@@ -640,25 +671,47 @@ def edge_jaccard(edges, src: str = "src", dst: str = "dst",
     triangle and credits its THREE normalized edges with per-bucket
     count partials, so the exchange after verification is edge-sized,
     never wedge-sized. Degrees attach broadcast-or-join
-    (_attach_degrees). jaccard is exact integers through ONE float
-    division — the oracle's IEEE tree (denominator ≥ 2: each endpoint's
-    neighborhood contains the other endpoint, which is never a common
-    neighbor)."""
+    (_attach_degrees). Under DENSE_PAIRS_MAX_NODES nodes the op takes
+    ONE exact adjacency matmul instead (the wedge exchange on a dense
+    small graph moves N·deg² rows to compute what A² gives directly;
+    bit-identical, path-equality tested). jaccard is exact integers
+    through ONE float division — the oracle's IEEE tree (denominator
+    ≥ 2: each endpoint's neighborhood contains the other endpoint,
+    which is never a common neighbor)."""
     import ray.data as rd
 
     if broadcast_max is None:
         broadcast_max = BROADCAST_MAX_NODES
-    und, deg, oriented, ranked = _und_deg_oriented(edges, src, dst,
-                                                   broadcast_max)
-    ntype = _col_pa_type(und, "u", pa.int64()) if und is not None else \
-        pa.int64()
-    if oriented is None:
+    if dense_max is None:
+        dense_max = DENSE_PAIRS_MAX_NODES
+    und = _distinct_undirected(edges, src, dst)
+    ntype = _col_pa_type(und, "u", pa.int64()) or pa.int64()
+    if und.count() == 0:
         return rd.from_arrow(pa.table({
             "u": pa.array([], ntype), "v": pa.array([], ntype),
             "deg_u": pa.array([], pa.int64()),
             "deg_v": pa.array([], pa.int64()),
             "n_common": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64())}))
+    deg = _degree_table(und)
+
+    if deg.count() <= dense_max:
+        # dense path: one matmul gives every edge's common-neighbor count
+        nodes, ui, vi, a = _dense_adjacency(und)
+        ncom = (a @ a)[ui, vi]  # exact: integer-valued float64 < 2^53
+        degs = a.sum(axis=1)
+        du, dv = degs[ui], degs[vi]
+        jac = ncom / (du + dv - ncom)  # the wedge path's identical tree
+        return rd.from_arrow(pa.table({
+            "u": pa.array(nodes[ui]).cast(ntype),
+            "v": pa.array(nodes[vi]).cast(ntype),
+            "deg_u": pa.array(du.astype(np.int64), pa.int64()),
+            "deg_v": pa.array(dv.astype(np.int64), pa.int64()),
+            "n_common": pa.array(ncom.astype(np.int64), pa.int64()),
+            "jaccard": pa.array(jac, pa.float64())}))
+
+    und, deg, oriented, ranked = _und_deg_oriented(
+        edges, src, dst, broadcast_max, und=und, deg=deg)
 
     wedges = ranked.groupby("bucket").map_groups(_wedges_bucket,
                                                  batch_format="pandas")
@@ -751,7 +804,8 @@ RA_FP_SCALE = 1_000_000_000_000  # fixed-point: floor(SCALE / deg) per apex
 
 def link_predict_ra(edges, src: str = "src", dst: str = "dst",
                     apex_cap: int = 1000, scale: int = RA_FP_SCALE,
-                    broadcast_max: int | None = None):
+                    broadcast_max: int | None = None,
+                    dense_max: int | None = None):
     """Resource-Allocation link prediction (Zhou–Lü–Zhang RA index) —
     the KG-completion candidate generator: for every NON-adjacent pair
     (u, v) sharing at least one neighbor,
@@ -771,7 +825,9 @@ def link_predict_ra(edges, src: str = "src", dst: str = "dst",
     Shuffles: one apex-bucketed wedge generation over the capped
     symmetric adjacency (with per-bucket (pair → count, Σscore) combiner
     partials), then ONE pair-bucketed merge that anti-joins the existing
-    edge set and sums partials."""
+    edge set and sums partials. Under DENSE_PAIRS_MAX_NODES nodes the op
+    takes two exact matmuls instead (A_g·A_gᵀ for counts, (A_g·w)·A_gᵀ
+    for scores — bit-identical, path-equality tested)."""
     import ray.data as rd
 
     if broadcast_max is None:
@@ -785,6 +841,30 @@ def link_predict_ra(edges, src: str = "src", dst: str = "dst",
     if und.count() == 0:
         return rd.from_arrow(empty)
     deg = _degree_table(und)
+
+    if dense_max is None:
+        dense_max = DENSE_PAIRS_MAX_NODES
+    if deg.count() <= dense_max:
+        # dense path: n_common = A_g·A_gᵀ and ra = (A_g·w)·A_gᵀ with the
+        # apex gate folded into the columns — w ≤ scale/2 and sums stay
+        # < 2^53, so the float64 matmul is exact-integer
+        nodes, ui, vi, a = _dense_adjacency(und)
+        degs = a.sum(axis=1).astype(np.int64)
+        gate = (degs >= 2) & (degs <= apex_cap)
+        w = np.where(gate, scale // np.where(gate, degs, 1), 0).astype(
+            np.float64)
+        ag = a * gate.astype(np.float64)[None, :]
+        ncom = ag @ ag.T
+        ra = (ag * w[None, :]) @ ag.T
+        iu, iv = np.triu_indices(len(nodes), k=1)
+        sel = (a[iu, iv] == 0) & (ncom[iu, iv] > 0)
+        return rd.from_arrow(pa.table({
+            "u": pa.array(nodes[iu[sel]]).cast(ntype),
+            "v": pa.array(nodes[iv[sel]]).cast(ntype),
+            "n_common": pa.array(ncom[iu, iv][sel].astype(np.int64),
+                                 pa.int64()),
+            "ra_score": pa.array(ra[iu, iv][sel].astype(np.int64),
+                                 pa.int64())}))
 
     # symmetric adjacency (apex, nb) — both directions of every edge
     def sym(t: pa.Table) -> pa.Table:
