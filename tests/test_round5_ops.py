@@ -601,3 +601,29 @@ def test_pair_ops_dense_equals_wedge_on_random_graph(ray_session):
         pd.testing.assert_frame_equal(dense, wedge, check_dtype=False)
         for c in cols:  # float/fixed-point columns must match to the bit
             assert (dense[c].to_numpy() == wedge[c].to_numpy()).all()
+
+
+def test_type_token_ratio_pinned_and_oracle_parity(tmp_path, ray_session):
+    """Pinned values: 'a a b' → (3, 2, 1, 2/3); case-folding merges
+    'A a'; empty/NULL docs are excluded (no tokens). Full-frame parity
+    vs the DuckDB oracle on the same fixture."""
+    import duckdb
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a a b", "x", "", None, "A  a"]),
+    }), os.path.join(sf, "documents.parquet"))
+    got = Q.q_type_token_ratio(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 1, 4]
+    assert got["n_tokens"].tolist() == [3, 1, 2]
+    assert got["n_distinct"].tolist() == [2, 1, 1]
+    assert got["n_hapax"].tolist() == [1, 1, 0]
+    assert got["ttr"].tolist() == [2 / 3, 1.0, 0.5]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    oracle = con.sql(Q.ORACLE_SQL["type_token_ratio"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False)

@@ -1945,6 +1945,51 @@ def q_token_entropy(sf_dir: str):
                           batch_size=65536)
 
 
+def q_type_token_ratio(sf_dir: str):
+    """Per-document lexical diversity — the TTR / hapax profile quality
+    filters use alongside entropy (a low distinct/total ratio or a
+    vanishing hapax share flags templated, repetitive text). Output
+    (doc_id, n_tokens, n_distinct, n_hapax, ttr) for docs with ≥ 1
+    token; ttr = n_distinct / n_tokens is ONE float division of exact
+    integers (the oracle's tree), so hashes match bit-for-bit.
+
+    Shape at scale: a doc is one row, so the per-doc term counts are
+    batch-local — ONE zero-shuffle streaming pass over the shared
+    tokenize-once intermediate; nothing corpus-sized exists anywhere."""
+    ds = _tokenized_docs(sf_dir)  # shared tokenize-once intermediate
+
+    def ttr(t: pa.Table) -> pa.Table:
+        words, parents = _doc_tokens_from_lists(t)
+        ntok = pc.list_value_length(_as_array(t["toks"])).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        d = pd.DataFrame({"w": words.to_pandas(),
+                          "p": parents.to_pandas()})
+        nd = np.zeros(n, np.int64)
+        nh = np.zeros(n, np.int64)
+        if len(d):
+            cw = (d.groupby(["p", "w"], sort=False).size()
+                  .reset_index(name="c"))
+            per_d = cw.groupby("p", sort=False).size()
+            nd[per_d.index.to_numpy(np.int64)] = per_d.to_numpy(np.int64)
+            hap = cw[cw["c"] == 1].groupby("p", sort=False).size()
+            nh[hap.index.to_numpy(np.int64)] = hap.to_numpy(np.int64)
+        keep = ntok > 0
+        ids = t["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep]
+        nt, ndk, nhk = ntok[keep], nd[keep], nh[keep]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_distinct": pa.array(ndk, pa.int64()),
+            "n_hapax": pa.array(nhk, pa.int64()),
+            "ttr": pa.array(ndk.astype(np.float64)
+                            / nt.astype(np.float64), pa.float64()),
+        })
+
+    return ds.map_batches(ttr, batch_format="pyarrow", batch_size=65536)
+
+
 def q_zscore_by_group(sf_dir: str):
     """Per-group feature standardization — the z-score transform a
     training pipeline applies before length-based filtering or mixing:
@@ -5008,6 +5053,7 @@ QUERIES = {
     # ---- fused this round), plus r4-certified continuity fills. Ops below
     # ---- the window are unchanged since their last driver-green row and
     # ---- re-verified locally every sweep (tools/check_oracle.py).
+    "type_token_ratio": q_type_token_ratio,
     "window_dedup": q_window_dedup,
     "kg_degree_hist": q_kg_degree_hist,
     "edge_jaccard": q_edge_jaccard,
@@ -5335,6 +5381,21 @@ _LM_ORACLE_SQL = (
 )
 
 ORACLE_SQL = {
+    # type_token_ratio: exact integer counts; ttr is the single float
+    # division both sides spell identically, so hashes are bit-equal.
+    "type_token_ratio": (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "trim(lower(coalesce(text,''))), '\\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "cw AS (SELECT doc_id, word, count(*) AS c FROM "
+        "(SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word), "
+        "per AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, "
+        "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS nh "
+        "FROM cw GROUP BY doc_id) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+        "CAST(nd AS BIGINT) AS n_distinct, CAST(nh AS BIGINT) AS n_hapax, "
+        "CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) AS ttr FROM per"
+    ),
     "pack_sequences": (
         "WITH tk AS (SELECT doc_id, CAST(len(list_filter("
         "regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+'), "
