@@ -627,3 +627,22 @@ def test_type_token_ratio_pinned_and_oracle_parity(tmp_path, ray_session):
     oracle = con.sql(Q.ORACLE_SQL["type_token_ratio"]).df().sort_values(
         "doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+
+
+def test_reciprocity_pinned(ray_session):
+    """Directed 0↔1, 0→2, 2↔3 plus a self-loop and a duplicate edge:
+    self-loops drop (node 4 absent), duplicates collapse, and node 0's
+    ratio is 1/2 (only the 0↔1 link is mutual)."""
+    import ray.data as rd
+    from vectrain_ray.functions.graph import reciprocity
+
+    edges = rd.from_arrow(pa.table({
+        "u": pa.array([0, 1, 0, 2, 3, 4, 0], pa.int64()),
+        "v": pa.array([1, 0, 2, 3, 2, 4, 1], pa.int64()),
+    }))
+    got = reciprocity(edges, "u", "v").to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert got["node"].tolist() == [0, 1, 2, 3]
+    assert got["n_out"].tolist() == [2, 1, 1, 1]
+    assert got["n_recip"].tolist() == [1, 1, 1, 1]
+    assert got["recip_ratio"].tolist() == [0.5, 1.0, 1.0, 1.0]

@@ -1270,3 +1270,71 @@ def sssp_rounds(edges, seed, rounds: int = 4, src: str = "u",
     return dist.map_batches(
         lambda t: pa.table({"node": t["u"], "dist": t["d"]}),
         batch_format="pyarrow")
+
+
+def reciprocity(edges, src: str = "src", dst: str = "dst"):
+    """Per-node edge reciprocity over a DIRECTED graph — the mutual-link
+    profile (how much of a node's out-neighborhood links back) used to
+    separate symmetric relations from one-way ones when pruning /
+    typing KG edges. Output (node, n_out, n_recip, recip_ratio): distinct
+    out-neighbors (self-loops dropped), how many of them also carry the
+    reverse edge, and their ratio — ONE float division of exact integers
+    (the oracle's tree), so hashes match bit-for-bit.
+
+    Scale path: the edge set collapses to distinct (u, v) pairs with the
+    standard combiner-before-shuffle (_distinct_edges), then each pair is
+    normalized to (min, max) with direction flags and ONE pair-bucketed
+    groupby ORs the two directions together — pair-sized exchange. The
+    per-node rollup is ONE node-bucketed groupby over per-batch count
+    partials (node-sized). Nothing is ever all-pairs and no node's
+    neighborhood is materialized anywhere."""
+    from ray.data.aggregate import Sum
+
+    e = _distinct_edges(edges, src, dst, symmetric=False)
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t["u"], t["v"])
+        b = pc.max_element_wise(t["u"], t["v"])
+        fwd = pc.cast(pc.less(t["u"], t["v"]), pa.int64())  # edge is a→b
+        g = pa.table({
+            "a": a, "b": b, "f": fwd, "r": pc.subtract(1, fwd),
+        }).group_by(["a", "b"]).aggregate([("f", "sum"), ("r", "sum")])
+        return g.rename_columns(["a", "b", "f", "r"])
+
+    # distinct pairs ⇒ global f/r per (a, b) are each 0 or 1
+    pairs = (e.map_batches(canon, batch_format="pyarrow")
+             .groupby(["a", "b"])
+             .aggregate(Sum("f", alias_name="f"), Sum("r", alias_name="r")))
+
+    def per_node_partial(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        rec = (f * r).astype(np.int64)  # 1 iff both directions exist
+        nodes = np.concatenate([a[f == 1], b[r == 1]])
+        recs = np.concatenate([rec[f == 1], rec[r == 1]])
+        g = pa.table({
+            "node": pa.array(nodes),
+            "n_out": pa.array(np.ones(len(nodes), np.int64)),
+            "n_recip": pa.array(recs),
+        }).group_by(["node"]).aggregate([("n_out", "sum"),
+                                         ("n_recip", "sum")])
+        return g.rename_columns(["node", "n_out", "n_recip"])
+
+    per_node = (pairs.map_batches(per_node_partial, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(Sum("n_out", alias_name="n_out"),
+                           Sum("n_recip", alias_name="n_recip")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_out"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t["n_recip"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "node": t["node"],
+            "n_out": pc.cast(t["n_out"], pa.int64()),
+            "n_recip": pc.cast(t["n_recip"], pa.int64()),
+            "recip_ratio": pa.array(k / n, pa.float64()),
+        })
+
+    return per_node.map_batches(finish, batch_format="pyarrow")

@@ -1367,6 +1367,19 @@ def q_link_predict_ra(sf_dir: str):
                            apex_cap=1000)
 
 
+def q_reciprocity(sf_dir: str):
+    """Per-node edge reciprocity over the directed co-supply graph — the
+    mutual-link share that separates symmetric relations from one-way
+    ones when typing KG edges: for every node with out-edges, n_out
+    distinct out-neighbors, n_recip of them with the reverse edge, and
+    their ratio (exact integers through one float division — the
+    oracle's tree). Pair-sized + node-sized exchanges only
+    (functions/graph.reciprocity)."""
+    from ..functions.graph import reciprocity
+
+    return reciprocity(_cosupply_edges(sf_dir), "u", "v")
+
+
 def q_khop(sf_dir: str):
     """Min-hop distance ≤ 3 from supplier 1 by frontier-broadcast BFS
     (per hop: pc.is_in semi-join over the streaming edge set)."""
@@ -5054,6 +5067,7 @@ QUERIES = {
     # ---- the window are unchanged since their last driver-green row and
     # ---- re-verified locally every sweep (tools/check_oracle.py).
     "type_token_ratio": q_type_token_ratio,
+    "reciprocity": q_reciprocity,
     "window_dedup": q_window_dedup,
     "kg_degree_hist": q_kg_degree_hist,
     "edge_jaccard": q_edge_jaccard,
@@ -5896,6 +5910,19 @@ ORACLE_SQL = {
     # edge_jaccard: n_common = triangles through the edge (each triangle
     # x<y<z credits its three ordered pairs); jaccard is one DOUBLE/BIGINT
     # division of exact integers — the identical IEEE tree on both sides.
+    # reciprocity: exact integer counts through one float division —
+    # both sides spell n_recip/n_out identically, so bits match.
+    "reciprocity": (
+        "WITH raw AS (" + _COSUPPLY_RAW + "), "
+        "e AS (SELECT DISTINCT u, v FROM raw WHERE u <> v), "
+        "r AS (SELECT e.u, e.v, CASE WHEN e2.u IS NOT NULL THEN 1 ELSE 0 "
+        "END AS rec FROM e LEFT JOIN e e2 "
+        "ON e2.u = e.v AND e2.v = e.u) "
+        "SELECT u AS node, CAST(count(*) AS BIGINT) AS n_out, "
+        "CAST(sum(rec) AS BIGINT) AS n_recip, "
+        "CAST(sum(rec) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+        "AS recip_ratio FROM r GROUP BY u"
+    ),
     "edge_jaccard": (
         "WITH raw AS (" + _COSUPPLY_RAW + "), "
         "e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b "
