@@ -646,3 +646,30 @@ def test_reciprocity_pinned(ray_session):
     assert got["n_out"].tolist() == [2, 1, 1, 1]
     assert got["n_recip"].tolist() == [1, 1, 1, 1]
     assert got["recip_ratio"].tolist() == [0.5, 1.0, 1.0, 1.0]
+
+
+def test_turn_overlap_pinned(tmp_path, ray_session):
+    """The templated 2-turn conversation pins the numbers: turn 1 adds
+    'yes,' to the 4 distinct turn-0 tokens → (4, 5, 4, 0.8) for every
+    conversation, customer and supplier alike."""
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([7], pa.int32()),
+        "n_name": pa.array(["ZETA"]),
+    }), os.path.join(sf, "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_nationkey": pa.array([7, 7], pa.int32()),
+    }), os.path.join(sf, "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([5], pa.int64()),
+        "s_nationkey": pa.array([7], pa.int32()),
+    }), os.path.join(sf, "supplier.parquet"))
+    got = Q.q_turn_overlap(sf).to_pandas().sort_values(
+        "conv_id").reset_index(drop=True)
+    assert got["conv_id"].tolist() == ["c-1", "c-2", "s-5"]
+    assert got["turn_idx"].tolist() == [1, 1, 1]
+    assert got["n_prev"].tolist() == [4, 4, 4]
+    assert got["n_cur"].tolist() == [5, 5, 5]
+    assert got["n_common"].tolist() == [4, 4, 4]
+    assert got["jaccard"].tolist() == [0.8, 0.8, 0.8]

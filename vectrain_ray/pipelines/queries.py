@@ -1182,6 +1182,96 @@ def q_conversation_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=65536)
 
 
+def q_turn_overlap(sf_dir: str):
+    """Consecutive-turn lexical overlap within each transcript
+    conversation — the turn-level self-repetition signal transcript
+    curation uses to flag degenerate dialogues (assistants parroting
+    the user, loops): for every turn t ≥ 1, the distinct-token sets of
+    turn t−1 and t give (n_prev, n_cur, n_common, jaccard). Token rule
+    is the oracle-locked _doc_tokens split applied per turn; rows whose
+    union is empty (both turns tokenless — jaccard undefined) are
+    excluded. jaccard is exact integers through one float division (the
+    oracle's tree).
+
+    Shape at scale: ONE conv-bucketed exchange co-locates each
+    conversation's turns (the _cosupply_edges pattern — turn text moves
+    exactly once, crc_bucket_array is vectorized), then everything
+    inside a bucket is Arrow splits + a pandas drop_duplicates/merge
+    over (conv, turn, token) — one Python call per BUCKET, never per
+    conversation, and nothing corpus-sized exists anywhere."""
+    from ..rules import crc_bucket_array
+
+    ts = tpch_transcripts(sf_dir)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(["conv_id", "turn_idx", "text"])
+        return t.append_column(
+            "bucket", pa.array(crc_bucket_array(t["conv_id"], 64),
+                               pa.int32()))
+
+    def overlap(df: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(df[["conv_id", "turn_idx", "text"]],
+                                 preserve_index=False)
+        conv = t["conv_id"].combine_chunks()
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # oracle-locked per-turn tokenization
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                pc.fill_null(t["text"], ""))).combine_chunks(),
+            pattern=r"\s+")
+        words = pc.list_flatten(toks)
+        keep = pc.not_equal(words, "")
+        tpar = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keepn = keep.to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({
+            "row": tpar[keepn],
+            "tok": words.filter(pa.array(keepn)).to_pandas(),
+        })
+        d["conv"] = conv.take(pa.array(d["row"].to_numpy())).to_pandas()
+        d["turn"] = turn[d["row"].to_numpy()]
+        d = d.drop_duplicates(["conv", "turn", "tok"])
+        ntok = np.zeros(t.num_rows, np.int64)
+        if len(d):
+            per = d.groupby("row", sort=False).size()
+            # distinct per (conv, turn): (conv, turn) ↔ row is 1:1 here
+            ntok[per.index.to_numpy(np.int64)] = per.to_numpy(np.int64)
+        key = pd.DataFrame({"conv": conv.to_pandas(), "turn": turn,
+                            "row": np.arange(t.num_rows, dtype=np.int64)})
+        ncom = np.zeros(t.num_rows, np.int64)
+        if len(d):
+            prev = d[["conv", "turn", "tok"]].copy()
+            prev["turn"] = prev["turn"] + 1
+            m = prev.merge(d[["conv", "turn", "tok", "row"]],
+                           on=["conv", "turn", "tok"])
+            if len(m):
+                per = m.groupby("row", sort=False).size()
+                ncom[per.index.to_numpy(np.int64)] = per.to_numpy(np.int64)
+        # n_prev: count of the (conv, turn-1) row when present, else 0
+        pk = key.copy()
+        pk["turn"] = pk["turn"] + 1
+        pk["pn"] = ntok[pk["row"].to_numpy()]
+        cur = key[key["turn"] >= 1].merge(
+            pk[["conv", "turn", "pn"]], on=["conv", "turn"], how="left")
+        g = cur["row"].to_numpy(np.int64)
+        npv = cur["pn"].fillna(0).to_numpy(np.int64)
+        ncu, ncm = ntok[g], ncom[g]
+        union = npv + ncu - ncm
+        ok = union > 0
+        g, npv, ncu, ncm, union = g[ok], npv[ok], ncu[ok], ncm[ok], union[ok]
+        return pd.DataFrame({
+            "conv_id": conv.take(pa.array(g)).to_pandas(),
+            "turn_idx": cur["turn"].to_numpy(np.int64)[ok].astype(np.int32),
+            "n_prev": npv,
+            "n_cur": ncu,
+            "n_common": ncm,
+            "jaccard": ncm.astype(np.float64) / union.astype(np.float64),
+        })
+
+    return (ts.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(overlap, batch_format="pandas"))
+
+
 def q_kg_triples(sf_dir: str):
     """Templated TPC-H transcripts → extraction only → (conv, turn, s, p, o).
     Full SQL oracle: the triples are exactly customer/supplier⋈nation."""
@@ -5068,6 +5158,7 @@ QUERIES = {
     # ---- re-verified locally every sweep (tools/check_oracle.py).
     "type_token_ratio": q_type_token_ratio,
     "reciprocity": q_reciprocity,
+    "turn_overlap": q_turn_overlap,
     "window_dedup": q_window_dedup,
     "kg_degree_hist": q_kg_degree_hist,
     "edge_jaccard": q_edge_jaccard,
@@ -5395,6 +5486,46 @@ _LM_ORACLE_SQL = (
 )
 
 ORACLE_SQL = {
+    # turn_overlap: same templated TPC-H transcript derivation as the
+    # kg_triples oracle (turn 0 = stmt, turn 1 = 'Yes, ' || stmt),
+    # oracle-locked token rule per turn; exact integer counts through
+    # one float division.
+    "turn_overlap": (
+        "WITH turns(turn) AS (VALUES (0), (1)), "
+        "base AS ("
+        "SELECT 'c-' || CAST(c_custkey AS VARCHAR) AS conv_id, "
+        "'C' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') || "
+        "' located in ' || n_name || '.' AS stmt "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "UNION ALL "
+        "SELECT 's-' || CAST(s_suppkey AS VARCHAR), "
+        "'S' || lpad(CAST(s_suppkey AS VARCHAR), 7, '0') || "
+        "' located in ' || n_name || '.' "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey), "
+        "t AS (SELECT conv_id, turn, CASE WHEN turn = 0 THEN stmt "
+        "ELSE 'Yes, ' || stmt END AS txt FROM base CROSS JOIN turns), "
+        "tok AS (SELECT DISTINCT conv_id, turn, w FROM ("
+        "SELECT conv_id, turn, unnest(list_filter(regexp_split_to_array("
+        "trim(lower(txt)), '\\s+'), x -> x <> '')) AS w FROM t)), "
+        "cnt AS (SELECT conv_id, turn, count(*) AS n FROM tok "
+        "GROUP BY conv_id, turn), "
+        "com AS (SELECT a.conv_id, b.turn, count(*) AS c FROM tok a "
+        "JOIN tok b ON b.conv_id = a.conv_id AND b.turn = a.turn + 1 "
+        "AND b.w = a.w GROUP BY a.conv_id, b.turn) "
+        "SELECT cu.conv_id, CAST(cu.turn AS INTEGER) AS turn_idx, "
+        "CAST(coalesce(cp.n, 0) AS BIGINT) AS n_prev, "
+        "CAST(coalesce(cc.n, 0) AS BIGINT) AS n_cur, "
+        "CAST(coalesce(cm.c, 0) AS BIGINT) AS n_common, "
+        "CAST(coalesce(cm.c, 0) AS DOUBLE) / CAST(coalesce(cp.n, 0) "
+        "+ coalesce(cc.n, 0) - coalesce(cm.c, 0) AS DOUBLE) AS jaccard "
+        "FROM t cu "
+        "LEFT JOIN cnt cp ON cp.conv_id = cu.conv_id "
+        "AND cp.turn = cu.turn - 1 "
+        "LEFT JOIN cnt cc ON cc.conv_id = cu.conv_id AND cc.turn = cu.turn "
+        "LEFT JOIN com cm ON cm.conv_id = cu.conv_id AND cm.turn = cu.turn "
+        "WHERE cu.turn >= 1 AND coalesce(cp.n, 0) + coalesce(cc.n, 0) "
+        "- coalesce(cm.c, 0) > 0"
+    ),
     # type_token_ratio: exact integer counts; ttr is the single float
     # division both sides spell identically, so hashes are bit-equal.
     "type_token_ratio": (

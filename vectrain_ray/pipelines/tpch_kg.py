@@ -87,7 +87,7 @@ def tpch_transcripts(sf_dir: str) -> rd.Dataset:
         fn_constructor_kwargs=dict(nations_ref=nations_ref, prefix="C",
                                    key_col="c_custkey", nk_col="c_nationkey"),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     supp = read_transcripts(
         os.path.join(sf_dir, "supplier.parquet"),
@@ -97,6 +97,6 @@ def tpch_transcripts(sf_dir: str) -> rd.Dataset:
         fn_constructor_kwargs=dict(nations_ref=nations_ref, prefix="S",
                                    key_col="s_suppkey", nk_col="s_nationkey"),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return cust.union(supp)
