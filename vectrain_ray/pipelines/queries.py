@@ -5126,6 +5126,62 @@ def q_kg_degree_hist(sf_dir: str):
             .groupby("degree").aggregate(Sum("p_cnt", alias_name="n_nodes")))
 
 
+def q_quality_filter(sf_dir: str):
+    """Gopher-style composite quality filter (Rae et al. 2021 §A1.1): the
+    keep/drop decision every pretraining corpus applies before mixing,
+    as the conjunction of four per-doc rules — token count in [30, 90],
+    mean token length in [4.0, 5.0], distinct-token fraction ≥ 0.4
+    (duplicate fraction ≤ 0.6), and top-unigram fraction ≤ 0.2. Output:
+    (doc_id, n_tokens, ok_len, ok_tok_len, ok_distinct, ok_top, keep)
+    with flags as 0/1 BIGINTs.
+
+    Scale path: ONE zero-shuffle streaming pass over the shared
+    tokenize-once intermediate — each doc's rule inputs (n, Σlen(tok),
+    n_distinct, max unigram count) are batch-local integers. Parity:
+    every threshold is evaluated as an INTEGER cross-multiplication
+    (e.g. mean-length ∈ [4, 5] → 40·n ≤ 10·Σlen ≤ 50·n), so there is
+    no float anywhere and the oracle hash is exact by construction."""
+    ds = _tokenized_docs(sf_dir)  # shared tokenize-once intermediate
+
+    def rules(t: pa.Table) -> pd.DataFrame:
+        words, parents = _doc_tokens_from_lists(t)
+        docs = pc.take(_as_array(t["doc_id"]), parents)
+        df = pd.DataFrame({"doc_id": docs.to_pandas(),
+                           "tok": words.to_pandas()})
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                **{c: pd.Series([], dtype="int64") for c in
+                   ("n_tokens", "ok_len", "ok_tok_len", "ok_distinct",
+                    "ok_top", "keep")}})
+        df["toklen"] = df["tok"].str.len()
+        g = df.groupby("doc_id", sort=False)
+        per = pd.DataFrame({
+            "n": g.size(),
+            "sumlen": g["toklen"].sum(),
+            "nd": g["tok"].nunique(),
+            "topc": (df.groupby(["doc_id", "tok"], sort=False).size()
+                     .groupby("doc_id").max()),
+        }).reset_index()
+        n = per["n"].to_numpy()
+        ok_len = (30 <= n) & (n <= 90)
+        sl = per["sumlen"].to_numpy()
+        ok_tok_len = (40 * n <= 10 * sl) & (10 * sl <= 50 * n)
+        ok_distinct = 10 * per["nd"].to_numpy() >= 4 * n
+        ok_top = 5 * per["topc"].to_numpy() <= n
+        keep = ok_len & ok_tok_len & ok_distinct & ok_top
+        return pd.DataFrame({
+            "doc_id": per["doc_id"].astype("int64"),
+            "n_tokens": per["n"].astype("int64"),
+            "ok_len": ok_len.astype("int64"),
+            "ok_tok_len": ok_tok_len.astype("int64"),
+            "ok_distinct": ok_distinct.astype("int64"),
+            "ok_top": ok_top.astype("int64"),
+            "keep": keep.astype("int64")})
+
+    return ds.map_batches(rules, batch_format="pyarrow", batch_size=65536)
+
+
 QUERIES = {
     # ---- driver-gate window (first 50): every op NEW or with a CHANGED
     # ---- code path this round (r5: edge_jaccard NEW (per-edge
@@ -5156,6 +5212,7 @@ QUERIES = {
     # ---- fused this round), plus r4-certified continuity fills. Ops below
     # ---- the window are unchanged since their last driver-green row and
     # ---- re-verified locally every sweep (tools/check_oracle.py).
+    "quality_filter": q_quality_filter,
     "type_token_ratio": q_type_token_ratio,
     "reciprocity": q_reciprocity,
     "turn_overlap": q_turn_overlap,
@@ -5486,6 +5543,31 @@ _LM_ORACLE_SQL = (
 )
 
 ORACLE_SQL = {
+    # quality_filter: all four Gopher rules are integer
+    # cross-multiplications — no float anywhere, hash exact by
+    # construction.
+    "quality_filter": (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "trim(lower(coalesce(text,''))), '\\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "cw AS (SELECT doc_id, word, count(*) AS c FROM "
+        "(SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word), "
+        "per AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS topc, "
+        "sum(len(word) * c) AS sumlen FROM cw GROUP BY doc_id), "
+        "fl AS (SELECT doc_id, n, "
+        "CASE WHEN n >= 30 AND n <= 90 THEN 1 ELSE 0 END AS ok_len, "
+        "CASE WHEN 40 * n <= 10 * sumlen AND 10 * sumlen <= 50 * n "
+        "THEN 1 ELSE 0 END AS ok_tok_len, "
+        "CASE WHEN 10 * nd >= 4 * n THEN 1 ELSE 0 END AS ok_distinct, "
+        "CASE WHEN 5 * topc <= n THEN 1 ELSE 0 END AS ok_top FROM per) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+        "CAST(ok_len AS BIGINT) AS ok_len, "
+        "CAST(ok_tok_len AS BIGINT) AS ok_tok_len, "
+        "CAST(ok_distinct AS BIGINT) AS ok_distinct, "
+        "CAST(ok_top AS BIGINT) AS ok_top, "
+        "CAST(ok_len * ok_tok_len * ok_distinct * ok_top AS BIGINT) AS keep "
+        "FROM fl"
+    ),
     # turn_overlap: same templated TPC-H transcript derivation as the
     # kg_triples oracle (turn 0 = stmt, turn 1 = 'Yes, ' || stmt),
     # oracle-locked token rule per turn; exact integer counts through
