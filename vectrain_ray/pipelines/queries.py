@@ -5126,6 +5126,81 @@ def q_kg_degree_hist(sf_dir: str):
             .groupby("degree").aggregate(Sum("p_cnt", alias_name="n_nodes")))
 
 
+DUPFRAC_N = 3  # n-gram width of the duplicated-fraction quality signal
+
+
+def q_dup_ngram_fraction(sf_dir: str):
+    """Per-document duplicated-n-gram fraction (the Gopher/RefinedWeb
+    "fraction of characters in duplicated n-grams" family, on token
+    3-grams): for each doc, the share of its 3-gram OCCURRENCES whose
+    gram appears in ≥ 2 distinct documents corpus-wide. The per-doc
+    score the span-level dup_ngram_spans report can't give — this is
+    the number the keep/drop filter actually thresholds.
+
+    Scale path: grams are built vectorized per batch (group-wise pandas
+    shifts, no row loop) and combiner-reduced per (gram, doc) INSIDE the
+    batch; ONE gram-bucketed exchange computes each gram's distinct-doc
+    count and collapses to per-(doc, bucket) partial sums — so the second
+    (doc-keyed) exchange moves ≤ #docs × #buckets tiny integer rows, never
+    grams. dup_frac is one float division over exact integers."""
+    ds = _tokenized_docs(sf_dir)  # shared tokenize-once intermediate
+
+    def grams(t: pa.Table) -> pd.DataFrame:
+        words, parents = _doc_tokens_from_lists(t)
+        docs = pc.take(_as_array(t["doc_id"]), parents)
+        df = pd.DataFrame({"doc_id": docs.to_pandas(),
+                           "tok": words.to_pandas()})
+        if not len(df):
+            return pd.DataFrame({"gram": pd.Series([], dtype=str),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "p_cnt": pd.Series([], dtype="int64")})
+        g = df.groupby("doc_id", sort=False)["tok"]
+        parts = [df["tok"]]
+        for s in range(1, DUPFRAC_N):
+            parts.append(g.shift(-s))  # group-wise → never crosses docs
+        full = parts[-1].notna()
+        gram = parts[0]
+        for p in parts[1:]:
+            gram = gram + " " + p
+        out = pd.DataFrame({"gram": gram[full], "doc_id": df["doc_id"][full]})
+        return (out.groupby(["gram", "doc_id"], sort=False).size()
+                .reset_index(name="p_cnt"))
+
+    partials = ds.map_batches(grams, batch_format="pyarrow",
+                              batch_size=65536)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = (g.groupby(["gram", "doc_id"], sort=False)["p_cnt"].sum()
+               .reset_index())
+        nd = per.groupby("gram", sort=False)["doc_id"].nunique()
+        dup = per["gram"].map(nd) >= 2
+        per["dup_cnt"] = per["p_cnt"].where(dup, 0)
+        agg = per.groupby("doc_id", sort=False).agg(
+            n=("p_cnt", "sum"), ndup=("dup_cnt", "sum")).reset_index()
+        return pd.DataFrame({"doc_id": agg["doc_id"].astype("int64"),
+                             "n": agg["n"].astype("int64"),
+                             "ndup": agg["ndup"].astype("int64")})
+
+    sums = (_bucketed(partials, ["gram"])
+            .groupby("bucket").map_groups(merge_bucket,
+                                          batch_format="pandas")
+            .groupby("doc_id")
+            .aggregate(Sum("n", alias_name="n_grams"),
+                       Sum("ndup", alias_name="n_dup_grams")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_grams"], pa.int64())
+        nd = pc.cast(t["n_dup_grams"], pa.int64())
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_grams": n,
+            "n_dup_grams": nd,
+            "dup_frac": pc.divide(pc.cast(nd, pa.float64()),
+                                  pc.cast(n, pa.float64()))})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 def q_quality_filter(sf_dir: str):
     """Gopher-style composite quality filter (Rae et al. 2021 §A1.1): the
     keep/drop decision every pretraining corpus applies before mixing,
@@ -5212,6 +5287,7 @@ QUERIES = {
     # ---- fused this round), plus r4-certified continuity fills. Ops below
     # ---- the window are unchanged since their last driver-green row and
     # ---- re-verified locally every sweep (tools/check_oracle.py).
+    "dup_ngram_fraction": q_dup_ngram_fraction,
     "quality_filter": q_quality_filter,
     "type_token_ratio": q_type_token_ratio,
     "reciprocity": q_reciprocity,
@@ -5543,6 +5619,25 @@ _LM_ORACLE_SQL = (
 )
 
 ORACLE_SQL = {
+    # dup_ngram_fraction: exact integer gram counts; dup_frac is the one
+    # float division both sides spell identically.
+    "dup_ngram_fraction": (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "trim(lower(coalesce(text,''))), '\\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, unnest(list_transform(generate_series(1, "
+        f"len(ws) - {DUPFRAC_N - 1}), i -> ws[i] || ' ' || ws[i+1] || ' ' "
+        f"|| ws[i+2])) AS gram FROM w WHERE len(ws) >= {DUPFRAC_N}), "
+        "gc AS (SELECT gram, doc_id, count(*) AS c FROM g "
+        "GROUP BY gram, doc_id), "
+        "gd AS (SELECT gram, count(*) AS nd FROM gc GROUP BY gram), "
+        "per AS (SELECT gc.doc_id, sum(gc.c) AS n, "
+        "sum(CASE WHEN gd.nd >= 2 THEN gc.c ELSE 0 END) AS ndup "
+        "FROM gc JOIN gd USING (gram) GROUP BY gc.doc_id) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_grams, "
+        "CAST(ndup AS BIGINT) AS n_dup_grams, "
+        "CAST(ndup AS DOUBLE) / CAST(n AS DOUBLE) AS dup_frac FROM per"
+    ),
     # quality_filter: all four Gopher rules are integer
     # cross-multiplications — no float anywhere, hash exact by
     # construction.
