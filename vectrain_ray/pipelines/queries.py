@@ -5126,6 +5126,71 @@ def q_kg_degree_hist(sf_dir: str):
             .groupby("degree").aggregate(Sum("p_cnt", alias_name="n_nodes")))
 
 
+def q_value_corr(sf_dir: str):
+    """Per-group Pearson correlation + OLS slope between two event
+    features (value vs the props.k payload field, per event_type) — the
+    drift/leakage check a feature pipeline runs before training on a
+    signal. Output (event_type, n_events, corr, slope); zero-variance
+    groups are excluded (corr undefined there).
+
+    Scale path: ONE zero-shuffle per-batch combiner reduces the corpus to
+    ≤ #event_types rows of (n, Σx, Σy, Σx², Σy², Σxy); the exchange moves
+    six integers per group. Parity: x is the FIXED-POINT value in cents
+    (round(value·100) — exact: the synth values carry 2 decimals and no
+    .5 ulp edge exists in the data, asserted at build time), y is the
+    regex-extracted integer k, so all six sums are exact integers and
+    corr/slope are computed through the identical double tree the oracle
+    spells out — bit-equal."""
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(
+            pc.fill_null(t["value"], 0.0), 100.0)), pa.int64())
+        m = pc.extract_regex(pc.fill_null(t["props"], ""),
+                             pattern=r'"k":\s*(?P<k>\d+)')
+        y = pc.fill_null(pc.cast(pc.struct_field(m, "k"), pa.int64()), 0)
+        g = pa.table({
+            "event_type": t["event_type"], "x": x, "y": y,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        }).group_by("event_type").aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return g.rename_columns(
+            ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("event_type")
+             .aggregate(*[Sum(c, alias_name=c)
+                          for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # exact-int sums → double AFTER the reduce; n·sxx overflows int64
+        # at scale, so every product is computed in float64 (the oracle's
+        # exact tree)
+        n = pc.cast(t["n"], pa.int64()).to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy().astype(np.float64)
+        sy = t["sy"].to_numpy().astype(np.float64)
+        sxx = t["sxx"].to_numpy().astype(np.float64)
+        syy = t["syy"].to_numpy().astype(np.float64)
+        sxy = t["sxy"].to_numpy().astype(np.float64)
+        cov = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        ok = (varx > 0) & (vary > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = cov / (np.sqrt(varx) * np.sqrt(vary))
+            slope = cov / varx
+        return pa.table({
+            "event_type": _as_array(t["event_type"]).filter(pa.array(ok)),
+            "n_events": pa.array(n[ok].astype(np.int64), pa.int64()),
+            "corr": pa.array(corr[ok], pa.float64()),
+            "slope": pa.array(slope[ok], pa.float64())})
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
 DUPFRAC_N = 3  # n-gram width of the duplicated-fraction quality signal
 
 
@@ -5287,6 +5352,7 @@ QUERIES = {
     # ---- fused this round), plus r4-certified continuity fills. Ops below
     # ---- the window are unchanged since their last driver-green row and
     # ---- re-verified locally every sweep (tools/check_oracle.py).
+    "value_corr": q_value_corr,
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "quality_filter": q_quality_filter,
     "type_token_ratio": q_type_token_ratio,
@@ -5619,6 +5685,28 @@ _LM_ORACLE_SQL = (
 )
 
 ORACLE_SQL = {
+    # value_corr: six exact-integer sums; corr/slope through the
+    # identical double tree (every product computed in DOUBLE — n·sxx
+    # overflows BIGINT at scale on BOTH engines).
+    "value_corr": (
+        "WITH b AS (SELECT event_type, "
+        "CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS x, "
+        "CAST(coalesce(nullif(regexp_extract(coalesce(props, ''), "
+        "'\"k\":\\s*(\\d+)', 1), ''), '0') AS BIGINT) AS y FROM events), "
+        "s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, "
+        "sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy, "
+        "sum(x * y) AS sxy FROM b GROUP BY event_type), "
+        "f AS (SELECT event_type, n, "
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov, "
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx, "
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary FROM s) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n_events, "
+        "cov / (sqrt(varx) * sqrt(vary)) AS corr, cov / varx AS slope "
+        "FROM f WHERE varx > 0 AND vary > 0"
+    ),
     # dup_ngram_fraction: exact integer gram counts; dup_frac is the one
     # float division both sides spell identically.
     "dup_ngram_fraction": (
