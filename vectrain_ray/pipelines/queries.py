@@ -5126,6 +5126,45 @@ def q_kg_degree_hist(sf_dir: str):
             .groupby("degree").aggregate(Sum("p_cnt", alias_name="n_nodes")))
 
 
+def q_embed_quantize(sf_dir: str):
+    """Symmetric int8 quantization of the embedding column — the
+    compression step an ANN index applies before serving (4× smaller
+    vectors, one dequant scale per vector). Per vector: scale =
+    max|x|/127 and code_i = floor(x_i·127/max|x| + 0.5); output
+    (vec_id, dim, scale, code_sum, code_l1) — the integer code
+    aggregates certify every element of the code list without hashing
+    list columns. Zero-max (all-zero) vectors are excluded (scale
+    undefined).
+
+    Scale path: ONE zero-shuffle streaming pass; each batch is one
+    (n, d) float64 matrix with vectorized abs/max/floor kernels.
+    Parity: float32→float64 widening is exact, both sides spell
+    floor(x·127/mx + 0.5) over doubles identically, and the per-vector
+    code sums are ≤ 127·d — exact integers, order-independent."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        from ..functions.similarity import _to_matrix
+        m = _to_matrix(t["embedding"])
+        dims = pc.list_value_length(
+            _as_array(t["embedding"])).to_numpy(zero_copy_only=False)
+        mx = np.abs(m).max(axis=1, initial=0.0)
+        ok = mx > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            codes = np.floor(m * 127.0 / mx[:, None] + 0.5)
+        okm = codes[ok]
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()).filter(pa.array(ok)),
+            "dim": pa.array(dims[ok].astype(np.int64), pa.int64()),
+            "scale": pa.array(mx[ok] / 127.0, pa.float64()),
+            "code_sum": pa.array(okm.sum(axis=1).astype(np.int64),
+                                 pa.int64()),
+            "code_l1": pa.array(np.abs(okm).sum(axis=1).astype(np.int64),
+                                pa.int64())})
+
+    return ds.map_batches(quant, batch_format="pyarrow", batch_size=4096)
+
+
 def q_value_corr(sf_dir: str):
     """Per-group Pearson correlation + OLS slope between two event
     features (value vs the props.k payload field, per event_type) — the
@@ -5352,6 +5391,7 @@ QUERIES = {
     # ---- fused this round), plus r4-certified continuity fills. Ops below
     # ---- the window are unchanged since their last driver-green row and
     # ---- re-verified locally every sweep (tools/check_oracle.py).
+    "embed_quantize": q_embed_quantize,
     "value_corr": q_value_corr,
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "quality_filter": q_quality_filter,
@@ -5685,6 +5725,20 @@ _LM_ORACLE_SQL = (
 )
 
 ORACLE_SQL = {
+    # embed_quantize: float32→double widening is exact; both sides spell
+    # floor(x*127/mx + 0.5) identically; code sums are exact integers.
+    "embed_quantize": (
+        "WITH m AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, "
+        "list_max(list_transform(embedding, "
+        "x -> abs(CAST(x AS DOUBLE)))) AS mx, embedding FROM embeddings), "
+        "c AS (SELECT vec_id, dim, mx, list_transform(embedding, "
+        "x -> floor(CAST(x AS DOUBLE) * 127 / mx + 0.5)) AS codes "
+        "FROM m WHERE mx > 0) "
+        "SELECT vec_id, dim, mx / 127 AS scale, "
+        "CAST(list_sum(codes) AS BIGINT) AS code_sum, "
+        "CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) "
+        "AS code_l1 FROM c"
+    ),
     # value_corr: six exact-integer sums; corr/slope through the
     # identical double tree (every product computed in DOUBLE — n·sxx
     # overflows BIGINT at scale on BOTH engines).
