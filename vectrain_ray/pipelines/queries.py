@@ -5126,6 +5126,38 @@ def q_kg_degree_hist(sf_dir: str):
             .groupby("degree").aggregate(Sum("p_cnt", alias_name="n_nodes")))
 
 
+def q_cross_join(sf_dir: str):
+    """CROSS join (region × nation) — the Cartesian product that grid
+    ops (parameter sweeps, all-pairs scaffolds) need; completes the
+    registry's join-type coverage alongside inner/left/full/semi/anti/
+    asof/range/skew/fuzzy/broadcast. Output every (r_name, n_name) pair
+    plus the nation key.
+
+    Scale path: a cross join is only sane when ONE side is small — the
+    small side (region) ships once via ray.put and each streaming batch
+    of the big side expands in a vectorized pandas merge(how="cross");
+    the big side never shuffles and output size is |big| × |small| by
+    construction (the caller's contract, documented, not silently
+    truncated)."""
+    small = _read(sf_dir, "region", ["r_name"]).to_pandas()  # ≤ 5 rows
+    small_ref = ray.put(small)
+    big = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    class CrossJoin:
+        def __init__(self):
+            self.small = ray.get(small_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = df.merge(self.small, how="cross")
+            return pd.DataFrame({
+                "n_nationkey": out["n_nationkey"].astype("int64"),
+                "n_name": out["n_name"],
+                "r_name": out["r_name"]})
+
+    return big.map_batches(CrossJoin, batch_format="pandas",
+                           batch_size=65536, concurrency=(1, 2))
+
+
 def q_embed_quantize(sf_dir: str):
     """Symmetric int8 quantization of the embedding column — the
     compression step an ANN index applies before serving (4× smaller
@@ -5391,6 +5423,7 @@ QUERIES = {
     # ---- fused this round), plus r4-certified continuity fills. Ops below
     # ---- the window are unchanged since their last driver-green row and
     # ---- re-verified locally every sweep (tools/check_oracle.py).
+    "cross_join": q_cross_join,
     "embed_quantize": q_embed_quantize,
     "value_corr": q_value_corr,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -5725,6 +5758,10 @@ _LM_ORACLE_SQL = (
 )
 
 ORACLE_SQL = {
+    "cross_join": (
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, r_name "
+        "FROM nation CROSS JOIN region"
+    ),
     # embed_quantize: float32→double widening is exact; both sides spell
     # floor(x*127/mx + 0.5) identically; code sums are exact integers.
     "embed_quantize": (
