@@ -166,6 +166,13 @@ def run_bench() -> dict:
         ("link_predict_ra", Q.q_link_predict_ra),
         ("length_quantiles", Q.q_length_quantiles),
         ("conversation_stats", Q.q_conversation_stats),
+        # session-5 ops. quality_filter/dup_ngram_fraction run warm on the
+        # shared _tokenized_docs cache (tokenize-once, same as bm25 et al.)
+        ("quality_filter", Q.q_quality_filter),
+        ("dup_ngram_fraction", Q.q_dup_ngram_fraction),
+        ("value_corr", Q.q_value_corr),
+        ("embed_quantize", Q.q_embed_quantize),
+        ("cross_join", Q.q_cross_join),
         # NOTE: runs after dedup_minhash, which warms the shared
         # clustering artifact (_MINHASH_CLUSTERS_CACHE) — this row times
         # the INCREMENTAL cost (quality join + keep-best exchange), by

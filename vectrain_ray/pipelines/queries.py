@@ -5395,34 +5395,31 @@ def q_quality_filter(sf_dir: str):
 
 QUERIES = {
     # ---- driver-gate window (first 50): every op NEW or with a CHANGED
-    # ---- code path this round (r5: edge_jaccard NEW (per-edge
-    # ---- neighborhood Jaccard off the shared wedge plan),
-    # ---- link_predict_ra NEW (fixed-point Resource-Allocation link
-    # ---- prediction), length_quantiles NEW (exact per-source token
-    # ---- percentiles), conversation_stats NEW (per-conversation
-    # ---- dialogue-shape profile, zero-shuffle) — these four took the
-    # ---- slots of sample_hash / train_test_split / set_intersect /
-    # ---- bigram_top (unchanged this round, r4 driver-certified, moved
-    # ---- below the window);
-    # ---- lm_bigram_score + _join NEW
-    # ---- (fixed-point bigram-LM scoring, both paths),
-    # ---- dedup_cluster_stats NEW, bpe_merge_pairs NEW,
-    # ---- normalize_text NEW, full_join NEW, zscore_by_group NEW,
-    # ---- token_entropy NEW, clustering_coeff NEW,
-    # ---- degree_assortativity NEW; wordcount/vocab_coverage/pmi
-    # ---- rewired onto the shared _unigram_counts artifact;
-    # ---- triangle_count internals refactored (_und_deg_oriented);
-    # ---- decontaminate_fuzzy NEW (MinHash
-    # ---- eval-set scrub), grouped_stats NEW,
-    # ---- asof_join gate + bucketed variant NEW,
-    # ---- skew_join broadcast gate + skew_join_split NEW,
-    # ---- window_dedup overflow mask, skew_join empty-hot fast path,
-    # ---- knn_join chunked matmul, the r4-stale rotations ngram_jaccard /
-    # ---- distinct / pair_similarity flagged by the r4 verdict, and every
-    # ---- KG-pipeline op — resume/materialize/canonicalize internals were
-    # ---- fused this round), plus r4-certified continuity fills. Ops below
-    # ---- the window are unchanged since their last driver-green row and
-    # ---- re-verified locally every sweep (tools/check_oracle.py).
+    # ---- code path this round, audited by function-body hash against the
+    # ---- r4 cert commit (74232fe) including helper modules. r5 NEW (27
+    # ---- entries): cross_join, embed_quantize, value_corr,
+    # ---- dup_ngram_fraction, quality_filter, type_token_ratio,
+    # ---- reciprocity, turn_overlap, edge_jaccard, link_predict_ra,
+    # ---- length_quantiles, conversation_stats, decontaminate_fuzzy,
+    # ---- grouped_stats, corpus_prep, vocab_coverage, lm_bigram_score
+    # ---- (+_join), dedup_cluster_stats, bpe_merge_pairs, normalize_text,
+    # ---- full_join, zscore_by_group, token_entropy, clustering_coeff,
+    # ---- degree_assortativity, asof_join_bucketed. r5 CHANGED (direct or
+    # ---- via helper): window_dedup, kg_degree_hist, asof_join, knn_join,
+    # ---- semantic_dedup, skew_join (+_split), dup_ngram_spans, wordcount,
+    # ---- pmi_bigrams, simhash_pairs (simhash_candidate_pairs helper),
+    # ---- dedup_minhash / dedup_keep_best (dedup.py + _minhash_clusters),
+    # ---- triangle_count (graph.py body), kg_edges / kg_nodes / kg_triples
+    # ---- (canonicalize/materialize/link/encode/tpch_kg stage internals
+    # ---- fused this round). Verdict-r4 rotations: ngram_jaccard,
+    # ---- distinct, pair_similarity. Conservative fills: dedup_exact +
+    # ---- tfidf_top_terms (dedup_exact grew an optional pre_batch param —
+    # ---- default path bit-identical) and kmeans_assign (shares the
+    # ---- centroid machinery family). Displaced below (UNCHANGED since
+    # ---- their r4 driver-green row, re-verified locally every sweep via
+    # ---- tools/check_oracle.py): pack_sequences, chunk_tokens, bm25_topk,
+    # ---- inverted_index, repetition_stats, decontaminate (comment-only
+    # ---- diffs), sample_hash, set_except, sssp, kg_components.
     "cross_join": q_cross_join,
     "embed_quantize": q_embed_quantize,
     "value_corr": q_value_corr,
@@ -5452,15 +5449,12 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "clustering_coeff": q_clustering_coeff,
     "degree_assortativity": q_degree_assortativity,
-    # triangle_count internals were refactored this round
-    # (_und_deg_oriented extraction) → rotated into the window
     "triangle_count": q_triangle_count,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
     "distinct": q_distinct,
     "pair_similarity": q_pair_similarity,
-    "pack_sequences": q_pack_sequences,
     "semantic_dedup": q_semantic_dedup,
     "knn_join": q_knn_join,
     "dup_ngram_spans": q_dup_ngram_spans,
@@ -5473,15 +5467,17 @@ QUERIES = {
     "wordcount": q_wordcount,
     "pmi_bigrams": q_pmi_bigrams,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "dedup_exact": q_dedup_exact,
+    "kg_edges": q_kg_edges,
+    "kg_nodes": q_kg_nodes,
+    "kg_triples": q_kg_triples,
+    # ---- end of the first-50 driver-gate window ----
+    "pack_sequences": q_pack_sequences,
     "chunk_tokens": q_chunk_tokens,
     "bm25_topk": q_bm25_topk,
     "inverted_index": q_inverted_index,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
-    "dedup_exact": q_dedup_exact,
-    "kg_edges": q_kg_edges,
-    "kg_nodes": q_kg_nodes,
-    "kg_triples": q_kg_triples,
     "ann_topk": q_ann_topk,
     "ann_index_topk": q_ann_index_topk,
     "embed_neardup": q_embed_neardup,
