@@ -5207,16 +5207,25 @@ def q_value_corr(sf_dir: str):
     Scale path: ONE zero-shuffle per-batch combiner reduces the corpus to
     ≤ #event_types rows of (n, Σx, Σy, Σx², Σy², Σxy); the exchange moves
     six integers per group. Parity: x is the FIXED-POINT value in cents
-    (round(value·100) — exact: the synth values carry 2 decimals and no
-    .5 ulp edge exists in the data, asserted at build time), y is the
+    (round(value·100) — exact: the synth values carry 2 decimals; a
+    per-batch guard fails loudly if any value·100 sits on a .5 rounding
+    edge, where Arrow half-to-even and DuckDB half-away diverge), y is the
     regex-extracted integer k, so all six sums are exact integers and
     corr/slope are computed through the identical double tree the oracle
     spells out — bit-equal."""
     ds = _read(sf_dir, "events", ["event_type", "value", "props"])
 
     def partial(t: pa.Table) -> pa.Table:
-        x = pc.cast(pc.round(pc.multiply(
-            pc.fill_null(t["value"], 0.0), 100.0)), pa.int64())
+        cents = pc.multiply(pc.fill_null(t["value"], 0.0), 100.0)
+        x = pc.cast(pc.round(cents), pa.int64())
+        # Arrow rounds half-to-even, DuckDB half-away — identical only
+        # while no value·100 sits on a .5 ulp edge. Fail loudly rather
+        # than silently diverge from the oracle.
+        frac = pc.abs(pc.subtract(cents, pc.cast(x, pa.float64())))
+        if len(frac) and pc.max(frac).as_py() > 0.4999999:
+            raise ValueError(
+                "value*100 hit a .5 rounding edge — fixed-point parity "
+                "with the SQL oracle is no longer guaranteed")
         m = pc.extract_regex(pc.fill_null(t["props"], ""),
                              pattern=r'"k":\s*(?P<k>\d+)')
         y = pc.fill_null(pc.cast(pc.struct_field(m, "k"), pa.int64()), 0)
