@@ -5326,24 +5326,27 @@ def q_dup_ngram_fraction(sf_dir: str):
                              "n": agg["n"].astype("int64"),
                              "ndup": agg["ndup"].astype("int64")})
 
-    sums = (_bucketed(partials, ["gram"])
-            .groupby("bucket").map_groups(merge_bucket,
-                                          batch_format="pandas")
-            .groupby("doc_id")
-            .aggregate(Sum("n", alias_name="n_grams"),
-                       Sum("ndup", alias_name="n_dup_grams")))
+    merged = (_bucketed(partials, ["gram"])
+              .groupby("bucket").map_groups(merge_bucket,
+                                            batch_format="pandas"))
 
-    def finish(t: pa.Table) -> pa.Table:
-        n = pc.cast(t["n_grams"], pa.int64())
-        nd = pc.cast(t["n_dup_grams"], pa.int64())
-        return pa.table({
-            "doc_id": pc.cast(t["doc_id"], pa.int64()),
-            "n_grams": n,
-            "n_dup_grams": nd,
-            "dup_frac": pc.divide(pc.cast(nd, pa.float64()),
-                                  pc.cast(n, pa.float64()))})
+    # final doc-keyed reduce via the same bucket-then-vectorize pattern —
+    # measured 47 s as a native groupby().aggregate(Sum) on 64 tiny input
+    # blocks vs 0.6 s as one more bucketed exchange over the ≤ #docs ×
+    # #buckets integer partials
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", sort=False).agg(
+            n=("n", "sum"), ndup=("ndup", "sum")).reset_index()
+        n = agg["n"].to_numpy(np.float64)
+        nd = agg["ndup"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].astype("int64"),
+            "n_grams": agg["n"].astype("int64"),
+            "n_dup_grams": agg["ndup"].astype("int64"),
+            "dup_frac": nd / n})
 
-    return sums.map_batches(finish, batch_format="pyarrow")
+    return (_bucketed(merged, ["doc_id"], 16)
+            .groupby("bucket").map_groups(finish, batch_format="pandas"))
 
 
 def q_quality_filter(sf_dir: str):
