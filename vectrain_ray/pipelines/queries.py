@@ -5126,6 +5126,73 @@ def q_kg_degree_hist(sf_dir: str):
             .groupby("degree").aggregate(Sum("p_cnt", alias_name="n_nodes")))
 
 
+def q_winsorize_by_group(sf_dir: str):
+    """Per-group percentile winsorization — the outlier-clipping
+    transform a feature pipeline applies before z-scoring: n_chars
+    clipped to each source's [p5, p95]. Output (doc_id, source, n_chars,
+    n_chars_w, clipped) with the clip flag as 0/1 BIGINT.
+
+    Scale path: pass 1 is the length_quantiles value-count combiner —
+    the corpus collapses to distinct (source, n_chars) pairs (domain-
+    bounded), the CDF walk runs on ≤ that many rows driver-side and the
+    per-source (lo, hi) thresholds broadcast via ray.put; pass 2 is ONE
+    zero-shuffle streaming pass with a vectorized per-batch clip.
+    Parity: thresholds use length_quantiles' pure-integer rank rule
+    k_p = (n·p + 99)//100 and the clip is min/max over integers — no
+    float anywhere, exact by construction."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def vc(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "source": t["source"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        }).group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_chars", "p_cnt"])
+
+    counts = (ds.map_batches(vc, batch_format="pyarrow", batch_size=65536)
+              .groupby(["source", "n_chars"])
+              .aggregate(Sum("p_cnt", alias_name="c"))
+              ).to_pandas()  # ≤ distinct (source, length) pairs
+    if counts.empty:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+            "n_chars_w": pa.array([], pa.int64()),
+            "clipped": pa.array([], pa.int64())}))
+    counts = counts.sort_values(["source", "n_chars"])
+    counts["cum"] = counts.groupby("source", sort=False)["c"].cumsum()
+    n = counts.groupby("source", sort=False)["c"].transform("sum")
+    rows = []
+    for p, col in ((5, "lo"), (95, "hi")):
+        k = (n * p + 99) // 100
+        hit = counts[counts["cum"] >= k].groupby("source", sort=False)[
+            "n_chars"].min()
+        rows.append(hit.rename(col))
+    th = pd.concat(rows, axis=1).reset_index()
+    th_ref = ray.put(th)
+
+    class Clip:
+        def __init__(self):
+            self.th = ray.get(th_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = df.merge(self.th, on="source")
+            x = m["n_chars"].to_numpy(np.int64)
+            lo = m["lo"].to_numpy(np.int64)
+            hi = m["hi"].to_numpy(np.int64)
+            w = np.minimum(np.maximum(x, lo), hi)
+            return pd.DataFrame({
+                "doc_id": m["doc_id"].astype("int64"),
+                "source": m["source"],
+                "n_chars": m["n_chars"].astype("int64"),
+                "n_chars_w": w,
+                "clipped": (w != x).astype("int64")})
+
+    return ds.map_batches(Clip, batch_format="pandas",
+                          batch_size=65536, concurrency=(1, 4))
+
+
 def q_cross_join(sf_dir: str):
     """CROSS join (region × nation) — the Cartesian product that grid
     ops (parameter sweeps, all-pairs scaffolds) need; completes the
@@ -5426,12 +5493,14 @@ QUERIES = {
     # ---- fused this round). Verdict-r4 rotations: ngram_jaccard,
     # ---- distinct, pair_similarity. Conservative fills: dedup_exact +
     # ---- tfidf_top_terms (dedup_exact grew an optional pre_batch param —
-    # ---- default path bit-identical) and kmeans_assign (shares the
-    # ---- centroid machinery family). Displaced below (UNCHANGED since
+    # ---- default path bit-identical). winsorize_by_group NEW (session
+    # ---- 5) took the kmeans_assign fill slot (unchanged, r4-certified,
+    # ---- moved just below the window). Displaced below (UNCHANGED since
     # ---- their r4 driver-green row, re-verified locally every sweep via
     # ---- tools/check_oracle.py): pack_sequences, chunk_tokens, bm25_topk,
     # ---- inverted_index, repetition_stats, decontaminate (comment-only
     # ---- diffs), sample_hash, set_except, sssp, kg_components.
+    "winsorize_by_group": q_winsorize_by_group,
     "cross_join": q_cross_join,
     "embed_quantize": q_embed_quantize,
     "value_corr": q_value_corr,
@@ -5475,7 +5544,6 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_keep_best": q_dedup_keep_best,
     "simhash_pairs": q_simhash_pairs,
-    "kmeans_assign": q_kmeans_assign,
     "wordcount": q_wordcount,
     "pmi_bigrams": q_pmi_bigrams,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -5484,6 +5552,7 @@ QUERIES = {
     "kg_nodes": q_kg_nodes,
     "kg_triples": q_kg_triples,
     # ---- end of the first-50 driver-gate window ----
+    "kmeans_assign": q_kmeans_assign,
     "pack_sequences": q_pack_sequences,
     "chunk_tokens": q_chunk_tokens,
     "bm25_topk": q_bm25_topk,
@@ -5769,6 +5838,25 @@ ORACLE_SQL = {
     "cross_join": (
         "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, r_name "
         "FROM nation CROSS JOIN region"
+    ),
+    # winsorize_by_group: length_quantiles' integer rank rule + integer
+    # min/max clip — no float anywhere, exact by construction.
+    "winsorize_by_group": (
+        "WITH g AS (SELECT source, n_chars, count(*) AS c FROM documents "
+        "GROUP BY source, n_chars), "
+        "cum AS (SELECT source, n_chars, "
+        "sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum, "
+        "sum(c) OVER (PARTITION BY source) AS n FROM g), "
+        "th AS (SELECT source, "
+        "min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN n_chars END) AS lo, "
+        "min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN n_chars END) AS hi "
+        "FROM cum GROUP BY source) "
+        "SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars, "
+        "CAST(least(greatest(d.n_chars, th.lo), th.hi) AS BIGINT) "
+        "AS n_chars_w, "
+        "CAST(CASE WHEN d.n_chars < th.lo OR d.n_chars > th.hi "
+        "THEN 1 ELSE 0 END AS BIGINT) AS clipped "
+        "FROM documents d JOIN th USING (source)"
     ),
     # embed_quantize: float32→double widening is exact; both sides spell
     # floor(x*127/mx + 0.5) identically; code sums are exact integers.
