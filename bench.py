@@ -173,6 +173,7 @@ def run_bench() -> dict:
         ("value_corr", Q.q_value_corr),
         ("embed_quantize", Q.q_embed_quantize),
         ("cross_join", Q.q_cross_join),
+        ("winsorize_by_group", Q.q_winsorize_by_group),
         # NOTE: runs after dedup_minhash, which warms the shared
         # clustering artifact (_MINHASH_CLUSTERS_CACHE) — this row times
         # the INCREMENTAL cost (quality join + keep-best exchange), by

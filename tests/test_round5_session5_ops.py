@@ -97,6 +97,27 @@ def test_embed_quantize_known_codes(tmp_path, ray_session):
     assert np.allclose(got["scale"], [1.0 / 127.0, 2.0 / 127.0])
 
 
+def test_winsorize_known_thresholds(tmp_path, ray_session):
+    """Source 'a' = lengths 1..20 → p5 rank k=(20·5+99)//100=1 → lo=1,
+    p95 rank k=19 → hi=19: only the 20 clips (to 19). Source 'b' has 3
+    equal values → lo=hi=7, nothing clips."""
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(23), pa.int64()),
+        "source": pa.array(["a"] * 20 + ["b"] * 3),
+        "n_chars": pa.array(list(range(1, 21)) + [7, 7, 7], pa.int64()),
+    }), os.path.join(sf, "documents.parquet"))
+    got = Q.q_winsorize_by_group(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    a = got[got["source"] == "a"]
+    assert a["clipped"].sum() == 1
+    assert a.loc[a["n_chars"] == 20, "n_chars_w"].tolist() == [19]
+    assert a.loc[a["n_chars"] == 1, "n_chars_w"].tolist() == [1]
+    b = got[got["source"] == "b"]
+    assert b["clipped"].sum() == 0
+    assert b["n_chars_w"].tolist() == [7, 7, 7]
+
+
 def test_cross_join_full_product(ray_session):
     got = Q.q_cross_join(SF).to_pandas()
     assert len(got) == 125  # 25 nations × 5 regions
