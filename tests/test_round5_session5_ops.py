@@ -118,6 +118,26 @@ def test_winsorize_known_thresholds(tmp_path, ray_session):
     assert b["n_chars_w"].tolist() == [7, 7, 7]
 
 
+def test_ngram_containment_subset_pair(tmp_path, ray_session):
+    """doc 1 is a strict prefix of doc 0 → containment 1.0 while Jaccard
+    < 1 (the asymmetric signal); docs 2/3 share nothing → 0.0; a pair
+    with an empty side (doc 4) is excluded."""
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["abcdefghij", "abcdefg", "abcdefg",
+                          "zzzzzzzz", ""]),
+    }), os.path.join(sf, "documents.parquet"))
+    got = Q.q_ngram_containment(sf).to_pandas().sort_values(
+        "doc_a").reset_index(drop=True)
+    assert got["doc_a"].tolist() == [0, 1, 2]  # pair (3,4) excluded
+    r01 = got[got["doc_a"] == 0].iloc[0]
+    assert (r01["n_a"], r01["n_b"], r01["n_common"]) == (6, 3, 3)
+    assert r01["containment"] == 1.0
+    r23 = got[got["doc_a"] == 2].iloc[0]
+    assert r23["n_common"] == 0 and r23["containment"] == 0.0
+
+
 def test_cross_join_full_product(ray_session):
     got = Q.q_cross_join(SF).to_pandas()
     assert len(got) == 125  # 25 nations × 5 regions
