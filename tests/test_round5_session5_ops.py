@@ -138,6 +138,19 @@ def test_ngram_containment_subset_pair(tmp_path, ray_session):
     assert r23["n_common"] == 0 and r23["containment"] == 0.0
 
 
+def test_cluster_purity_counts_conserved(ray_session):
+    """Purity rows must partition the corpus: Σ n_vecs = #vectors,
+    n_top ≤ n_vecs, purity ∈ (0, 1], and the majority tie-break is the
+    smallest label (pinned implicitly by oracle parity at the gate)."""
+    import pyarrow.parquet as _pq
+    got = Q.q_cluster_purity(SF).to_pandas()
+    total = _pq.read_metadata(os.path.join(SF, "embeddings.parquet")).num_rows
+    assert got["n_vecs"].sum() == total
+    assert (got["n_top"] <= got["n_vecs"]).all()
+    assert ((got["purity"] > 0) & (got["purity"] <= 1)).all()
+    assert got["cluster"].is_unique
+
+
 def test_cross_join_full_product(ray_session):
     got = Q.q_cross_join(SF).to_pandas()
     assert len(got) == 125  # 25 nations × 5 regions
