@@ -174,6 +174,8 @@ def run_bench() -> dict:
         ("embed_quantize", Q.q_embed_quantize),
         ("cross_join", Q.q_cross_join),
         ("winsorize_by_group", Q.q_winsorize_by_group),
+        ("ngram_containment", Q.q_ngram_containment),
+        ("cluster_purity", Q.q_cluster_purity),
         # NOTE: runs after dedup_minhash, which warms the shared
         # clustering artifact (_MINHASH_CLUSTERS_CACHE) — this row times
         # the INCREMENTAL cost (quality join + keep-best exchange), by
