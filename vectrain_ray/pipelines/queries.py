@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 from ..functions import textops
 from ..functions.dedup import dedup_minhash, simhash_candidate_pairs
@@ -2429,6 +2429,41 @@ def q_rollup_agg(sf_dir: str):
     )
 
 
+def _pair_explode(df: pd.DataFrame) -> pd.DataFrame:
+    """Adjacent-id pair fan-out shared by the pair-verify ops
+    (ngram_jaccard / ngram_containment): each doc ships to its ≤2
+    candidate pairs, keyed for ONE bucketed exchange. Lower ONCE per
+    batch with the Arrow kernel (≡ DuckDB lower — both utf8proc; Python
+    str.lower() full-case-maps final-sigma/dotted-İ and would break
+    oracle parity)."""
+    from ..functions.dedup_exact import key_buckets
+
+    lowered = pc.utf8_lower(pc.fill_null(
+        pa.array(df["text"], pa.string()), "")).to_pandas()
+    a = pd.DataFrame({"pair_id": df["doc_id"], "role": 0, "text": lowered})
+    b = pd.DataFrame({"pair_id": df["doc_id"] - 1, "role": 1,
+                      "text": lowered})
+    out = pd.concat([a, b], ignore_index=True)
+    out = out[out["pair_id"] >= 0].copy()
+    out["bucket"] = key_buckets(out, ["pair_id"], 64)
+    return out
+
+
+def _char_shingles(t) -> set:
+    """ORACLE-LOCKED 5-char shingle rule shared by the pair-verify ops:
+    distinct substr(lower(text), i, 5); texts shorter than 5 chars
+    contribute themselves. Text must arrive ALREADY lowered
+    (_pair_explode's vectorized utf8_lower). The DuckDB mirror is the
+    shing CTE in the ngram_jaccard / ngram_containment oracles — change
+    BOTH or NEITHER."""
+    t = t or ""
+    if not t:
+        return set()
+    if len(t) < 5:
+        return {t}
+    return {t[i:i + 5] for i in range(len(t) - 4)}
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Standalone n-gram Jaccard similarity: exact 5-char-shingle overlap
     for each adjacent-doc-id pair (adjacent ids stand in for any candidate
@@ -2437,31 +2472,7 @@ def q_ngram_jaccard(sf_dir: str):
     per-bucket work touches only each pair's two shingle sets. Integer
     (n_common, n_union) output → exact vs SQL, no float rounding."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    from ..functions.dedup_exact import key_buckets
-
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        # lower ONCE per batch with the Arrow kernel (≡ DuckDB lower —
-        # both utf8proc; Python str.lower() full-case-maps final-sigma/
-        # dotted-İ and would break oracle parity), not per pair below
-        lowered = pc.utf8_lower(pc.fill_null(
-            pa.array(df["text"], pa.string()), "")).to_pandas()
-        a = pd.DataFrame({"pair_id": df["doc_id"], "role": 0,
-                          "text": lowered})
-        b = pd.DataFrame({"pair_id": df["doc_id"] - 1, "role": 1,
-                          "text": lowered})
-        out = pd.concat([a, b], ignore_index=True)
-        out = out[out["pair_id"] >= 0].copy()
-        out["bucket"] = key_buckets(out, ["pair_id"], 64)
-        return out
-
-    def _shingles(t) -> set:
-        # text arrives ALREADY lowered (vectorized utf8_lower in explode)
-        t = t or ""
-        if not t:
-            return set()
-        if len(t) < 5:
-            return {t}
-        return {t[i:i + 5] for i in range(len(t) - 4)}
+    explode, _shingles = _pair_explode, _char_shingles
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["pair_id", "role"], kind="stable")
@@ -2504,29 +2515,7 @@ def q_ngram_containment(sf_dir: str):
     exchange; per-bucket work touches only each pair's two shingle sets.
     Integer counts + one float division → exact vs SQL."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    from ..functions.dedup_exact import key_buckets
-
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        # Arrow utf8_lower (≡ DuckDB lower), once per batch — see
-        # q_ngram_jaccard's case-folding parity note
-        lowered = pc.utf8_lower(pc.fill_null(
-            pa.array(df["text"], pa.string()), "")).to_pandas()
-        a = pd.DataFrame({"pair_id": df["doc_id"], "role": 0,
-                          "text": lowered})
-        b = pd.DataFrame({"pair_id": df["doc_id"] - 1, "role": 1,
-                          "text": lowered})
-        out = pd.concat([a, b], ignore_index=True)
-        out = out[out["pair_id"] >= 0].copy()
-        out["bucket"] = key_buckets(out, ["pair_id"], 64)
-        return out
-
-    def _shingles(t) -> set:
-        t = t or ""
-        if not t:
-            return set()
-        if len(t) < 5:
-            return {t}
-        return {t[i:i + 5] for i in range(len(t) - 4)}
+    explode = _pair_explode
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["pair_id", "role"], kind="stable")
@@ -2534,8 +2523,8 @@ def q_ngram_containment(sf_dir: str):
         for pid, gg in g.groupby("pair_id", sort=True):
             if len(gg) != 2:
                 continue
-            sa = _shingles(gg["text"].iloc[0])
-            sb = _shingles(gg["text"].iloc[1])
+            sa = _char_shingles(gg["text"].iloc[0])
+            sb = _char_shingles(gg["text"].iloc[1])
             if not sa or not sb:
                 continue
             nc = len(sa & sb)
@@ -5415,25 +5404,23 @@ def q_value_corr(sf_dir: str):
     Scale path: ONE zero-shuffle per-batch combiner reduces the corpus to
     ≤ #event_types rows of (n, Σx, Σy, Σx², Σy², Σxy); the exchange moves
     six integers per group. Parity: x is the FIXED-POINT value in cents
-    (round(value·100) — exact: the synth values carry 2 decimals; a
-    per-batch guard fails loudly if any value·100 sits on a .5 rounding
-    edge, where Arrow half-to-even and DuckDB half-away diverge), y is the
+    (round(value·100) via the repo's half-away-from-zero rule, matching
+    DuckDB round() exactly INCLUDING .5 edges; a finish-time guard fails
+    loudly if a group is large enough that an int64 partial sum could
+    wrap where DuckDB's HUGEINT sum would not), y is the
     regex-extracted integer k, so all six sums are exact integers and
     corr/slope are computed through the identical double tree the oracle
     spells out — bit-equal."""
     ds = _read(sf_dir, "events", ["event_type", "value", "props"])
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.multiply(pc.fill_null(t["value"], 0.0), 100.0)
-        x = pc.cast(pc.round(cents), pa.int64())
-        # Arrow rounds half-to-even, DuckDB half-away — identical only
-        # while no value·100 sits on a .5 ulp edge. Fail loudly rather
-        # than silently diverge from the oracle.
-        frac = pc.abs(pc.subtract(cents, pc.cast(x, pa.float64())))
-        if len(frac) and pc.max(frac).as_py() > 0.4999999:
-            raise ValueError(
-                "value*100 hit a .5 rounding edge — fixed-point parity "
-                "with the SQL oracle is no longer guaranteed")
+        v = np.asarray(pc.fill_null(t["value"], 0.0)
+                       .to_numpy(zero_copy_only=False), np.float64)
+        c = v * 100.0
+        # DuckDB round() is half-AWAY-from-zero (the _round_half_away
+        # rule); pc.round is half-to-even and would diverge on .5 edges
+        x = pa.array((np.sign(c) * np.floor(np.abs(c) + 0.5))
+                     .astype(np.int64), pa.int64())
         m = pc.extract_regex(pc.fill_null(t["props"], ""),
                              pattern=r'"k":\s*(?P<k>\d+)')
         y = pc.fill_null(pc.cast(pc.struct_field(m, "k"), pa.int64()), 0)
@@ -5441,23 +5428,38 @@ def q_value_corr(sf_dir: str):
             "event_type": t["event_type"], "x": x, "y": y,
             "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
             "xy": pc.multiply(x, y),
+            "ax": pc.abs(x), "ay": pc.abs(y),
         }).group_by("event_type").aggregate(
             [("x", "count"), ("x", "sum"), ("y", "sum"),
-             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum"),
+             ("ax", "max"), ("ay", "max")])
         return g.rename_columns(
-            ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"])
+            ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy",
+             "mx", "my"])
 
     stats = (ds.map_batches(partial, batch_format="pyarrow",
                             batch_size=65536)
              .groupby("event_type")
-             .aggregate(*[Sum(c, alias_name=c)
-                          for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+             .aggregate(*([Sum(c, alias_name=c)
+                           for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+                          + [Max(c, alias_name=c) for c in ("mx", "my")])))
 
     def finish(t: pa.Table) -> pa.Table:
         # exact-int sums → double AFTER the reduce; n·sxx overflows int64
         # at scale, so every product is computed in float64 (the oracle's
-        # exact tree)
-        n = pc.cast(t["n"], pa.int64()).to_numpy().astype(np.float64)
+        # exact tree). The SUMS themselves wrap silently in int64 while
+        # DuckDB promotes to HUGEINT — guard with the sufficient condition
+        # n·max(x)² < 2^62 (Σx² ≤ n·mx², |Σxy| ≤ n·mx·my, |Σx| ≤ n·mx).
+        nn = pc.cast(t["n"], pa.int64()).to_numpy().astype(np.float64)
+        mx = t["mx"].to_numpy().astype(np.float64)
+        my = t["my"].to_numpy().astype(np.float64)
+        if len(nn) and float(np.max(
+                nn * np.maximum(mx, my) ** 2)) >= 2.0 ** 62:
+            raise ValueError(
+                "value_corr partial sums may exceed int64 — the group is "
+                "too large/wide for fixed-point parity with the HUGEINT "
+                "oracle; shrink the fixed-point scale or shard the group")
+        n = nn
         sx = t["sx"].to_numpy().astype(np.float64)
         sy = t["sy"].to_numpy().astype(np.float64)
         sxx = t["sxx"].to_numpy().astype(np.float64)
