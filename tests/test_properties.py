@@ -194,3 +194,27 @@ def test_chunk_tokens_kernel_properties(token_lists):
             covered.update(range(k * CHUNK_STEP,
                                  k * CHUNK_STEP + r["n_tokens"]))
         assert covered == set(range(len(toks)))
+
+
+@given(st.text(min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_char_shingles_match_duckdb_substr(t):
+    """The oracle-locked 5-char shingle rule (_char_shingles) must equal
+    DuckDB's DISTINCT substr(t, i, 5) on arbitrary unicode text — substr
+    and Python slicing must both count CODEPOINTS, and the <5-char
+    whole-text rule must match the oracle's UNION branch. lower() is
+    applied through DuckDB on both sides so the property isolates the
+    shingle rule (case-folding parity is the oracle gate's job)."""
+    import duckdb
+
+    from vectrain_ray.pipelines.queries import _char_shingles
+
+    con = duckdb.connect()
+    lowered = con.execute("SELECT lower($1)", [t]).fetchone()[0]
+    want = {r[0] for r in con.execute(
+        "SELECT DISTINCT substr(lower($1), i, 5) FROM "
+        "(SELECT unnest(generate_series(1, len(lower($1)) - 4)) AS i) "
+        "WHERE len(lower($1)) >= 5 "
+        "UNION SELECT lower($1) WHERE len(lower($1)) > 0 "
+        "AND len(lower($1)) < 5", [t]).fetchall()}
+    assert _char_shingles(lowered) == want
