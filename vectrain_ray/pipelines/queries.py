@@ -1038,6 +1038,22 @@ def _centroid_matrix(ds, dim: int, k: int = KMEANS_K):
     return C / np.maximum(cnorm, 1e-30), c_zero
 
 
+def _assign_clusters(X: np.ndarray, C: np.ndarray,
+                     c_zero: np.ndarray) -> np.ndarray:
+    """Max-cosine centroid per row with DuckDB list_cosine_similarity
+    zero-vector semantics (-1.0 when EITHER side is a 0-vector, so
+    degenerate centroids rank last and zero rows tie to cluster 0);
+    ties → smallest centroid index (np.argmax first-max = the SQL
+    tie-break). ONE shared kernel for kmeans_assign and cluster_purity —
+    both must assign bit-identically or their oracles drift apart."""
+    xnorm = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.maximum(xnorm, 1e-30)
+    sims = X @ C.T
+    sims[:, c_zero] = -1.0
+    sims[(xnorm <= 1e-30).reshape(-1), :] = -1.0
+    return np.argmax(sims, axis=1)
+
+
 def q_kmeans_assign(sf_dir: str):
     """Nearest-centroid assignment (one k-means E-step) over the embedding
     corpus: centroids = the KMEANS_K embeddings with the smallest vec_id
@@ -1073,15 +1089,7 @@ def q_kmeans_assign(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             X = _to_matrix(t["embedding"], dim=self.C.shape[1])
-            xnorm = np.linalg.norm(X, axis=1, keepdims=True)
-            X = X / np.maximum(xnorm, 1e-30)
-            sims = X @ self.C.T
-            # DuckDB list_cosine_similarity = -1.0 whenever EITHER side is a
-            # 0-vector; mirror both directions so degenerate centroids rank
-            # last and zero query rows tie at -1.0 → argmax → cluster 0
-            sims[:, self.c_zero] = -1.0
-            sims[(xnorm <= 1e-30).reshape(-1), :] = -1.0
-            cluster = np.argmax(sims, axis=1)  # first max = min j
+            cluster = _assign_clusters(X, self.C, self.c_zero)
             return pa.table({
                 "vec_id": t["vec_id"],
                 "cluster": pa.array(cluster, pa.int64()),
@@ -1123,14 +1131,7 @@ def q_cluster_purity(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             X = _to_matrix(t["embedding"], dim=self.C.shape[1])
-            xnorm = np.linalg.norm(X, axis=1, keepdims=True)
-            X = X / np.maximum(xnorm, 1e-30)
-            sims = X @ self.C.T
-            # DuckDB list_cosine_similarity zero-vector semantics — see
-            # q_kmeans_assign
-            sims[:, self.c_zero] = -1.0
-            sims[(xnorm <= 1e-30).reshape(-1), :] = -1.0
-            cluster = np.argmax(sims, axis=1)
+            cluster = _assign_clusters(X, self.C, self.c_zero)
             g = pa.table({
                 "cluster": pa.array(cluster, pa.int64()),
                 "label": pc.cast(t["label"], pa.int64()),
@@ -1142,9 +1143,13 @@ def q_cluster_purity(sf_dir: str):
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         # merge the per-batch partials and pick the majority label in one
-        # vectorized pass; ≤ K × #labels rows per bucket by construction
-        c = (df.groupby(["cluster", "label"], sort=False)["p_cnt"].sum()
-             .reset_index(name="c"))
+        # vectorized pass; ≤ K × #labels rows per bucket by construction.
+        # dropna=False: the Arrow partial and the SQL GROUP BY both keep a
+        # NULL-label group — pandas' default dropna=True would silently
+        # undercount n_vecs and inflate purity. Pandas sorts NaN last =
+        # DuckDB's NULLS LAST, so the tie-break matches too.
+        c = (df.groupby(["cluster", "label"], sort=False, dropna=False)
+             ["p_cnt"].sum().reset_index(name="c"))
         agg = c.groupby("cluster", sort=False).agg(
             n_vecs=("c", "sum")).reset_index()
         top = (c.sort_values(["cluster", "c", "label"],
@@ -1154,7 +1159,7 @@ def q_cluster_purity(sf_dir: str):
         return pd.DataFrame({
             "cluster": m["cluster"].astype("int64"),
             "n_vecs": m["n_vecs"].astype("int64"),
-            "top_label": m["label"].astype("int64"),
+            "top_label": m["label"].astype("Int64"),  # NULL-majority safe
             "n_top": m["c"].astype("int64"),
             "purity": m["c"].to_numpy(np.float64)
             / m["n_vecs"].to_numpy(np.float64)})
@@ -5270,7 +5275,10 @@ def q_winsorize_by_group(sf_dir: str):
     Parity: thresholds use length_quantiles' pure-integer rank rule
     k_p = (n·p + 99)//100 and the clip is min/max over integers — no
     float anywhere, exact by construction."""
-    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    # pin: the stats pass and the clip pass both consume this narrow read
+    # — unmaterialized, each would re-run the whole scan
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "source", "n_chars"]).materialize()
 
     def vc(t: pa.Table) -> pa.Table:
         g = pa.table({
@@ -5417,10 +5425,16 @@ def q_value_corr(sf_dir: str):
         v = np.asarray(pc.fill_null(t["value"], 0.0)
                        .to_numpy(zero_copy_only=False), np.float64)
         c = v * 100.0
-        # DuckDB round() is half-AWAY-from-zero (the _round_half_away
-        # rule); pc.round is half-to-even and would diverge on .5 edges
-        x = pa.array((np.sign(c) * np.floor(np.abs(c) + 0.5))
-                     .astype(np.int64), pa.int64())
+        # DuckDB round() = std::round: half AWAY from zero, decided on
+        # the EXACT double. floor(|c| + 0.5) is NOT that — the addition
+        # can carry a value just below .5 over the edge (|c| =
+        # 0.49999999999999994 → |c|+0.5 rounds to 1.0 → floor 1, DuckDB
+        # 0). a − floor(a) is exact (Sterbenz), so compare the exact
+        # fraction instead of adding.
+        a = np.abs(c)
+        f = np.floor(a)
+        r = f + (a - f >= 0.5)
+        x = pa.array((np.sign(c) * r).astype(np.int64), pa.int64())
         m = pc.extract_regex(pc.fill_null(t["props"], ""),
                              pattern=r'"k":\s*(?P<k>\d+)')
         y = pc.fill_null(pc.cast(pc.struct_field(m, "k"), pa.int64()), 0)
