@@ -153,14 +153,14 @@ def test_cluster_purity_counts_conserved(ray_session):
 
 def test_cluster_purity_keeps_null_labels(tmp_path, ray_session):
     """A NULL label is a group like any other (SQL GROUP BY semantics):
-    n_vecs must count it and purity must not inflate. 3 near-identical
-    vectors land in one cluster; one has a NULL label → n_vecs=3,
-    majority label 7 with n_top=2, purity 2/3."""
+    n_vecs must count it and purity must not inflate. 3 IDENTICAL
+    vectors (every vector is also a centroid at this size; identical →
+    all tie to cluster 0) land in one cluster; one has a NULL label →
+    n_vecs=3, majority label 7 with n_top=2, purity 2/3."""
     sf = str(tmp_path)
     pq.write_table(pa.table({
         "vec_id": pa.array([0, 1, 2], pa.int64()),
-        "embedding": pa.array([[1.0, 0.0], [0.99, 0.01], [0.98, 0.02]],
-                              pa.list_(pa.float32())),
+        "embedding": pa.array([[1.0, 0.0]] * 3, pa.list_(pa.float32())),
         "label": pa.array([7, 7, None], pa.int32()),
     }), os.path.join(sf, "embeddings.parquet"))
     got = Q.q_cluster_purity(sf).to_pandas()
